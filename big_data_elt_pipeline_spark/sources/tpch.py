@@ -1,0 +1,115 @@
+"""Adapters: driver TPC-H-ish test corpus → the engine's retail domain.
+
+Per FIXTURES.md's mapping, ``customer`` plays ``clients`` (nationkey→pays via
+``nation``) and ``orders``+``lineitem`` play ``achats`` (shipdate→date_achat,
+discounted extendedprice→montant, part brand→produit). The derived columns
+are defined by deterministic arithmetic that is expressible identically in
+Spark and ANSI SQL, so every downstream operator can be differentially
+tested against the DuckDB oracle.
+
+Cross-engine exactness note: ``montant`` is the double product
+``l_extendedprice*(1-l_discount)`` snapped to 4 decimals through a
+``decimal(18,4)`` round-trip. Products of two 2-decimal inputs carry at most
+4 true decimal digits, so the snap is unambiguous (never near a rounding
+midpoint) and both engines land on the bit-identical double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def clients_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``clients`` from customer ⋈ nation (broadcast — nation has 25 rows)."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("id_client"),
+            F.col("c_name").alias("nom"),
+            F.concat(F.lower(F.col("c_name")), F.lit("@clients.example")).alias("email"),
+            F.date_add(
+                F.lit("1992-01-01").cast("date"),
+                (F.col("c_custkey") % 2557).cast("int"),
+            ).alias("date_inscription"),
+            F.col("n_name").alias("pays"),
+        )
+    )
+
+
+def achats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``achats`` from lineitem ⋈ orders ⋈ part.
+
+    orders/part are joined on their keys; at scale the orders join is the
+    big one (fact-to-fact) and shuffles on orderkey, while part is
+    dimension-sized per SF and AQE will broadcast it.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("id_achat"),
+            F.col("o_custkey").alias("id_client"),
+            F.col("l_shipdate").cast("timestamp").alias("date_achat"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,4)").cast("double").alias("montant"),
+            F.col("p_brand").alias("produit"),
+        )
+    )
+
+
+# --- matching ANSI-SQL CTEs for the DuckDB oracle --------------------------
+
+CLIENTS_SQL = """
+clients AS (
+    SELECT c_custkey AS id_client,
+           c_name AS nom,
+           lower(c_name) || '@clients.example' AS email,
+           DATE '1992-01-01' + CAST(c_custkey % 2557 AS INTEGER) AS date_inscription,
+           n_name AS pays
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+"""
+
+ACHATS_SQL = """
+achats AS (
+    SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id_achat,
+           o_custkey AS id_client,
+           CAST(l_shipdate AS TIMESTAMP) AS date_achat,
+           CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS montant,
+           p_brand AS produit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+)
+"""
+
+FACT_SQL = """
+fact AS (
+    SELECT a.*,
+           coalesce(c.pays, 'Inconnu') AS pays,
+           strftime(a.date_achat, '%Y-%m') AS mois,
+           strftime(a.date_achat, '%Y-%m-%d') AS jour,
+           CAST(year(a.date_achat) AS INTEGER) AS annee
+    FROM achats a LEFT JOIN clients c USING (id_client)
+)
+"""
+
+
+def domain_ctes() -> str:
+    """WITH-clause prefix shared by every oracle query."""
+    return f"WITH {CLIENTS_SQL.strip()},\n{ACHATS_SQL.strip()},\n{FACT_SQL.strip()}"
