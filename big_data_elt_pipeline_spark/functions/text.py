@@ -1,0 +1,109 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+All pure Catalyst expressions (split/filter/transform/aggregate lambdas +
+regexp + md5) — no Python UDFs, so they run JVM-side inside codegen and
+scale linearly. Each helper has an exact ANSI-SQL mirror used by the DuckDB
+oracles (see ``plans/text_queries.py``).
+
+Beyond-reference surface: the reference pipeline has no text operators; this
+implements the language-ID / quality-scoring / token-counting / document-
+fingerprinting quartet a 100 TB LLM-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker stopwords (tiny on purpose: deterministic, explainable,
+# and cheap — a broadcast array literal per language, not a model)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "les", "de", "et"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["的", "是", "了"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+PUNCT_RE = r"[.,;:!?]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def _count_in(tok: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def stopword_count(col: Column) -> Column:
+    return _count_in(tokens(col), STOPWORDS)
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PUNCT_RE)).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs with a
+    sane stopword share and low punctuation density. Deterministic double
+    arithmetic (identical in the SQL mirror)."""
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    stop_ratio = F.when(n_tok > 0, stopword_count(col).cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_count(col).cast("double") / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.5) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
+    )
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram-heuristic language ID: count per-language marker tokens and
+    take the argmax (ties broken by the fixed language order; all-zero →
+    'und')."""
+    tok = tokens(col)
+    scores = {lang: _count_in(tok, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # fixed dict order = deterministic tie-break
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text — byte-stable across engines and languages."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (the MinHash unit). Docs shorter than ``n``
+    tokens contribute their full token string as a single shingle."""
+    tok = tokens(col)
+    k = F.size(tok)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + F.lit(1), n)),
+    )
+    return F.when(k >= n, ngrams).otherwise(F.array(F.concat_ws(" ", tok)))
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex chars of md5 → bigint.
+    Identical in DuckDB as ``('0x' || substr(md5(s),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit string hash (15 hex chars of md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

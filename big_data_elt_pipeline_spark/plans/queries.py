@@ -532,3 +532,8 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clients.join(recent.select("id_client"), "id_client", "left_anti").select(
         "id_client", "nom", "pays"
     )
+
+
+# extended registries (register themselves on import; import at the tail so
+# `register` is already defined)
+from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401

@@ -1,0 +1,346 @@
+"""Training-data-pipeline queries over ``documents``/``embeddings`` with
+DuckDB oracle mirrors (beyond-reference surface — SURVEY.md §7 phase 6).
+
+The SQL is generated from the SAME Python constants as the Spark operators
+(minhash permutations, language markers, simhash width), so parity is
+structural, not coincidental. Near-dup queries augment the corpus with
+deterministic perturbed copies (id+10000, first token dropped / vector
+scaled) so the pipelines are exercised with guaranteed positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions import text as TX
+from big_data_elt_pipeline_spark.operators import dedup as DD
+from big_data_elt_pipeline_spark.operators import similarity as SIM
+from big_data_elt_pipeline_spark.plans.queries import register
+from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+# --- shared SQL fragments (mirrors of functions/text.py) -------------------
+
+_TOK = "string_split_regex(lower(trim({c})), '\\s+')"
+_HASH32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+
+def _count_in_sql(tok: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({tok}, x -> list_contains({arr}, x)))"
+
+
+_SHINGLES = (
+    "CASE WHEN len(tok) >= 3 THEN "
+    "list_transform(range(0, len(tok)-3+1), i -> array_to_string(tok[(i+1):(i+3)], ' ')) "
+    "ELSE [array_to_string(tok, ' ')] END"
+)
+
+# corpus + deterministic near-dup copies (mirrored in Spark below)
+_DOCS2_SQL = """
+docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+    FROM documents
+)
+"""
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
+# --------------------------------------------------------------------------
+# doc_stats: token counting + quality scoring + language ID + fingerprint
+# --------------------------------------------------------------------------
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_count_in_sql('tok', ws)} AS sc_{lang}" for lang, ws in TX.LANG_MARKERS.items()
+)
+_BEST = "greatest(" + ", ".join(f"sc_{lang}" for lang in TX.LANG_MARKERS) + ")"
+_LANG_CASE = "CASE WHEN " + _BEST + " = 0 THEN 'und' " + " ".join(
+    f"WHEN sc_{lang} = {_BEST} THEN '{lang}'" for lang in TX.LANG_MARKERS
+) + " ELSE 'und' END"
+
+_DOC_STATS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text, {_TOK.format(c='text')} AS tok FROM documents
+),
+st AS (
+    SELECT doc_id, text, tok,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({_count_in_sql('tok', TX.STOPWORDS)} AS BIGINT) AS n_stopwords,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+           {_LANG_SCORES}
+    FROM base
+),
+r AS (
+    SELECT *,
+           CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio
+    FROM st
+)
+SELECT doc_id, n_tokens, n_chars, stopword_ratio, punct_ratio,
+       least(greatest(
+           0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+           + 0.3 * least(stopword_ratio * 5.0, 1.0)
+           + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)), 0.0), 1.0) AS quality,
+       {_LANG_CASE} AS lang_guess,
+       md5(array_to_string(tok, ' ')) AS fingerprint
+FROM r
+"""
+
+
+@register("doc_stats", _DOC_STATS_SQL)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = TX.token_count(t)
+    n_chars = F.length(t).cast("long")
+    stop_ratio = F.when(n_tok > 0, TX.stopword_count(t).cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, TX.punct_count(t).cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        TX.quality_score(t).alias("quality"),
+        TX.lang_id(t).alias("lang_guess"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_DOCS2_SQL.strip()},
+fp AS (
+    SELECT doc_id, md5(array_to_string({_TOK.format(c='text')}, ' ')) AS fingerprint
+    FROM docs2
+)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM fp
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_docs2(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH + exact-Jaccard near-dup
+# --------------------------------------------------------------------------
+
+def _minhash_sql() -> str:
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {DD.MERSENNE_P}) AS mh{i}" for i, (a, b) in enumerate(DD.PERMS)
+    )
+    band_selects = []
+    for b in range(DD.N_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{b * DD.ROWS_PER_BAND + r} AS VARCHAR)" for r in range(DD.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM docs2)
+    )
+),
+hashed AS (SELECT doc_id, {_HASH32.format(c='shingle')} AS h FROM sh),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+    FROM bands l JOIN bands r USING (band, bkey)
+    WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id1, c.id2, count(*) AS inter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.id1
+    JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+    GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2, z1.nsh AS n1, z2.nsh AS n2, i.inter,
+       CAST(i.inter AS DOUBLE) / CAST(z1.nsh + z2.nsh - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.id1
+JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE CAST(i.inter AS DOUBLE) / CAST(z1.nsh + z2.nsh - i.inter AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_minhash", _minhash_sql())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_dedup(_docs2(spark, sf_dir), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+tok AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_distinct({_TOK.format(c='text')})) AS tok FROM docs2
+    )
+),
+hashed AS (SELECT doc_id, {_HASH32.format(c='tok')} AS h FROM tok),
+per_bit AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {value} AS simhash FROM per_bit),
+halves AS (
+    SELECT doc_id, simhash, 0 AS half, simhash % 65536 AS hkey FROM sig
+    UNION ALL
+    SELECT doc_id, simhash, 1 AS half, CAST(floor(simhash / 65536) AS BIGINT) AS hkey FROM sig
+)
+SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+FROM halves l JOIN halves r USING (half, hkey)
+WHERE l.doc_id < r.doc_id
+  AND bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_neardup(_docs2(spark, sf_dir), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.query_id, e.vec_id, {_cos("q.qvec", "e.embedding")} AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE q.query_id != e.vec_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("ann_topk", _ANN_SQL)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = SIM.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sign_bucket_sql(vec: str, n_bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN CAST({vec}[{j + 1}] AS DOUBLE) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(n_bits)
+    )
+
+
+_EMB2_SQL = """
+emb2 AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id,
+           -- CAST to DOUBLE first: DuckDB would otherwise multiply in FLOAT
+           -- (it narrows the literal), diverging from Spark's promotion
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT)) AS embedding
+    FROM embeddings
+)
+"""
+
+_NEARDUP_SQL = f"""
+WITH {_EMB2_SQL.strip()},
+b AS (SELECT vec_id, embedding, {_sign_bucket_sql("embedding", 10)} AS bucket FROM emb2)
+SELECT l.vec_id AS id1, r.vec_id AS id2,
+       {_cos("l.embedding", "r.embedding")} AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_cos("l.embedding", "r.embedding")} >= 0.99
+"""
+
+
+@register("embedding_neardup", _NEARDUP_SQL)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: (x * F.lit(1.001)).cast("float")).alias("embedding"),
+    )
+    emb2 = emb.unionByName(perturbed)
+    return SIM.embedding_neardup(emb2, threshold=0.99, n_bits=10)
+
+
+# LSH-bucketed ANN: the scale path — approximate, so the oracle mirrors the
+# same bucketed algorithm (not brute force), keeping the check exact.
+_ANN_LSH_SQL = f"""
+WITH b AS (SELECT vec_id, embedding, {_sign_bucket_sql("embedding", 8)} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 64),
+scored AS (
+    SELECT q.query_id, b.vec_id, {_cos("q.qvec", "b.embedding")} AS cosine
+    FROM b JOIN q USING (bucket)
+    WHERE q.query_id != b.vec_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@register("ann_lsh_topk", _ANN_LSH_SQL)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 64)
+    out = SIM.lsh_topk(emb, queries, k=5, n_bits=8)
+    return out.withColumn("rank", F.col("rank").cast("int"))
