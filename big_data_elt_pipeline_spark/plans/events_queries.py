@@ -1,0 +1,88 @@
+"""Event-stream queries (batch oracles + true streaming, SURVEY.md §7 ph.6).
+
+``stream_tumbling`` has no SQL oracle (incremental execution is not
+SQL-expressible) — the driver records its weaker rows-only check; its batch
+twin ``events_tumbling`` is the exactness anchor for the same aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_elt_pipeline_spark.plans.queries import register
+from big_data_elt_pipeline_spark.sources.tpch import EVENTS_SQL, events_df
+from big_data_elt_pipeline_spark.streaming import events as EV
+
+_E = f"WITH {EVENTS_SQL.strip()}"
+
+_MONEY = "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@register("events_tumbling", _E + f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, {_MONEY} AS total_value
+FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.tumbling_revenue(events_df(spark, sf_dir), width="1 hour")
+
+
+@register("events_sessionize", _E + """,
+tagged AS (
+    SELECT user_id, event_id, ts, value,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM ev
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM tagged
+),
+s AS (
+    SELECT *,
+           CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS duration_sec,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
+""")
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.sessionize(events_df(spark, sf_dir), gap_min=30)
+
+
+@register("events_props", _E + """
+SELECT event_type,
+       count(json_extract_string(props, '$.k')::BIGINT) AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS DOUBLE)
+           / count(json_extract_string(props, '$.k')::BIGINT) AS k_avg
+FROM ev GROUP BY event_type ORDER BY event_type
+""")
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.props_metrics(events_df(spark, sf_dir))
+
+
+@register("events_daily_share", _E + """,
+agg AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+    FROM ev GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       sum(n) OVER (PARTITION BY day) AS day_total,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
+FROM agg ORDER BY day, event_type
+""")
+def q_events_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.daily_type_share(events_df(spark, sf_dir))
+
+
+@register("stream_tumbling", None)  # incremental execution — rows-only check
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EV.stream_tumbling_revenue(spark, sf_dir)

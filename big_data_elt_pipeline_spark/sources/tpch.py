@@ -72,6 +72,34 @@ def achats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with proper microsecond timestamps.
+
+    The parquet stores TIMESTAMP(NANOS), which Spark reads as a nanosecond
+    long (``spark.sql.legacy.parquet.nanosAsLong``); DuckDB truncates to
+    micros on scan — mirrored here with integer floor-division.
+    """
+    raw = read_table(spark, sf_dir, "events")
+    return raw.select(
+        "event_id",
+        # integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's exact
+        # integer range, so float division corrupts the low microseconds
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+EVENTS_SQL = """
+ev AS (
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+)
+"""
+
+
 # --- matching ANSI-SQL CTEs for the DuckDB oracle --------------------------
 
 CLIENTS_SQL = """

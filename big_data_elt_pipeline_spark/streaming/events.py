@@ -1,0 +1,161 @@
+"""Event-stream operators: batch window analytics + true Structured
+Streaming ingestion with watermarks.
+
+The reference pipeline is batch-only (SURVEY.md §2.10) — its closest
+analogues are a 365-day rolling filter and a periodic Mongo re-publish.
+This module adds the streaming surface a Spark-native engine should have:
+
+- Batch forms (tumbling/session windows, JSON prop extraction) are plain
+  DataFrame plans with DuckDB oracles — the correctness anchor.
+- ``stream_tumbling_revenue`` runs the SAME aggregation as an incremental
+  Structured Streaming query (file source → watermark → window agg →
+  memory sink), proving the operator works under incremental execution.
+  On a cluster the source becomes Kafka and the sink a Delta/parquet
+  table via ``foreachBatch`` — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_elt_pipeline_spark.functions.core import money_sum
+
+SESSION_GAP_MIN = 30
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def tumbling_revenue(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count + exact value sum per event type."""
+    return (
+        events.groupBy(
+            F.window("ts", width).start.alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value", "total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative-sum session ids), then
+    per-session rollup. One shuffle on user_id; duration in exact
+    microseconds via ``unix_micros``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    tagged = (
+        events.withColumn("prev_us", F.lag(F.unix_micros("ts"), 1).over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_us").isNull()
+                | ((F.unix_micros("ts") - F.col("prev_us")) > F.lit(gap_us))
+            ).cast("int"),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(1_000_000.0)).alias("duration_sec"),
+            money_sum("value", "total_value"),
+        )
+    )
+
+
+def props_metrics(events: DataFrame) -> DataFrame:
+    """JSON property extraction + per-type rollup (integer-exact avg)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_type_share(events: DataFrame) -> DataFrame:
+    """Per-day, per-type counts with share-of-day via a window over the
+    aggregate (integer division at the end — deterministic)."""
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    agg = events.groupBy(day, "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day")
+    return (
+        agg.withColumn("day_total", F.sum("n").over(w))
+        .withColumn("share", F.col("n").cast("double") / F.col("day_total").cast("double"))
+        .orderBy("day", "event_type")
+    )
+
+
+def stream_tumbling_revenue(
+    spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Incremental form of ``tumbling_revenue`` as a real streaming query.
+
+    File source (one-shot over the fixture file) → event-time watermark →
+    tumbling window aggregate → memory sink, driven to completion
+    synchronously. Late data beyond the watermark would be dropped, and
+    the 'append' mode only emits finalized windows — the cluster-correct
+    semantics, observable locally.
+    """
+    # the file source requires a directory; stage the fixture file into a
+    # per-sf temp dir (what a real deployment's landing zone would be)
+    import pathlib
+    import shutil
+
+    stage = pathlib.Path("/tmp/spark_graft_stream") / pathlib.Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    target = stage / "events.parquet"
+    if not target.exists():
+        shutil.copyfile(f"{sf_dir}/events.parquet", target)
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(stage))
+    events = raw.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    # group by the window STRUCT (not .start) — watermark tracking attaches
+    # to the window column; projecting .start pre-aggregation severs it
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    name = "stream_tumbling_revenue_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,35 @@
+"""Structured Streaming surface: the incremental tumbling aggregate must
+agree with its batch twin on every finalized window."""
+
+from big_data_elt_pipeline_spark.plans import queries as Q
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_matches_batch_on_finalized_windows(spark):
+    stream = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).toPandas()
+    batch = Q.spark_queries()["events_tumbling"](spark, SF_SMOKE).toPandas()
+    assert len(stream) > 0
+    # append mode: only watermark-finalized windows are emitted
+    assert len(stream) <= len(batch)
+    m = batch.merge(stream, on=["window_start", "event_type"], suffixes=("_b", "_s"))
+    assert len(m) == len(stream)  # every emitted window exists in batch
+    assert (m.n_b == m.n_s).all()
+    assert (m.total_value_b == m.total_value_s).all()
+
+
+def test_stream_drops_only_trailing_watermark_windows(spark):
+    stream = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).toPandas()
+    batch = Q.spark_queries()["events_tumbling"](spark, SF_SMOKE).toPandas()
+    missing = batch.merge(
+        stream[["window_start", "event_type"]],
+        on=["window_start", "event_type"],
+        how="left",
+        indicator=True,
+    )
+    missing = missing[missing._merge == "left_only"]
+    if len(missing):
+        # all withheld windows sit within watermark horizon of max event time
+        horizon = batch.window_start.max()
+        import pandas as pd
+
+        assert (missing.window_start >= horizon - pd.Timedelta(hours=2)).all()
