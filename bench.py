@@ -62,6 +62,32 @@ def main() -> None:
         timings[name] = round(dt_s, 4)
         total += dt_s
 
+    # full medallion pipeline (bronze CSV → silver → gold+serving parquet),
+    # the BASELINE.md-comparable number: one session, persisted fact/features
+    import shutil
+    import tempfile
+
+    from big_data_elt_pipeline_spark import pipeline as P
+    from big_data_elt_pipeline_spark.sources import tpch
+
+    tmp = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        clients = tpch.clients_df(spark, sf_dir)
+        achats = tpch.achats_df(spark, sf_dir)
+        clients.write.mode("overwrite").option("header", True).csv(f"{tmp}/sources/clients.csv")
+        (achats.write.mode("overwrite").option("header", True)
+         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+         .csv(f"{tmp}/sources/achats.csv"))
+        result = P.run_medallion(
+            spark, f"{tmp}/sources", f"{tmp}/lake",
+            min_date="1990-01-01", max_amount=1e9, count_rows=False,
+        )
+        for stage, sec in result["seconds"].items():
+            timings[f"pipeline_{stage}"] = sec
+        total += result["seconds"]["total"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -1,0 +1,55 @@
+"""Thin IO layer (SURVEY.md §2.1 S1-S6, S11).
+
+The reference moves bytes through MinIO with per-object get/put
+(``flows/bronze_ingestion.py:30-59``); Spark-native IO is just
+``spark.read``/``df.write`` against a path prefix — s3a:// on a cluster,
+file:// locally — with the same bucket-layout semantics. The S6
+primary/fallback helper ports ``flows_spark/config_spark.py:69-101``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S3: CSV scan with header and an EXPLICIT schema — no ``inferSchema``
+    (the reference's inference costs a full extra pass and is
+    non-deterministic on dirty data; silver casts do the coercion)."""
+    return spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> str:
+    """S5: parquet sink. ``partition_by`` maps the reference's Mongo
+    secondary indexes (S9) onto partition pruning where a column is a
+    common filter key."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def with_fallback(primary: Callable[[], DataFrame], fallback: Callable[[], DataFrame]) -> DataFrame:
+    """S6: primary/fallback path resolution (s3a → local in the reference)."""
+    try:
+        return primary()
+    except Exception:
+        return fallback()
+
+
+def to_json_records(df: DataFrame) -> DataFrame:
+    """S11: edge serialization — one JSON string per row (NaN→null, ISO
+    dates come free from Spark's JSON writer)."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.to_json(F.struct(*df.columns)).alias("json"))

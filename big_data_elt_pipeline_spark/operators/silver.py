@@ -89,8 +89,12 @@ def clean_achats(
     valid_clients: DataFrame | None = None,
     min_date: dt.date | str = MIN_VALID_DATE,
     max_date: dt.date | None = None,
+    max_amount: float = MAX_PURCHASE_AMOUNT,
 ) -> DataFrame:
-    """P1-P5 + W4 keep-last + J4 semi-join orphan purge on purchases."""
+    """P1-P5 + W4 keep-last + J4 semi-join orphan purge on purchases.
+
+    ``max_amount``: the reference hardcodes 10,000 EUR; corpora with other
+    monetary scales pass their own bound."""
     require_columns(raw, REQUIRED_ACHAT_COLS, "achats_raw")
     hi = max_date or dt.date.today() + dt.timedelta(days=1)
     df = (
@@ -108,7 +112,7 @@ def clean_achats(
             & F.col("date_achat").isNotNull()
             & F.col("produit").isNotNull()
         )
-        .filter((F.col("montant") > 0) & (F.col("montant") <= F.lit(MAX_PURCHASE_AMOUNT)))
+        .filter((F.col("montant") > 0) & (F.col("montant") <= F.lit(max_amount)))
         .filter(F.col("date_achat") >= F.lit(str(min_date)))
         .filter(F.col("date_achat") < F.lit(str(hi)))
     )

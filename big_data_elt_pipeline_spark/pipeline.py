@@ -1,0 +1,182 @@
+"""Medallion pipeline runner: bronze → silver → gold → serving views.
+
+The end-to-end flow of the reference (``tools/run.py:131-145`` chains 9
+subprocess stages across containers; each Spark stage cold-starts its own
+session and re-downloads jars — 95% of its 118 s baseline). Here the whole
+flow is ONE SparkSession and one lazy plan graph per stage:
+
+- bronze: raw CSV → parquet retention copy (S2/S3), explicit schemas.
+- silver: cleaning suite (P1-P9, W4, J4) + one-pass quality audit.
+- gold: star schema (J1-J5, A1-A8, F2-F10) with ``fact``/``features``
+  persisted once and reused by every downstream table — the reference
+  recomputes the scan+join lineage for each of its 9 sinks (SURVEY §3.3).
+- serving: daily/weekly/distribution/monthly-growth views (A4/A9/W1).
+
+``golden_check`` ports the reference's ``scripts/check_gold.py`` schema +
+invariant gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import io as eio
+from big_data_elt_pipeline_spark.operators import gold, serving, silver
+from big_data_elt_pipeline_spark.schemas import ACHATS_RAW, CLIENTS_RAW, GOLD_EXPECTED_COLUMNS
+
+GOLD_TABLES = [
+    "fact_achats", "dim_clients", "client_features", "client_scores",
+    "segment_summary", "ca_monthly", "ca_country", "ca_product",
+    "cohort_first_purchase",
+]
+SERVING_TABLES = ["daily", "weekly", "distribution", "monthly_growth"]
+
+
+def bronze_ingest(spark: SparkSession, source_dir: str, lake_dir: str) -> dict[str, int]:
+    """S2/S3: raw retention — CSV → parquet, no transformation."""
+    counts = {}
+    for name, schema in (("clients", CLIENTS_RAW), ("achats", ACHATS_RAW)):
+        df = eio.read_csv(spark, f"{source_dir}/{name}.csv", schema)
+        eio.write_parquet(df, f"{lake_dir}/bronze/{name}")
+        counts[name] = df.count()
+    return counts
+
+
+def silver_transform(
+    spark: SparkSession,
+    lake_dir: str,
+    min_date: dt.date | str = silver.MIN_VALID_DATE,
+    max_date: dt.date | None = None,
+    max_amount: float = silver.MAX_PURCHASE_AMOUNT,
+) -> dict[str, dict]:
+    """Cleaning suite + one-pass quality counters per table."""
+    clients_raw = eio.read_parquet(spark, f"{lake_dir}/bronze/clients")
+    achats_raw = eio.read_parquet(spark, f"{lake_dir}/bronze/achats")
+
+    clients = silver.clean_clients(clients_raw, min_date=min_date, max_date=max_date)
+    achats = silver.clean_achats(
+        achats_raw, valid_clients=clients, min_date=min_date, max_date=max_date,
+        max_amount=max_amount,
+    )
+    eio.write_parquet(clients, f"{lake_dir}/silver/clients")
+    eio.write_parquet(achats, f"{lake_dir}/silver/achats")
+
+    return {
+        "clients": silver.quality_audit(clients_raw, kind="clients").first().asDict(),
+        "achats": silver.quality_audit(achats_raw, kind="achats").first().asDict(),
+    }
+
+
+def gold_transform(
+    spark: SparkSession, lake_dir: str,
+    max_amount: float = silver.MAX_PURCHASE_AMOUNT,
+    count_rows: bool = False,
+) -> dict[str, int]:
+    """Star schema + scoring, one persisted fact/features shared by all sinks."""
+    clients = eio.read_parquet(spark, f"{lake_dir}/silver/clients")
+    achats = eio.read_parquet(spark, f"{lake_dir}/silver/achats")
+    # defensive idempotence: re-apply the amount bound at gold entry
+    # (reference does the same, flows/gold_transformation.py:100)
+    achats = achats.filter(
+        (F.col("montant") > 0) & (F.col("montant") <= max_amount)
+    )
+
+    fact = gold.build_fact(achats, clients).persist()
+    ref = gold.reference_date(fact)
+    features = gold.build_client_features(fact, clients, ref).persist()
+
+    scored = gold.score_clients(features)
+    ca_monthly, ca_country, ca_product = gold.aggregate_sales(fact)
+
+    tables: dict[str, DataFrame] = {
+        "fact_achats": fact,
+        "dim_clients": gold.build_dim_clients(clients, fact, ref),
+        "client_features": features,
+        "client_scores": scored.select(
+            "id_client", "prob_reachat_12m", "expected_value_12m",
+            "value_at_risk_12m", "segment_label", "recency_days", "freq_12m",
+            "monetary_12m",
+        ),
+        "segment_summary": gold.summarize_segments(scored),
+        "ca_monthly": ca_monthly,
+        "ca_country": ca_country,
+        "ca_product": ca_product,
+        "cohort_first_purchase": gold.build_cohort_first_purchase(fact),
+        # serving views (the reference computes these in its Mongo publisher)
+        "daily": serving.build_daily(fact),
+        "weekly": serving.build_weekly(fact),
+        "distribution": serving.build_distribution(fact, bins=12, labels=True),
+        "monthly_growth": serving.build_monthly_growth(ca_monthly),
+    }
+    # one action per table: the write IS the job; counting again would
+    # re-execute every unpersisted plan (the reference's 9-sink mistake)
+    counts = {}
+    for name, df in tables.items():
+        eio.write_parquet(df, f"{lake_dir}/gold/{name}")
+        if count_rows:
+            counts[name] = (
+                spark.read.parquet(f"{lake_dir}/gold/{name}").count()
+            )  # footer-stats count, no recompute
+    fact.unpersist()
+    features.unpersist()
+    return counts
+
+
+def run_medallion(
+    spark: SparkSession,
+    source_dir: str,
+    lake_dir: str,
+    min_date: dt.date | str = silver.MIN_VALID_DATE,
+    max_date: dt.date | None = None,
+    max_amount: float = silver.MAX_PURCHASE_AMOUNT,
+    count_rows: bool = True,
+) -> dict:
+    """Full bronze→silver→gold run with per-stage wall times (the
+    BASELINE.md benchmark shape)."""
+    out: dict = {}
+    t0 = time.perf_counter()
+    out["bronze_rows"] = bronze_ingest(spark, source_dir, lake_dir)
+    t1 = time.perf_counter()
+    out["silver_quality"] = silver_transform(spark, lake_dir, min_date, max_date, max_amount)
+    t2 = time.perf_counter()
+    out["gold_rows"] = gold_transform(spark, lake_dir, max_amount, count_rows=count_rows)
+    t3 = time.perf_counter()
+    out["seconds"] = {
+        "bronze": round(t1 - t0, 3),
+        "silver": round(t2 - t1, 3),
+        "gold": round(t3 - t2, 3),
+        "total": round(t3 - t0, 3),
+    }
+    return out
+
+
+def golden_check(spark: SparkSession, lake_dir: str) -> list[str]:
+    """Port of ``scripts/check_gold.py``: schema contracts + invariants.
+    Returns a list of violations (empty = green)."""
+    problems: list[str] = []
+    for name, required in GOLD_EXPECTED_COLUMNS.items():
+        try:
+            df = eio.read_parquet(spark, f"{lake_dir}/gold/{name}")
+        except Exception as exc:
+            problems.append(f"{name}: unreadable ({exc})")
+            continue
+        missing = [c for c in required if c not in df.columns]
+        if missing:
+            problems.append(f"{name}: missing columns {missing}")
+    fact = eio.read_parquet(spark, f"{lake_dir}/gold/fact_achats")
+    if fact.filter(F.col("montant") < 0).limit(1).count() > 0:
+        problems.append("fact_achats: negative montant")
+    scores = eio.read_parquet(spark, f"{lake_dir}/gold/client_scores")
+    bad_prob = scores.filter(
+        (F.col("prob_reachat_12m") < 0) | (F.col("prob_reachat_12m") > 1)
+    ).limit(1).count()
+    if bad_prob:
+        problems.append("client_scores: prob_reachat_12m outside [0,1]")
+    n_ids = scores.select("id_client").distinct().count()
+    if n_ids != scores.count():
+        problems.append("client_scores: duplicate id_client")
+    return problems

@@ -58,11 +58,34 @@ def achats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     part = read_table(spark, sf_dir, "part")
+    # (l_orderkey, l_linenumber) is NOT unique in this generator; the md5-
+    # derived 60-bit hash of the full natural key is, and is portable
+    # (identical expression in the DuckDB oracle CTE below)
+    id_achat = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey"),
+                        F.col("l_linenumber"),
+                        F.col("l_partkey"),
+                        F.col("l_suppkey"),
+                        F.col("l_quantity").cast("int"),
+                        F.date_format("l_shipdate", "yyyy-MM-dd"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        )
+        .cast("long")
+    )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(part, lineitem.l_partkey == part.p_partkey)
         .select(
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("id_achat"),
+            id_achat.alias("id_achat"),
             F.col("o_custkey").alias("id_client"),
             F.col("l_shipdate").cast("timestamp").alias("date_achat"),
             (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
@@ -115,7 +138,11 @@ clients AS (
 
 ACHATS_SQL = """
 achats AS (
-    SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id_achat,
+    SELECT ('0x' || substr(md5(concat_ws('|',
+               CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+               CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+               CAST(CAST(l_quantity AS INTEGER) AS VARCHAR),
+               strftime(l_shipdate, '%Y-%m-%d'))), 1, 15))::BIGINT AS id_achat,
            o_custkey AS id_client,
            CAST(l_shipdate AS TIMESTAMP) AS date_achat,
            CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS montant,
