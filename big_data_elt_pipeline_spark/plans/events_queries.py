@@ -86,3 +86,10 @@ def q_events_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_tumbling", None)  # incremental execution — rows-only check
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.stream_tumbling_revenue(spark, sf_dir)
+
+
+@register("stream_user_totals", None)  # stateful incremental — rows-only check
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_elt_pipeline_spark.streaming.stateful import user_running_totals_stream
+
+    return user_running_totals_stream(spark, sf_dir)

@@ -1,0 +1,156 @@
+"""OLAP-surface queries beyond the reference: as-of join, cube/rollup,
+pivot — each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions.core import money_sum
+from big_data_elt_pipeline_spark.operators.asof import asof_join
+from big_data_elt_pipeline_spark.plans.queries import register, _silver_frames
+from big_data_elt_pipeline_spark.sources import tpch
+from big_data_elt_pipeline_spark.sources.tpch import EVENTS_SQL, events_df
+
+_D = tpch.domain_ctes()
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- as-of join: each event gets the user's latest purchase at/before ts ---
+
+@register("asof_event_purchase", _D + f""",
+{EVENTS_SQL.strip()},
+-- right side deduped to one row per (user, ts): max id_achat wins
+r AS (
+    SELECT id_client, date_achat, montant FROM (
+        SELECT id_client, date_achat, montant,
+               row_number() OVER (
+                   PARTITION BY id_client, date_achat ORDER BY id_achat DESC
+               ) AS rn
+        FROM achats
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       r.date_achat AS asof_date_achat,
+       r.montant AS asof_montant
+FROM ev e ASOF LEFT JOIN r
+  ON e.user_id = r.id_client AND r.date_achat <= e.ts
+""")
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, achats = _silver_frames(spark, sf_dir)
+    events = events_df(spark, sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("id_client", "date_achat").orderBy(F.desc("id_achat"))
+    right = (
+        achats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id_client", "date_achat", "montant")
+    )
+    return asof_join(
+        events,
+        right.withColumnRenamed("id_client", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="date_achat",
+        payload=["date_achat", "montant"],
+    )
+
+
+# --- cube: revenue by (pays, annee) with all subtotal combinations --------
+
+@register("cube_sales", _D + """
+SELECT pays, annee,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+       count(*) AS n
+FROM fact GROUP BY CUBE (pays, annee)
+""")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    return (
+        _fact(spark, sf_dir)
+        .cube("pays", "annee")
+        .agg(money_sum("montant", "ca"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("rollup_sales_monthly", _D + """
+SELECT annee, mois,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca
+FROM fact GROUP BY ROLLUP (annee, mois)
+""")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    return _fact(spark, sf_dir).rollup("annee", "mois").agg(money_sum("montant", "ca"))
+
+
+# --- pivot: daily event counts, one column per event type -----------------
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+    for t in EVENT_TYPES
+)
+
+
+# --- opportunity lists (reference scripts/train_predictor.py:184-190) -----
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_elt_pipeline_spark.operators import gold
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    clients, _ = _silver_frames(spark, sf_dir)
+    fact = _fact(spark, sf_dir)
+    ref = gold.reference_date(fact)
+    features = gold.build_client_features(fact, clients, ref).persist()
+    return gold.score_clients(features)
+
+
+from big_data_elt_pipeline_spark.plans.queries import _SCORES_SQL  # noqa: E402
+
+_SEL = "SELECT id_client, expected_value_12m, value_at_risk_12m, recency_days\nFROM scores"
+
+
+@register("top_opportunities", _D + ",\n" + _SCORES_SQL + _SEL + """
+ORDER BY expected_value_12m DESC, id_client ASC LIMIT 20
+""")
+def q_top_opportunities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by expected value (deterministic id tie-break)."""
+    return (
+        _scored(spark, sf_dir)
+        .select("id_client", "expected_value_12m", "value_at_risk_12m", "recency_days")
+        .orderBy(F.desc("expected_value_12m"), F.asc("id_client"))
+        .limit(20)
+    )
+
+
+@register("to_reactivate", _D + ",\n" + _SCORES_SQL + _SEL + """
+ORDER BY value_at_risk_12m DESC, recency_days DESC, id_client ASC LIMIT 20
+""")
+def q_to_reactivate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 at-risk: multi-key mixed-direction sort (O3)."""
+    return (
+        _scored(spark, sf_dir)
+        .select("id_client", "expected_value_12m", "value_at_risk_12m", "recency_days")
+        .orderBy(F.desc("value_at_risk_12m"), F.desc("recency_days"), F.asc("id_client"))
+        .limit(20)
+    )
+
+
+@register("pivot_event_counts", _D + f""",
+{EVENTS_SQL.strip()}
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {_PIVOT_COLS}
+FROM ev GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY day
+""")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = events_df(spark, sf_dir)
+    out = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)  # explicit values: no extra pass
+        .count()
+        .na.fill(0)
+        .orderBy("day")
+    )
+    return out

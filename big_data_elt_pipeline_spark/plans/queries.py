@@ -538,4 +538,5 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `register` is already defined)
 from big_data_elt_pipeline_spark.plans import events_queries  # noqa: E402,F401
 from big_data_elt_pipeline_spark.plans import ml_queries  # noqa: E402,F401
+from big_data_elt_pipeline_spark.plans import olap_queries  # noqa: E402,F401
 from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401

@@ -17,6 +17,29 @@ def test_stream_matches_batch_on_finalized_windows(spark):
     assert (m.total_value_b == m.total_value_s).all()
 
 
+def test_stateful_user_totals_match_batch(spark):
+    """applyInPandasWithState across 2 micro-batches == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+    from big_data_elt_pipeline_spark.streaming.stateful import user_running_totals_stream
+
+    stream = user_running_totals_stream(spark, SF_SMOKE).toPandas()
+    batch = (
+        events_df(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total_value"),
+        )
+        .toPandas()
+    )
+    m = batch.merge(stream, on="user_id", suffixes=("_b", "_s"))
+    assert len(m) == len(batch) == len(stream)
+    assert (m.n_b == m.n_s).all()
+    assert (m.total_value_b == m.total_value_s).all()
+
+
 def test_stream_drops_only_trailing_watermark_windows(spark):
     stream = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).toPandas()
     batch = Q.spark_queries()["events_tumbling"](spark, SF_SMOKE).toPandas()
