@@ -47,6 +47,24 @@ def with_fallback(primary: Callable[[], DataFrame], fallback: Callable[[], DataF
         return fallback()
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int, warehouse_note: str = ""
+) -> str:
+    """Bucketed managed table: pre-shuffles once at write so every later
+    join/agg on ``key`` is co-located — no Exchange in the plan. This is the
+    scale answer for repeatedly-joined fact tables (a 100 TB fact bucketed
+    on its join key amortizes its shuffle across every downstream query).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table
+
+
 def to_json_records(df: DataFrame) -> DataFrame:
     """S11: edge serialization — one JSON string per row (NaN→null, ISO
     dates come free from Spark's JSON writer)."""

@@ -116,7 +116,11 @@ def gold_transform(
     # re-execute every unpersisted plan (the reference's 9-sink mistake)
     counts = {}
     for name, df in tables.items():
-        eio.write_parquet(df, f"{lake_dir}/gold/{name}")
+        # fact is the only table that stays huge at scale: partition by year
+        # so date-bounded reads prune whole directories (the engine-side
+        # replacement for the reference's Mongo secondary indexes)
+        part = ["annee"] if name == "fact_achats" else None
+        eio.write_parquet(df, f"{lake_dir}/gold/{name}", partition_by=part)
         if count_rows:
             counts[name] = (
                 spark.read.parquet(f"{lake_dir}/gold/{name}").count()

@@ -47,6 +47,7 @@ def get_spark(app_name: str = "big_data_elt_pipeline_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.default.parallelism", cpus)
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if not os.environ.get("SPARK_MASTER_URL"):
