@@ -35,6 +35,17 @@ BENCH_QUERIES = [
     "top_clients",
     "silver_achats",
     "silver_clients",
+    # beyond-reference surface
+    "doc_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+    "ann_lsh_topk",
+    "events_tumbling",
+    "events_sessionize",
+    "asof_event_purchase",
+    "cube_sales",
+    "pivot_event_counts",
 ]
 
 

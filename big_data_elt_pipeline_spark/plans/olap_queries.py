@@ -18,6 +18,48 @@ _D = tpch.domain_ctes()
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+# --- set operations: users who purchased but never errored, etc. ----------
+
+@register("set_ops_users", _D + f""",
+{EVENTS_SQL.strip()},
+d1 AS (SELECT * FROM ev WHERE ts < (SELECT min(ts) FROM ev) + INTERVAL 1 DAY)
+SELECT user_id FROM d1 WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM d1 WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM d1 WHERE event_type = 'error'
+""")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference — engine coverage):
+    day-1 purchasers who also clicked but never errored."""
+    import datetime as _dt
+
+    ev = events_df(spark, sf_dir)
+    start = ev.agg(F.min("ts")).first()[0]
+    d1 = ev.filter(F.col("ts") < F.lit(start + _dt.timedelta(days=1)))
+    purchasers = d1.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = d1.filter(F.col("event_type") == "click").select("user_id")
+    erroring = d1.filter(F.col("event_type") == "error").select("user_id")
+    # intersect/subtract = INTERSECT/EXCEPT DISTINCT, matching the SQL
+    return purchasers.intersect(clickers).subtract(erroring)
+
+
+@register("kpis_approx", None)  # sketch-based: engine-specific, rows-only
+def q_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest-style percentile) —
+    the constant-memory path for 100 TB interactive dashboards; the exact
+    twins ('kpis', 'client_scores' thresholds) are the correctness anchor.
+    """
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, sf_dir)
+    return fact.agg(
+        F.approx_count_distinct("id_client").alias("approx_clients"),
+        F.percentile_approx("montant", 0.5, 10000).alias("approx_median_amount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- as-of join: each event gets the user's latest purchase at/before ts ---
 
 @register("asof_event_purchase", _D + f""",
