@@ -1,0 +1,74 @@
+"""Serving-edge helpers: sort-spec parsing (O5), JSON records (S11),
+histogram label format, and property-based determinism checks."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import io as eio
+from big_data_elt_pipeline_spark.operators import serving
+
+
+@pytest.fixture(scope="module")
+def scores_like(spark):
+    rows = [(i, float(i % 7) * 10, 365 - i) for i in range(50)]
+    return spark.createDataFrame(rows, "id_client long, expected double, recency long")
+
+
+def test_sort_spec_parses_and_limits(spark, scores_like):
+    out = serving.sort_spec(scores_like, "expected:desc", limit=5).toPandas()
+    assert len(out) == 5
+    assert out.expected.is_monotonic_decreasing
+
+
+def test_sort_spec_rejects_unknown_field(spark, scores_like):
+    with pytest.raises(ValueError, match="unknown sort field"):
+        serving.sort_spec(scores_like, "nope:asc")
+
+
+def test_sort_spec_default_asc(spark, scores_like):
+    out = serving.sort_spec(scores_like, "recency", limit=3).toPandas()
+    assert out.recency.is_monotonic_increasing
+
+
+def test_json_records_roundtrip(spark, scores_like):
+    import json
+
+    rows = eio.to_json_records(scores_like.limit(2)).collect()
+    recs = [json.loads(r.json) for r in rows]
+    assert {"id_client", "expected", "recency"} <= set(recs[0])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=9999.99, allow_nan=False),
+        min_size=2, max_size=40,
+    ),
+    bins=st.integers(min_value=2, max_value=20),
+)
+def test_bucketize_property_matches_pd_cut(vals, bins):
+    """Property: our bucket ids equal pandas pd.cut codes for any input."""
+    import numpy as np
+
+    from big_data_elt_pipeline_spark.functions.core import bucketize
+
+    vals = [round(v, 2) for v in vals]
+    if min(vals) == max(vals):
+        return
+    spark = test_bucketize_property_matches_pd_cut._spark
+    pdf = pd.DataFrame({"x": vals})
+    expected = pd.cut(pdf.x, bins=bins).cat.codes.tolist()
+    got = (
+        spark.createDataFrame(pdf)
+        .select(bucketize(F.col("x"), min(vals), max(vals), bins).alias("b"))
+        .toPandas()["b"].tolist()
+    )
+    assert got == expected
+
+
+@pytest.fixture(autouse=True)
+def _inject_spark(spark):
+    test_bucketize_property_matches_pd_cut._spark = spark
