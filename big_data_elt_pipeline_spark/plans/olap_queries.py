@@ -145,7 +145,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, _ = _silver_frames(spark, sf_dir)
     fact = _fact(spark, sf_dir)
     ref = gold.reference_date(fact)
-    features = gold.build_client_features(fact, clients, ref).persist()
+    features = gold.build_client_features(fact, clients, ref)
     return gold.score_clients(features)
 
 

@@ -248,7 +248,9 @@ def q_client_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
     ref = gold.reference_date(fact)
-    features = gold.build_client_features(fact, clients, ref).persist()
+    # no persist here: gate callables are one-shot; cached partitions that
+    # are never unpersisted accumulate across queries and cause GC stalls
+    features = gold.build_client_features(fact, clients, ref)
     scored = gold.score_clients(features)
     return scored.select(
         "id_client", "prob_reachat_12m", "expected_value_12m", "value_at_risk_12m",
@@ -270,7 +272,7 @@ def q_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
     ref = gold.reference_date(fact)
-    features = gold.build_client_features(fact, clients, ref).persist()
+    features = gold.build_client_features(fact, clients, ref)
     return gold.summarize_segments(gold.score_clients(features))
 
 
