@@ -472,6 +472,18 @@ def q_quality_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver.quality_audit(achats, kind="achats")
 
 
+@register("quality_counters_clients", _D + """
+SELECT count(*) AS initial_rows,
+       CAST(sum(CASE WHEN id_client IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_bad_id,
+       CAST(sum(CASE WHEN date_inscription IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_bad_date,
+       CAST(sum(CASE WHEN NOT coalesce(contains(email, '@'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS dropped_bad_email
+FROM clients
+""")
+def q_quality_counters_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clients, _ = _silver_frames(spark, sf_dir)
+    return silver.quality_audit(clients, kind="clients")
+
+
 @register("repeat_rate", _D + """
 SELECT avg(CAST(CASE WHEN cnt > 1 THEN 1 ELSE 0 END AS DOUBLE)) AS repeat_rate
 FROM (SELECT id_client, count(*) AS cnt FROM fact GROUP BY id_client)
