@@ -83,6 +83,47 @@ def q_events_daily_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.daily_type_share(events_df(spark, sf_dir))
 
 
+@register("events_sliding", _E + """,
+win AS (
+    SELECT date_trunc('hour', ts) - to_hours(k) AS window_start, event_type, value
+    FROM ev CROSS JOIN (VALUES (0), (1)) AS t(k)
+)
+SELECT window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM win GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding by 1h: every event lands in exactly two windows."""
+    return EV.sliding_revenue(events_df(spark, sf_dir), width="2 hours", slide="1 hour")
+
+
+@register("events_session_window", _E + """,
+tagged AS (
+    SELECT user_id, event_id, ts, value,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM ev
+),
+s AS (
+    SELECT *,
+           CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+                         THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_seq
+    FROM tagged
+)
+SELECT min(ts) AS session_start, user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_seq
+""")
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window; the oracle re-derives sessions with the
+    lag-cumsum formulation (>= gap splits, matching window-overlap
+    semantics) — proving the two constructions agree."""
+    return EV.session_window_rollup(events_df(spark, sf_dir), gap="30 minutes")
+
+
 @register("stream_tumbling", None)  # incremental execution — rows-only check
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.stream_tumbling_revenue(spark, sf_dir)

@@ -36,6 +36,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media)
 
 
+@register("ml_repurchase_predictor", None)  # iterative fit — rows-only check
+def q_ml_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_elt_pipeline_spark.ml.predictor import fit_predict, labeled_features
+    from big_data_elt_pipeline_spark.operators.gold import reference_date
+
+    fact = _fact(spark, sf_dir)
+    ref = reference_date(fact)
+    labeled = labeled_features(fact, ref, holdout_days=90)
+    scored, _auc = fit_predict(labeled)
+    return scored
+
+
 @register("ml_kmeans_segments", None)  # iterative — rows-only check
 def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.ml.segmentation import kmeans_segment, rfm_features

@@ -78,6 +78,32 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     )
 
 
+def sliding_revenue(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window count + exact value sum: each event lands in
+    width/slide windows (Spark expands via the window generator — no self
+    join)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).start.alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value", "total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+def session_window_rollup(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native ``session_window`` rollup — the built-in equivalent of
+    ``sessionize`` (its oracle proves both agree)."""
+    # group by the session_window STRUCT: sessions merge during aggregation;
+    # projecting .start first would freeze each event into its own window
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), money_sum("value", "total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+
+
 def props_metrics(events: DataFrame) -> DataFrame:
     """JSON property extraction + per-type rollup (integer-exact avg)."""
     k = F.get_json_object("props", "$.k").cast("long")
