@@ -26,6 +26,37 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON lines scan with explicit schema (inference on JSON is a full
+    extra pass — never in production paths)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.write.mode(mode).orc(path)
+    return path
+
+
+def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    """Delta/Iceberg/Hudi scan — STUB: their jars are not on this image's
+    classpath. The call shape is the production one; gate on availability.
+    """
+    if fmt not in ("delta", "iceberg", "hudi"):
+        raise ValueError(f"unknown lakehouse format {fmt!r}")
+    try:
+        return spark.read.format(fmt).load(path)
+    except Exception as exc:
+        raise NotImplementedError(
+            f"{fmt} connector jars are not on the classpath in this image; "
+            "add the connector package on a real cluster "
+            "(e.g. io.delta:delta-spark, org.apache.iceberg:iceberg-spark-runtime)"
+        ) from exc
+
+
 def write_parquet(
     df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
 ) -> str:
