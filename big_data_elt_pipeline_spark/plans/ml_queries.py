@@ -36,6 +36,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media)
 
 
+_CENTERED_SQL = """
+WITH clients AS (
+    SELECT c_custkey AS id_client, n_name AS pays
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+achats AS (
+    SELECT o_custkey AS id_client,
+           CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS montant
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+f AS (SELECT a.montant, coalesce(c.pays, 'Inconnu') AS pays
+      FROM achats a LEFT JOIN clients c USING (id_client))
+SELECT pays, montant,
+       montant - quantile_cont(montant, 0.5) OVER (PARTITION BY pays) AS centered
+FROM f
+"""
+
+
+@register("grouped_center", _CENTERED_SQL)
+def q_grouped_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-country median-centering.
+
+    The per-group pandas computation (median via linear interpolation) is
+    bit-identical to the SQL window form — proving the grouped-map UDF
+    path produces engine-grade results, not just approximations. At scale
+    this is one shuffle on the group key; each group materializes as one
+    Arrow batch (groups must fit executor memory — the documented
+    applyInPandas constraint).
+    """
+    import pandas as pd
+
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, sf_dir).select("pays", "montant")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["montant"].median()
+        return pdf.assign(centered=pdf["montant"] - med)
+
+    return fact.groupBy("pays").applyInPandas(
+        center, schema="pays string, montant double, centered double"
+    )
+
+
+_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_sql", _TPCH_Q1)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: the engine accepts raw Spark SQL over temp
+    views (Catalyst produces the same plan as the DataFrame API). The
+    oracle is the identical statement run by DuckDB."""
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q1)
+
+
 @register("ml_repurchase_predictor", None)  # iterative fit — rows-only check
 def q_ml_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.ml.predictor import fit_predict, labeled_features
