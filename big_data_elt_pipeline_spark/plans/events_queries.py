@@ -129,6 +129,31 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.stream_tumbling_revenue(spark, sf_dir)
 
 
+@register("incremental_ca_monthly", """
+WITH achats AS (
+    SELECT CAST(l_shipdate AS TIMESTAMP) AS date_achat,
+           CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS montant
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT strftime(date_achat, '%Y-%m') AS mois,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+       count(*) AS n
+FROM achats GROUP BY 1 ORDER BY 1
+""")
+def q_incremental_ca_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained gold aggregate: executed INCREMENTALLY over
+    micro-batches, yet oracle-checkable because exact decimal merges make
+    the final state equal a full recompute bit-for-bit."""
+    import tempfile
+
+    from big_data_elt_pipeline_spark.plans.queries import _silver_frames
+    from big_data_elt_pipeline_spark.streaming.incremental import incremental_ca_monthly
+
+    _, achats = _silver_frames(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="incr_gate_")
+    return incremental_ca_monthly(spark, achats, f"{tmp}/src", f"{tmp}/state", chunks=3)
+
+
 @register("stream_user_totals", None)  # stateful incremental — rows-only check
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.streaming.stateful import user_running_totals_stream

@@ -99,6 +99,77 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- range (non-equi) join: amounts bucketed into price bands -------------
+
+PRICE_BANDS = [
+    ("low", 0.0, 20000.0),
+    ("mid", 20000.0, 60000.0),
+    ("high", 60000.0, 120000.0),
+]
+
+_BANDS_SQL = "bands(label, lo, hi) AS (VALUES " + ", ".join(
+    f"('{l}', {lo}, {hi})" for l, lo, hi in PRICE_BANDS
+) + ")"
+
+
+@register("range_join_bands", _D + f""",
+{_BANDS_SQL}
+SELECT b.label, count(*) AS n,
+       CAST(sum(CAST(a.montant AS DECIMAL(18,4))) AS DOUBLE) AS ca
+FROM achats a JOIN bands b ON a.montant > b.lo AND a.montant <= b.hi
+GROUP BY b.label ORDER BY b.label
+""")
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a broadcast band table: Catalyst executes
+    a BroadcastNestedLoopJoin — correct for dimension-sized range tables;
+    for two large interval sets, bucketize + equi-join (the as-of pattern).
+    """
+    _, achats = _silver_frames(spark, sf_dir)
+    bands = spark.createDataFrame(PRICE_BANDS, "label string, lo double, hi double")
+    return (
+        achats.join(
+            F.broadcast(bands),
+            (F.col("montant") > F.col("lo")) & (F.col("montant") <= F.col("hi")),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("montant", "ca"))
+        .orderBy("label")
+    )
+
+
+@register("cumulative_monthly_revenue", _D + """
+, cam AS (
+    SELECT mois, CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca
+    FROM fact GROUP BY mois
+)
+SELECT mois, ca,
+       CAST(sum(CAST(ca AS DECIMAL(18,4))) OVER (ORDER BY mois ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ca_cum,
+       CAST(sum(CAST(ca AS DECIMAL(18,4))) OVER (ORDER BY mois ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / count(*) OVER (ORDER BY mois ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ca_ma3
+FROM cam ORDER BY mois
+""")
+def q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs (rowsBetween): running total + 3-month moving
+    average. Frames sum in DECIMAL: engines accumulate frames in different
+    orders (DuckDB uses a segment tree), so double addition drifts — exact
+    decimal addition is associative and therefore order-proof."""
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    cam = _fact(spark, sf_dir).groupBy("mois").agg(money_sum("montant", "ca"))
+    w = Window.orderBy("mois")
+    dec = F.col("ca").cast("decimal(18,4)")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ma = w.rowsBetween(-2, 0)
+    return (
+        cam.withColumn("ca_cum", F.sum(dec).over(cum).cast("double"))
+        .withColumn(
+            "ca_ma3",
+            F.sum(dec).over(ma).cast("double") / F.count(F.lit(1)).over(ma),
+        )
+        .orderBy("mois")
+    )
+
+
 # --- cube: revenue by (pays, annee) with all subtotal combinations --------
 
 @register("cube_sales", _D + """
