@@ -338,6 +338,16 @@ QUALIFY rank <= 5
 """
 
 
+@register("ann_ivf_topk", None)  # iterative k-means quantizer — rows-only
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells + n_probe nearest-cell candidates. Recall vs
+    brute force asserted in tests (sketch recall is data-dependent, so no
+    SQL oracle — the exactness anchor is ``ann_topk``)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 @register("ann_lsh_topk", _ANN_LSH_SQL)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
