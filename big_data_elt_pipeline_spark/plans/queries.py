@@ -472,6 +472,146 @@ def q_quality_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver.quality_audit(achats, kind="achats")
 
 
+# --- dirty-fixture cleaning gates: the TPC-H corpus is clean, so the
+# coerce/bound/dedup rules run here on an inline VALUES fixture that both
+# engines see identically (FIXTURES.md dirt quota, one row per rule)
+
+_DIRTY_CLIENTS = [
+    ("1", "  Alice  ", " ALICE@EX.COM ", "2020-05-01", " france"),
+    ("2", "Bob", "bob-at-nowhere", "2021-01-01", "spain"),       # bad email
+    ("3", "Carol", "c@ex.com", "not-a-date", "italy"),           # bad date
+    ("4", "Dan", "d@ex.com", "1999-12-31", "italy"),             # < min_date
+    ("5", "Eve", "e@ex.com", "2030-01-01", "italy"),             # > max_date
+    ("junk", "Frank", "f@ex.com", "2020-01-01", "italy"),        # bad id
+    (None, "Gil", "g@ex.com", "2020-01-01", "italy"),            # null id
+    ("8", "Hugo", "h@ex.com", "2020-01-01", "new zealand"),
+    ("8", "Zoe", "z@ex.com", "2020-02-01", "germany"),           # dup keep-first
+]
+
+_DIRTY_CLIENTS_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else f"'{v}'" for v in row) + ")"
+    for row in _DIRTY_CLIENTS
+)
+
+_SILVER_DIRTY_SQL = f"""
+WITH raw(id_client, nom, email, date_inscription, pays) AS (
+    VALUES {_DIRTY_CLIENTS_VALUES}
+),
+typed AS (
+    SELECT TRY_CAST(id_client AS BIGINT) AS id_client,
+           trim(nom) AS nom,
+           lower(trim(email)) AS email,
+           TRY_CAST(date_inscription AS DATE) AS date_inscription,
+           {{initcap}} AS pays
+    FROM raw
+),
+filtered AS (
+    SELECT * FROM typed
+    WHERE id_client IS NOT NULL
+      AND date_inscription IS NOT NULL
+      AND date_inscription BETWEEN DATE '2000-01-01' AND DATE '2025-01-01'
+      AND contains(email, '@')
+)
+SELECT id_client, nom, email, date_inscription, pays FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY id_client
+        ORDER BY nom ASC NULLS LAST, email ASC NULLS LAST,
+                 date_inscription ASC NULLS LAST, pays ASC NULLS LAST
+    ) AS rn
+    FROM filtered
+) WHERE rn = 1
+""".format(
+    initcap="array_to_string(list_transform(string_split(lower(trim(pays)), ' '), "
+            "x -> upper(x[1]) || x[2:]), ' ')"
+)
+
+
+@register("silver_dirty_clients", _SILVER_DIRTY_SQL)
+def q_silver_dirty_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning rule set under the oracle gate, on dirty data:
+    every FIXTURES.md rule (coerce-drop, bounds, email, trim/initcap,
+    keep-first dedup) fires on at least one row."""
+    from big_data_elt_pipeline_spark.schemas import CLIENTS_RAW
+
+    raw = spark.createDataFrame(_DIRTY_CLIENTS, CLIENTS_RAW)
+    return silver.clean_clients(raw, max_date=dt.date(2025, 1, 1))
+
+
+_DIRTY_ACHATS = [
+    ("10", "1", "2024-03-01 10:00:00", "50.0", " blender "),
+    ("11", "1", "2024-03-02 10:00:00", "-5.0", "Oven"),          # <= 0
+    ("12", "1", "2024-03-03 10:00:00", "20000", "Oven"),         # > 10000
+    ("13", "8", "bad-ts", "10.0", "Oven"),                       # bad date
+    ("14", "999", "2024-03-04 10:00:00", "10.0", "Oven"),        # orphan
+    ("junk", "1", "2024-03-05 10:00:00", "10.0", "Oven"),        # bad id
+    ("16", "1", "2024-03-06 10:00:00", "10.0", None),            # null produit
+    ("17", "8", "2024-03-07 10:00:00", "30.0", "tv stand"),
+    ("17", "8", "2024-03-08 10:00:00", "40.0", "tv stand"),      # dup keep-last
+]
+
+_DIRTY_ACHATS_VALUES = ", ".join(
+    "(" + ", ".join("NULL" if v is None else f"'{v}'" for v in row) + ")"
+    for row in _DIRTY_ACHATS
+)
+
+_SILVER_DIRTY_ACHATS_SQL = f"""
+WITH rawc(id_client, nom, email, date_inscription, pays) AS (
+    VALUES {_DIRTY_CLIENTS_VALUES}
+),
+valid_clients AS (
+    SELECT DISTINCT TRY_CAST(id_client AS BIGINT) AS id_client FROM rawc
+    WHERE TRY_CAST(id_client AS BIGINT) IS NOT NULL
+      AND TRY_CAST(date_inscription AS DATE)
+          BETWEEN DATE '2000-01-01' AND DATE '2025-01-01'
+      AND contains(lower(trim(email)), '@')
+),
+rawa(id_achat, id_client, date_achat, montant, produit) AS (
+    VALUES {_DIRTY_ACHATS_VALUES}
+),
+typed AS (
+    SELECT TRY_CAST(id_achat AS BIGINT) AS id_achat,
+           TRY_CAST(id_client AS BIGINT) AS id_client,
+           TRY_CAST(date_achat AS TIMESTAMP) AS date_achat,
+           TRY_CAST(montant AS DOUBLE) AS montant,
+           array_to_string(list_transform(string_split(lower(trim(produit)), ' '),
+               x -> upper(x[1]) || x[2:]), ' ') AS produit
+    FROM rawa
+),
+filtered AS (
+    SELECT * FROM typed
+    WHERE id_achat IS NOT NULL AND id_client IS NOT NULL
+      AND montant IS NOT NULL AND date_achat IS NOT NULL AND produit IS NOT NULL
+      AND montant > 0 AND montant <= 10000
+      AND date_achat >= TIMESTAMP '2000-01-01 00:00:00'
+      AND date_achat < TIMESTAMP '2025-01-02 00:00:00'
+),
+deduped AS (
+    SELECT id_achat, id_client, date_achat, montant, produit FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY id_achat
+            ORDER BY id_client DESC NULLS LAST, date_achat DESC NULLS LAST,
+                     montant DESC NULLS LAST, produit DESC NULLS LAST
+        ) AS rn
+        FROM filtered
+    ) WHERE rn = 1
+)
+SELECT * FROM deduped WHERE id_client IN (SELECT id_client FROM valid_clients)
+"""
+
+
+@register("silver_dirty_achats", _SILVER_DIRTY_ACHATS_SQL)
+def q_silver_dirty_achats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-side cleaning under the oracle gate: amount bounds,
+    timestamp coerce, keep-LAST dedup, orphan semi-join purge against the
+    dirty clients fixture."""
+    from big_data_elt_pipeline_spark.schemas import ACHATS_RAW, CLIENTS_RAW
+
+    raw_clients = spark.createDataFrame(_DIRTY_CLIENTS, CLIENTS_RAW)
+    clients = silver.clean_clients(raw_clients, max_date=dt.date(2025, 1, 1))
+    raw = spark.createDataFrame(_DIRTY_ACHATS, ACHATS_RAW)
+    return silver.clean_achats(raw, valid_clients=clients, max_date=dt.date(2025, 1, 1))
+
+
 @register("quality_counters_clients", _D + """
 SELECT count(*) AS initial_rows,
        CAST(sum(CASE WHEN id_client IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_bad_id,
