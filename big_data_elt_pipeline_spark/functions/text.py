@@ -80,6 +80,19 @@ def lang_id(col: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+# BPE-ish pre-tokenization pattern: alnum runs OR single non-alnum-non-space
+# marks. Deliberately ASCII-class-explicit: Java regex counts unicode letters
+# in \w while RE2 engines don't — an explicit class behaves identically
+# everywhere (verified against the DuckDB oracle on the zh documents).
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-style token count (the LLM-pipeline budget estimator):
+    counts BPE-ish pre-tokens rather than whitespace words."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def fingerprint(col: Column) -> Column:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text — byte-stable across engines and languages."""

@@ -107,6 +107,88 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q1)
 
 
+_PROFILE_COLS = [
+    ("doc_id", "bigint"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "bigint"),
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", '{t}' AS dtype, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    for c, t in _PROFILE_COLS
+)
+
+
+@register("profile_documents", _PROFILE_SQL)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of the documents table (nulls, cardinality,
+    ranges per column) — the N-column oracle is N scans in SQL, ONE in
+    the engine."""
+    from big_data_elt_pipeline_spark.operators.profiling import profile_table
+
+    return profile_table(read_table(spark, sf_dir, "documents"))
+
+
+@register("calendar_dense_monthly", """
+WITH achats AS (
+    SELECT CAST(l_shipdate AS TIMESTAMP) AS date_achat,
+           CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS DOUBLE) AS montant
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cam AS (
+    SELECT strftime(date_achat, '%Y-%m') AS mois,
+           CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca
+    FROM achats GROUP BY 1
+),
+bounds AS (
+    SELECT date_trunc('month', min(date_achat)) AS lo,
+           date_trunc('month', max(date_achat)) AS hi
+    FROM achats
+),
+months AS (
+    SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)), '%Y-%m') AS mois
+    FROM bounds
+)
+SELECT months.mois, coalesce(ca, 0.0) AS ca, ca IS NULL AS was_gap
+FROM months LEFT JOIN cam ON months.mois = cam.mois
+ORDER BY months.mois
+""")
+def q_calendar_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with a generated dimension: sequence+explode builds the
+    dense month calendar (generator surface), left join fills revenue 0s —
+    the standard dense-time-series reshape."""
+    from big_data_elt_pipeline_spark.functions.core import money_sum
+    from big_data_elt_pipeline_spark.plans.queries import _silver_frames
+
+    _, achats = _silver_frames(spark, sf_dir)
+    cam = achats.groupBy(F.date_format("date_achat", "yyyy-MM").alias("mois")).agg(
+        money_sum("montant", "ca")
+    )
+    bounds = achats.agg(
+        F.date_trunc("month", F.min("date_achat")).alias("lo"),
+        F.date_trunc("month", F.max("date_achat")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("mois"))
+    return (
+        months.join(cam, "mois", "left")
+        .select(
+            "mois",
+            F.coalesce("ca", F.lit(0.0)).alias("ca"),
+            F.col("ca").isNull().alias("was_gap"),
+        )
+        .orderBy("mois")
+    )
+
+
 @register("ml_repurchase_predictor", None)  # iterative fit — rows-only check
 def q_ml_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.ml.predictor import fit_predict, labeled_features

@@ -338,6 +338,31 @@ QUALIFY rank <= 5
 """
 
 
+@register("doc_token_budget", f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS DOUBLE)
+           / greatest(CAST(length(text) AS BIGINT), 1) AS tokens_per_char
+FROM documents
+""")
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for LLM pipelines: whitespace words vs BPE-ish
+    pre-tokens vs chars, per document."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = TX.bpe_token_count(t)
+    n_chars = F.length(t).cast("long")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        n_chars.alias("n_chars"),
+        (bpe.cast("double") / F.greatest(n_chars, F.lit(1))).alias("tokens_per_char"),
+    )
+
+
 @register("ann_ivf_topk", None)  # iterative k-means quantizer — rows-only
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells + n_probe nearest-cell candidates. Recall vs
