@@ -91,6 +91,13 @@ def bucketize(col: Column, mn: float, mx: float, n_bins: int) -> Column:
     ``pd.cut(x, bins=n)`` edge semantics (SURVEY §2.4 A9): pandas includes
     the left edge of the first interval (right-closed otherwise), so the
     min value lands in bucket 0 and the max in bucket n-1.
+
+    Boundary note: a value lying EXACTLY on an interior bin edge can
+    differ from pandas by one bucket — pandas compares against
+    linspace-computed edges while this formula divides by the width, and
+    the two round differently in the last ulp. Both this expression and
+    its SQL oracle mirror compute identically, so cross-engine parity is
+    unaffected; only edge-exact pd.cut parity is approximate.
     """
     width = (mx - mn) / n_bins
     if width <= 0:

@@ -95,6 +95,14 @@ def achats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark can only read as
+    a long with this legacy conf. Sessions we build set it at startup, but
+    the driver's verify passes its OWN session — set it defensively at
+    runtime (it is a runtime-settable SQL conf; verified)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with proper microsecond timestamps.
 
@@ -102,6 +110,7 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     long (``spark.sql.legacy.parquet.nanosAsLong``); DuckDB truncates to
     micros on scan — mirrored here with integer floor-division.
     """
+    ensure_nanos_conf(spark)
     raw = read_table(spark, sf_dir, "events")
     return raw.select(
         "event_id",

@@ -143,6 +143,9 @@ def stream_tumbling_revenue(
     the 'append' mode only emits finalized windows — the cluster-correct
     semantics, observable locally.
     """
+    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     # the file source requires a directory; stage the fixture file into a
     # per-sf temp dir (what a real deployment's landing zone would be)
     import pathlib

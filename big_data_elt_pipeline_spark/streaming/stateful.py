@@ -54,6 +54,9 @@ def _update(
 
 def _stage_two_chunks(spark: SparkSession, sf_dir: str) -> str:
     """Split the events fixture into two files so the stream runs >1 batch."""
+    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     stage = pathlib.Path("/tmp/spark_graft_stateful") / pathlib.Path(sf_dir).name
     if not (stage / "_SUCCESS").exists():
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
