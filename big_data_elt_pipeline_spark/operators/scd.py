@@ -44,11 +44,16 @@ def scd2_merge(
     closed_rows = history.filter(~F.col("is_current"))
 
     u = updates.select(key, *tracked)
-    joined = open_rows.alias("c").join(u.alias("u"), key, "left")
+    # explicit match marker: inferring a join hit from tracked[0].isNotNull()
+    # would silently drop an update whose first tracked column is
+    # legitimately NULL (e.g. clearing an email)
+    joined = open_rows.alias("c").join(
+        u.withColumn("__hit", F.lit(True)).alias("u"), key, "left"
+    )
     diff = F.lit(False)
     for c in tracked:
         diff = diff | ~F.col(f"u.{c}").eqNullSafe(F.col(f"c.{c}"))
-    has_update = F.col(f"u.{tracked[0]}").isNotNull() | F.lit(False)
+    has_update = F.col("u.__hit").isNotNull()
     # rows whose tracked payload changed in this wave
     changed_keys = (
         joined.filter(has_update & diff).select(F.col(f"c.{key}").alias(key))

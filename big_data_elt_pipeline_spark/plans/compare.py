@@ -22,6 +22,26 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_problems(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Engine-level type mismatches (e.g. DuckDB HUGEINT vs Spark BIGINT).
+
+    The driver's value hash is TYPE-SENSITIVE: an int128 sum on the oracle
+    side hash-mismatches a bit-identical int64 on the Spark side. Pandas
+    normalization used to mask exactly that (round-1 events_props /
+    events_daily_share), so compare raw dtype kind+width BEFORE normalizing.
+    """
+    problems: list[str] = []
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        sk, dk = spark_pdf[c].dtype, duck_pdf[c].dtype
+        s_num = sk.kind in "iuf"
+        d_num = dk.kind in "iuf"
+        if (s_num or d_num) and (sk.kind, sk.itemsize) != (dk.kind, dk.itemsize):
+            problems.append(f"column {c}: dtype differs — spark={sk} duck={dk}")
+    return problems
+
+
 def diff_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -30,6 +50,7 @@ def diff_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return problems
+    problems.extend(_dtype_problems(spark_pdf, duck_pdf))
     s, d = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]

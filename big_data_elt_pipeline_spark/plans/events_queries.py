@@ -60,7 +60,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("events_props", _E + """
 SELECT event_type,
        count(json_extract_string(props, '$.k')::BIGINT) AS n,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS k_sum,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
        CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS DOUBLE)
            / count(json_extract_string(props, '$.k')::BIGINT) AS k_avg
 FROM ev GROUP BY event_type ORDER BY event_type
@@ -75,7 +75,7 @@ agg AS (
     FROM ev GROUP BY 1, 2
 )
 SELECT day, event_type, n,
-       sum(n) OVER (PARTITION BY day) AS day_total,
+       CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
 FROM agg ORDER BY day, event_type
 """)

@@ -1,0 +1,139 @@
+"""Lakehouse-pattern queries under the oracle gate (VERDICT r1 items 5/6/9).
+
+- ``scd2_merge``: the SCD Type-2 close/insert fold (``operators/scd.py``) on
+  an inline VALUES fixture vs a DuckDB CTE re-derivation of the same history
+  (version rows + ``lead`` for validity intervals). The fixture includes an
+  update wave whose FIRST tracked column goes NULL — the round-1 advice bug —
+  so the gate proves the fix, not just the happy path.
+- ``salted_ca_country``: the skew-safe two-stage salted aggregate
+  (``functions/skew.py``) vs the plain one-stage country sum — bit-equality
+  holds because the exact-decimal money sum is associative, so salting
+  changes the plan, never the value.
+- ``incremental_ca_country``: ``foreachBatch`` incremental maintenance of a
+  second gold key (country), proving the pattern of
+  ``incremental_ca_monthly`` generalizes beyond the month dimension.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_elt_pipeline_spark.operators.scd import scd2_init, scd2_merge
+from big_data_elt_pipeline_spark.plans.queries import _D, _fact, register
+
+# --------------------------------------------------------------------------
+# SCD2 fixture: snapshot + two update waves
+# --------------------------------------------------------------------------
+
+T0, T1, T2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1), dt.datetime(2024, 3, 1)
+
+_SNAP = [(1, "FR", "a@x"), (2, "DE", "b@x"), (4, "IT", None)]
+# wave 1: 1 moves country; 2 unchanged (no new version); 3 is new;
+# 4 clears pays AND gains an email — first tracked column NULL (the bug row)
+_WAVE1 = [(1, "ES", "a@x"), (2, "DE", "b@x"), (3, "IT", "c@x"), (4, None, "d@x")]
+# wave 2: 3 changes email; 1 unchanged
+_WAVE2 = [(3, "IT", "c2@x"), (1, "ES", "a@x")]
+
+
+def _values(rows: list[tuple]) -> str:
+    def lit(v) -> str:
+        return "NULL" if v is None else (str(v) if isinstance(v, int) else f"'{v}'")
+
+    return ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+
+
+_SCD2_SQL = f"""
+WITH snap AS (
+    SELECT CAST(id AS BIGINT) AS id, pays, email
+    FROM (VALUES {_values(_SNAP)}) t(id, pays, email)
+),
+u1 AS (
+    SELECT CAST(id AS BIGINT) AS id, pays, email
+    FROM (VALUES {_values(_WAVE1)}) t(id, pays, email)
+),
+u2 AS (
+    SELECT CAST(id AS BIGINT) AS id, pays, email
+    FROM (VALUES {_values(_WAVE2)}) t(id, pays, email)
+),
+v0 AS (SELECT id, pays, email, TIMESTAMP '2024-01-01 00:00:00' AS valid_from FROM snap),
+v1 AS (
+    SELECT u.id, u.pays, u.email, TIMESTAMP '2024-02-01 00:00:00' AS valid_from
+    FROM u1 u LEFT JOIN v0 c ON u.id = c.id
+    WHERE c.id IS NULL
+       OR (u.pays IS DISTINCT FROM c.pays) OR (u.email IS DISTINCT FROM c.email)
+),
+cur1 AS (
+    SELECT id, pays, email FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY valid_from DESC) AS rn
+        FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    ) WHERE rn = 1
+),
+v2 AS (
+    SELECT u.id, u.pays, u.email, TIMESTAMP '2024-03-01 00:00:00' AS valid_from
+    FROM u2 u LEFT JOIN cur1 c ON u.id = c.id
+    WHERE c.id IS NULL
+       OR (u.pays IS DISTINCT FROM c.pays) OR (u.email IS DISTINCT FROM c.email)
+),
+vers AS (
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT id, pays, email, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from),
+                TIMESTAMP '2261-12-31 00:00:00') AS valid_to,
+       lead(valid_from) OVER (PARTITION BY id ORDER BY valid_from) IS NULL AS is_current
+FROM vers
+"""
+
+
+@register("scd2_merge", _SCD2_SQL)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history after two merge waves; the oracle re-derives the same
+    intervals from the version rows with ``lead`` over ``valid_from``."""
+    schema = "id long, pays string, email string"
+    h = scd2_init(spark.createDataFrame(_SNAP, schema), "id", T0)
+    h = scd2_merge(h, spark.createDataFrame(_WAVE1, schema), "id", ["pays", "email"], T1)
+    h = scd2_merge(h, spark.createDataFrame(_WAVE2, schema), "id", ["pays", "email"], T2)
+    return h.select("id", "pays", "email", "valid_from", "valid_to", "is_current")
+
+
+# --------------------------------------------------------------------------
+# Salted aggregate == direct aggregate (skew story under the gate)
+# --------------------------------------------------------------------------
+
+@register("salted_ca_country", _D + """
+SELECT pays,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+       count(*) AS ca_count
+FROM fact GROUP BY pays
+""")
+def q_salted_ca_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted country revenue; the oracle is the UNSALTED direct
+    sum — bit-equality is the whole point (decimal addition associativity
+    makes the salt invisible in the result)."""
+    from big_data_elt_pipeline_spark.functions.skew import salted_money_sum
+
+    return salted_money_sum(_fact(spark, sf_dir), "pays", "montant", n_salt=16, alias="ca")
+
+
+# --------------------------------------------------------------------------
+# foreachBatch incremental maintenance, second gold key
+# --------------------------------------------------------------------------
+
+@register("incremental_ca_country", _D + """
+SELECT pays,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+       count(*) AS n
+FROM fact GROUP BY pays ORDER BY pays
+""")
+def q_incremental_ca_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country gold maintained INCREMENTALLY over micro-batches; exact
+    decimal merges make the final state equal a full recompute bit-for-bit."""
+    import tempfile
+
+    from big_data_elt_pipeline_spark.streaming.incremental import incremental_ca_country
+
+    fact = _fact(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="incr_country_gate_")
+    return incremental_ca_country(spark, fact, f"{tmp}/src", f"{tmp}/state", chunks=3)

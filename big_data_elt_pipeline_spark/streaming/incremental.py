@@ -1,15 +1,16 @@
-"""Incremental gold refresh: maintain ``ca_monthly`` from a purchase
+"""Incremental gold refresh: maintain gold aggregates from a purchase
 stream via ``foreachBatch`` — the streaming replacement for the
 reference's cron-style full re-publish (``serving_mongo`` re-reads and
 rewrites everything each cycle, SURVEY §2.10(b)).
 
-Each micro-batch partial-aggregates by month (exact decimal sums) and
-merges into the persisted gold state. Because decimal addition is
+Each micro-batch partial-aggregates by the gold key (exact decimal sums)
+and merges into the persisted gold state. Because decimal addition is
 associative, the incrementally-maintained table is BIT-IDENTICAL to a
-full batch recompute — asserted in tests. On a cluster the merge is a
-Delta ``MERGE INTO``; locally the stand-in is an atomic
-read-merge-overwrite of a small parquet (the state is dimension-sized:
-one row per month).
+full batch recompute — asserted in tests and under the oracle gate for
+two different gold keys (``mois``, ``pays``), showing the pattern
+generalizes. On a cluster the merge is a Delta ``MERGE INTO``; locally
+the stand-in is an atomic read-merge-overwrite of a small parquet (the
+state is dimension-sized: one row per key).
 """
 
 from __future__ import annotations
@@ -17,17 +18,15 @@ from __future__ import annotations
 import pathlib
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_elt_pipeline_spark.schemas import ACHATS_SILVER
 
-STATE_COLS = ["mois", "ca_dec", "n"]
-
-
-def _merge_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> None:
+def _merge_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, key: Column, key_name: str
+) -> None:
     partial = (
-        batch.groupBy(F.date_format("date_achat", "yyyy-MM").alias("mois"))
+        batch.groupBy(key.alias(key_name))
         .agg(
             F.sum(F.col("montant").cast("decimal(18,4)")).alias("ca_dec"),
             F.count(F.lit(1)).alias("n"),
@@ -38,7 +37,7 @@ def _merge_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> None:
         current = spark.read.parquet(state_dir)
         merged = (
             current.unionByName(partial)
-            .groupBy("mois")
+            .groupBy(key_name)
             .agg(F.sum("ca_dec").alias("ca_dec"), F.sum("n").alias("n"))
         )
     else:
@@ -50,29 +49,35 @@ def _merge_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> None:
     shutil.move(tmp, state_dir)
 
 
-def incremental_ca_monthly(
-    spark: SparkSession, achats: DataFrame, source_dir: str, state_dir: str,
+def incremental_gold(
+    spark: SparkSession,
+    df: DataFrame,
+    source_dir: str,
+    state_dir: str,
+    key: Column,
+    key_name: str,
     chunks: int = 3,
+    shard_col: str = "id_achat",
 ) -> DataFrame:
-    """Stage ``achats`` as N files, stream them one per micro-batch, and
+    """Stage ``df`` as N file shards, stream them one per micro-batch, and
     fold each batch into the gold state with ``foreachBatch``. Returns the
-    final state as (mois, ca, n)."""
+    final state as (key_name, ca, n)."""
     src = pathlib.Path(source_dir)
     if not (src / "_STAGED").exists():
-        achats.withColumn(
-            "__chunk", F.pmod(F.xxhash64("id_achat"), F.lit(chunks))
+        df.withColumn(
+            "__chunk", F.pmod(F.xxhash64(shard_col), F.lit(chunks))
         ).write.partitionBy("__chunk").mode("overwrite").parquet(str(src / "data"))
         (src / "_STAGED").touch()
 
     raw = (
-        spark.readStream.schema(ACHATS_SILVER)
+        spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(str(src / "data"))
     )
     q = (
         raw.writeStream.outputMode("append")
-        .foreachBatch(lambda batch, _epoch: _merge_batch(spark, batch, state_dir))
+        .foreachBatch(lambda batch, _epoch: _merge_batch(spark, batch, state_dir, key, key_name))
         .start()
     )
     try:
@@ -81,5 +86,27 @@ def incremental_ca_monthly(
         q.stop()
     state = spark.read.parquet(state_dir)
     return state.select(
-        "mois", F.col("ca_dec").cast("double").alias("ca"), "n"
-    ).orderBy("mois")
+        key_name, F.col("ca_dec").cast("double").alias("ca"), "n"
+    ).orderBy(key_name)
+
+
+def incremental_ca_monthly(
+    spark: SparkSession, achats: DataFrame, source_dir: str, state_dir: str,
+    chunks: int = 3,
+) -> DataFrame:
+    return incremental_gold(
+        spark, achats, source_dir, state_dir,
+        key=F.date_format("date_achat", "yyyy-MM"), key_name="mois", chunks=chunks,
+    )
+
+
+def incremental_ca_country(
+    spark: SparkSession, fact: DataFrame, source_dir: str, state_dir: str,
+    chunks: int = 3,
+) -> DataFrame:
+    """Same ``foreachBatch`` fold over a second gold key (country), fed by
+    the enriched fact (purchases joined to client country)."""
+    return incremental_gold(
+        spark, fact.select("id_achat", "montant", "pays"), source_dir, state_dir,
+        key=F.col("pays"), key_name="pays", chunks=chunks,
+    )

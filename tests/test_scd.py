@@ -48,6 +48,19 @@ def test_scd2_exactly_one_current_per_key(spark):
     assert (cur["count"] == 1).all()
 
 
+def test_scd2_null_first_tracked_column_still_updates(spark):
+    """Regression: clearing the FIRST tracked column (→ NULL) must still be
+    detected as a change, not silently dropped as a no-match."""
+    snap = spark.createDataFrame([(1, "FR", "a@x")], "id long, pays string, email string")
+    h = scd2_init(snap, "id", T0)
+    u = spark.createDataFrame([(1, None, "a@x")], "id long, pays string, email string")
+    h = scd2_merge(h, u, "id", ["pays", "email"], T1)
+    pdf = h.toPandas().sort_values("valid_from").reset_index(drop=True)
+    assert len(pdf) == 2
+    assert pdf.iloc[0].pays == "FR" and pdf.iloc[0].valid_to == T1
+    assert pdf.iloc[1].pays is None and pdf.iloc[1].is_current
+
+
 def test_scd2_no_interval_overlap(spark):
     pdf = _hist(spark).toPandas().sort_values(["id", "valid_from"])
     for _id, grp in pdf.groupby("id"):
