@@ -88,23 +88,29 @@ def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:
 
 def bucketize(col: Column, mn: float, mx: float, n_bins: int) -> Column:
     """Equal-width histogram bucket id in [0, n_bins-1] matching
-    ``pd.cut(x, bins=n)`` edge semantics (SURVEY §2.4 A9): pandas includes
-    the left edge of the first interval (right-closed otherwise), so the
-    min value lands in bucket 0 and the max in bucket n-1.
+    ``pd.cut(x, bins=n)`` EXACTLY, interior edges included (SURVEY §2.4 A9).
 
-    Boundary note: a value lying EXACTLY on an interior bin edge can
-    differ from pandas by one bucket — pandas compares against
-    linspace-computed edges while this formula divides by the width, and
-    the two round differently in the last ulp. Both this expression and
-    its SQL oracle mirror compute identically, so cross-engine parity is
-    unaffected; only edge-exact pd.cut parity is approximate.
+    pandas bins by ``searchsorted`` against ``np.linspace(mn, mx, n+1)``
+    edges (right-closed; the padded leftmost edge makes bucket 0 include
+    the min). Dividing by the bin width instead — the previous formula —
+    disagrees by one bucket when a value sits exactly on an interior edge,
+    because ``(x-mn)/w`` and the linspace edge round differently in the
+    last ulp. So: reproduce pandas' arithmetic. Each interior edge is
+    ``i*step + mn`` with ``step = (mx-mn)/n`` (numpy's own formula, same
+    IEEE ops), inlined as a literal; the bucket id is the count of interior
+    edges strictly below x — identical to ``searchsorted(side='left') - 1``.
+    Values on an edge land LEFT (right-closed), min→0, max→n-1, and
+    out-of-range values clamp like the old formula did. n_bins-1 compares,
+    pure codegen, no shuffle. SQL mirror: same CASE-sum with edges spelled
+    ``(i * ((mx-mn)/n)) + mn``.
     """
-    width = (mx - mn) / n_bins
-    if width <= 0:
-        return F.lit(0)
-    # pd.cut right-closed: value x belongs to bucket ceil((x-mn)/w)-1
-    raw = F.ceil((col - F.lit(mn)) / F.lit(width)) - F.lit(1)
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    if not mx > mn:
+        return F.lit(0).cast("int")
+    step = (float(mx) - float(mn)) / n_bins
+    out: Column = F.lit(0)
+    for i in range(1, n_bins):
+        out = out + F.when(col > F.lit(i * step + float(mn)), F.lit(1)).otherwise(F.lit(0))
+    return out.cast("int")
 
 
 def round2(col: Column | str, alias: str | None = None) -> Column:

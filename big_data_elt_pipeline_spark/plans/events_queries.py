@@ -159,3 +159,10 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.streaming.stateful import user_running_totals_stream
 
     return user_running_totals_stream(spark, sf_dir)
+
+
+@register("stream_attribution", None)  # stream-stream join — rows-only check
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase→view attribution);
+    batch-equality asserted in tests/test_streaming.py."""
+    return EV.stream_attribution_join(spark, sf_dir)

@@ -117,6 +117,18 @@ def q_salted_ca_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_money_sum(_fact(spark, sf_dir), "pays", "montant", n_salt=16, alias="ca")
 
 
+@register("salted_distinct_products", _D + """
+SELECT pays, count(DISTINCT produit) AS n_distinct
+FROM fact GROUP BY pays
+""")
+def q_salted_distinct_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted countDistinct per hot key vs the direct form —
+    exact because stage 1 dedups (key, value) pairs, stage 2 counts."""
+    from big_data_elt_pipeline_spark.functions.skew import salted_count_distinct
+
+    return salted_count_distinct(_fact(spark, sf_dir), "pays", "produit", n_salt=16)
+
+
 # --------------------------------------------------------------------------
 # foreachBatch incremental maintenance, second gold key
 # --------------------------------------------------------------------------

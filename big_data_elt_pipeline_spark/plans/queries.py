@@ -316,7 +316,10 @@ def q_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("serving_distribution", _D + """
 , stats AS (SELECT min(montant) AS mn, max(montant) AS mx FROM fact)
-SELECT CAST(least(greatest(CAST(ceil((montant - mn) / ((mx - mn) / 12)) AS BIGINT) - 1, 0), 11) AS INTEGER) AS bucket,
+SELECT CAST(""" + " + ".join(
+    f"(CASE WHEN montant > ({i} * ((mx - mn) / 12.0)) + mn THEN 1 ELSE 0 END)"
+    for i in range(1, 12)
+) + """ AS INTEGER) AS bucket,
        count(*) AS count
 FROM fact CROSS JOIN stats
 WHERE montant IS NOT NULL
@@ -703,7 +706,8 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # order: the 50 highest-value oracle-checkable queries first (the LLM-data-
 # pipeline dedup/ANN/text set leads), then everything else — rows-only
 # queries (which would waste gated slots on a weaker check) and redundant
-# plan-family duplicates. Demoted queries still run under the local pytest
+# plan-family duplicates (ca_product: A3 stays oracle-gated via
+# ca_monthly/ca_country; top_opportunities: W3 via top_clients). Demoted queries still run under the local pytest
 # oracle harness (tests/test_oracle_parity.py covers every registered name).
 # --------------------------------------------------------------------------
 
@@ -712,15 +716,16 @@ GATE_LIMIT = 50
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search
     "doc_stats", "doc_token_budget", "dedup_exact", "dedup_minhash",
-    "dedup_simhash", "embedding_neardup", "ann_topk", "ann_lsh_topk",
+    "dedup_simhash", "dedup_ngram_jaccard", "embedding_neardup", "ann_topk",
+    "ann_lsh_topk",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
-    "scd2_merge", "salted_ca_country", "incremental_ca_country",
-    "incremental_ca_monthly",
+    "scd2_merge", "salted_ca_country", "salted_distinct_products",
+    "incremental_ca_country", "incremental_ca_monthly",
     # reference pipeline: silver
     "silver_achats", "silver_clients", "quality_counters",
     "silver_dirty_clients", "silver_dirty_achats",
     # reference pipeline: gold + serving
-    "ca_monthly", "ca_country", "ca_product", "fact_achats", "dim_clients",
+    "ca_monthly", "ca_country", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
     "cohort_first_purchase", "serving_daily", "serving_distribution",
     "monthly_growth", "kpis", "top_clients", "repeat_rate", "union_scale",
@@ -730,8 +735,7 @@ _GATE_ORDER = [
     "events_daily_share", "events_sliding",
     # OLAP / join zoo
     "set_ops_users", "asof_event_purchase", "range_join_bands",
-    "cumulative_monthly_revenue", "cube_sales", "top_opportunities",
-    "pivot_event_counts",
+    "cumulative_monthly_revenue", "cube_sales", "pivot_event_counts",
     # ML / multimodal / profiling
     "multimodal_features", "grouped_center", "tpch_q1_sql",
     "profile_documents",

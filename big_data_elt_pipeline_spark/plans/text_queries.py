@@ -243,6 +243,56 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard near-dup, prefix-filtered (lossless — no LSH recall loss)
+# --------------------------------------------------------------------------
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_DOCS2_SQL.strip()},
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM docs2)
+    )
+),
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+    SELECT s.doc_id, s.shingle, f.df,
+           count(*) OVER (PARTITION BY s.doc_id) AS nsh,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.shingle) AS rn
+    FROM sh s JOIN freq f USING (shingle)
+),
+pref AS (
+    SELECT doc_id, shingle FROM ranked
+    WHERE rn <= nsh - CAST(ceil(0.5 * nsh) AS BIGINT) + 1
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+    FROM pref l JOIN pref r USING (shingle)
+    WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id1, c.id2, count(*) AS inter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.id1
+    JOIN sh s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+    GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2, z1.nsh AS n1, z2.nsh AS n2, i.inter,
+       CAST(i.inter AS DOUBLE) / CAST(z1.nsh + z2.nsh - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.id1
+JOIN sizes z2 ON z2.doc_id = i.id2
+WHERE CAST(i.inter AS DOUBLE) / CAST(z1.nsh + z2.nsh - i.inter AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_dedup(_docs2(spark, sf_dir), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
 

@@ -132,6 +132,99 @@ def daily_type_share(events: DataFrame) -> DataFrame:
     )
 
 
+def _staged_events_dir(sf_dir: str) -> str:
+    """File-source landing zone for the events fixture (streaming sources
+    require a directory)."""
+    import pathlib
+    import shutil
+
+    stage = pathlib.Path("/tmp/spark_graft_stream") / pathlib.Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    target = stage / "events.parquet"
+    if not target.exists():
+        shutil.copyfile(f"{sf_dir}/events.parquet", target)
+    return str(stage)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_staged_events_dir(sf_dir))
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id", "event_type", "value",
+    )
+
+
+def attribution_join(purchases: DataFrame, views: DataFrame, window_min: int = 30) -> DataFrame:
+    """Batch form of purchase→view attribution: every (purchase, view) pair
+    of the same user where the view precedes the purchase by ≤ window_min.
+    The batch twin is the exactness anchor for the stream-stream join."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"), "user_id"
+    )
+    v = views.select(F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"), "user_id")
+    return (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_min} MINUTES"))
+        )
+        .select(
+            "purchase_id", "view_id", "user_id",
+            ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / F.lit(1_000_000.0)).alias("gap_sec"),
+        )
+    )
+
+
+def stream_attribution_join(
+    spark: SparkSession, sf_dir: str, window_min: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range predicate —
+    marketing-style attribution under incremental execution.
+
+    Both sides carry watermarks; the range condition (view within
+    ``window_min`` before the purchase) bounds the join state Spark must
+    retain, so state is evicted as the watermark advances — the
+    cluster-correct unbounded-stream pattern. Inner join + complete arrival
+    means the result equals the batch ``attribution_join`` exactly
+    (asserted in tests).
+    """
+    ev = _stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"), "user_id")
+        .withWatermark("p_ts", watermark)
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"), "user_id")
+        .withWatermark("v_ts", watermark)
+    )
+    joined = (
+        p.join(
+            v,
+            (p["user_id"] == v["user_id"])
+            & (v["v_ts"] <= p["p_ts"])
+            & (v["v_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window_min} MINUTES")),
+            "inner",
+        )
+        .select(
+            "purchase_id", "view_id", p["user_id"].alias("user_id"),
+            ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / F.lit(1_000_000.0)).alias("gap_sec"),
+        )
+    )
+    name = "stream_attribution_sink"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_tumbling_revenue(
     spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -143,26 +236,7 @@ def stream_tumbling_revenue(
     the 'append' mode only emits finalized windows — the cluster-correct
     semantics, observable locally.
     """
-    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf
-
-    ensure_nanos_conf(spark)
-    # the file source requires a directory; stage the fixture file into a
-    # per-sf temp dir (what a real deployment's landing zone would be)
-    import pathlib
-    import shutil
-
-    stage = pathlib.Path("/tmp/spark_graft_stream") / pathlib.Path(sf_dir).name
-    stage.mkdir(parents=True, exist_ok=True)
-    target = stage / "events.parquet"
-    if not target.exists():
-        shutil.copyfile(f"{sf_dir}/events.parquet", target)
-
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(stage))
-    events = raw.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "event_type",
-        "value",
-    )
+    events = _stream_events(spark, sf_dir).select("ts", "event_type", "value")
     # group by the window STRUCT (not .start) — watermark tracking attaches
     # to the window column; projecting .start pre-aggregation severs it
     agg = (

@@ -25,6 +25,22 @@ def test_bucketize_matches_pd_cut(spark):
     assert out == expected
 
 
+def test_bucketize_interior_edge_values_match_pd_cut(spark):
+    """Values landing EXACTLY on interior bin edges take the left
+    (right-closed) bucket, same as pandas — previously a documented
+    one-bucket divergence."""
+    vals = [0.0, 1.0, 2.5, 3.0, 7.0, 11.0, 12.0]  # edges at 1.0, 2.0, ... 11.0
+    pdf = pd.DataFrame({"x": vals})
+    expected = pd.cut(pdf.x, bins=12).cat.codes.tolist()
+    out = (
+        spark.createDataFrame(pdf)
+        .select(bucketize(F.col("x"), 0.0, 12.0, 12).alias("b"))
+        .toPandas()["b"]
+        .tolist()
+    )
+    assert out == expected
+
+
 def test_days_between_is_pandas_floor(spark):
     # 2h into the next calendar day => pandas .days == 0, not 1
     ref = dt.datetime(2024, 3, 5, 1, 0, 0)

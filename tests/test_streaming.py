@@ -40,6 +40,33 @@ def test_stateful_user_totals_match_batch(spark):
     assert (m.total_value_b == m.total_value_s).all()
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream interval join emits exactly the batch
+    join's pairs (complete single-batch arrival → no state eviction)."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+    from big_data_elt_pipeline_spark.streaming.events import (
+        attribution_join,
+        stream_attribution_join,
+    )
+
+    stream = stream_attribution_join(spark, SF_SMOKE).toPandas()
+    ev = events_df(spark, SF_SMOKE)
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    ).toPandas()
+    assert len(batch) > 0
+    key = ["purchase_id", "view_id"]
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s[key].values == b[key].values).all()
+    assert (s.gap_sec.values == b.gap_sec.values).all()
+    assert (s.user_id.values == b.user_id.values).all()
+
+
 def test_stream_drops_only_trailing_watermark_windows(spark):
     stream = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).toPandas()
     batch = Q.spark_queries()["events_tumbling"](spark, SF_SMOKE).toPandas()
