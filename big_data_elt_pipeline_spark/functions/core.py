@@ -100,17 +100,21 @@ def bucketize(col: Column, mn: float, mx: float, n_bins: int) -> Column:
     IEEE ops), inlined as a literal; the bucket id is the count of interior
     edges strictly below x — identical to ``searchsorted(side='left') - 1``.
     Values on an edge land LEFT (right-closed), min→0, max→n-1, and
-    out-of-range values clamp like the old formula did. n_bins-1 compares,
-    pure codegen, no shuffle. SQL mirror: same CASE-sum with edges spelled
-    ``(i * ((mx-mn)/n)) + mn``.
+    out-of-range values clamp like the old formula did. NULL and NaN inputs
+    yield NULL (pd.cut assigns them code -1 / missing, not a bucket — the
+    when/otherwise ladder would otherwise silently coerce NULL to bucket 0
+    and NaN, greatest under Spark ordering, to n_bins-1). n_bins-1
+    compares, pure codegen, no shuffle. SQL mirror: same CASE-sum with
+    edges spelled ``(i * ((mx-mn)/n)) + mn``.
     """
+    null_in = col.isNull() | F.isnan(col.cast("double"))
     if not mx > mn:
-        return F.lit(0).cast("int")
+        return F.when(null_in, F.lit(None)).otherwise(F.lit(0)).cast("int")
     step = (float(mx) - float(mn)) / n_bins
     out: Column = F.lit(0)
     for i in range(1, n_bins):
         out = out + F.when(col > F.lit(i * step + float(mn)), F.lit(1)).otherwise(F.lit(0))
-    return out.cast("int")
+    return F.when(null_in, F.lit(None)).otherwise(out).cast("int")
 
 
 def round2(col: Column | str, alias: str | None = None) -> Column:

@@ -144,13 +144,14 @@ def q_incremental_ca_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch-maintained gold aggregate: executed INCREMENTALLY over
     micro-batches, yet oracle-checkable because exact decimal merges make
     the final state equal a full recompute bit-for-bit."""
-    import tempfile
-
     from big_data_elt_pipeline_spark.plans.queries import _silver_frames
-    from big_data_elt_pipeline_spark.streaming.incremental import incremental_ca_monthly
+    from big_data_elt_pipeline_spark.streaming.incremental import (
+        incremental_ca_monthly,
+        staging_dir,
+    )
 
     _, achats = _silver_frames(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="incr_gate_")
+    tmp = staging_dir("incr_gate", sf_dir)
     return incremental_ca_monthly(spark, achats, f"{tmp}/src", f"{tmp}/state", chunks=3)
 
 

@@ -142,10 +142,11 @@ FROM fact GROUP BY pays ORDER BY pays
 def q_incremental_ca_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Country gold maintained INCREMENTALLY over micro-batches; exact
     decimal merges make the final state equal a full recompute bit-for-bit."""
-    import tempfile
-
-    from big_data_elt_pipeline_spark.streaming.incremental import incremental_ca_country
+    from big_data_elt_pipeline_spark.streaming.incremental import (
+        incremental_ca_country,
+        staging_dir,
+    )
 
     fact = _fact(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="incr_country_gate_")
+    tmp = staging_dir("incr_country_gate", sf_dir)
     return incremental_ca_country(spark, fact, f"{tmp}/src", f"{tmp}/state", chunks=3)

@@ -17,9 +17,32 @@ from __future__ import annotations
 
 import pathlib
 import shutil
+import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_STAGING_CACHE: dict[tuple[str, str], str] = {}
+
+
+def staging_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(prefix, sf_dir) cached staging root for gate/bench invocations.
+
+    Repeated gate evaluation used to ``mkdtemp`` per call, restaging the
+    source shards and leaking every directory. Caching by (query, sf_dir)
+    stages the source once per process (``incremental_gold`` skips staging
+    when ``_STAGED`` exists); the ``state`` subdir is wiped here so every
+    invocation folds from an empty state and stays deterministic.
+    """
+    key = (prefix, sf_dir)
+    root = _STAGING_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"{prefix}_")
+        _STAGING_CACHE[key] = root
+    state = pathlib.Path(root, "state")
+    if state.exists():
+        shutil.rmtree(state)
+    return root
 
 
 def _merge_batch(

@@ -41,6 +41,39 @@ def test_bucketize_interior_edge_values_match_pd_cut(spark):
     assert out == expected
 
 
+def test_bucketize_null_and_nan_yield_null(spark):
+    """pd.cut assigns NULL/NaN code -1 (missing), never a bucket; the
+    when-ladder used to coerce NULL to bucket 0 and NaN (greatest under
+    Spark ordering) to n_bins-1."""
+    pdf = pd.DataFrame({"x": [5.0, None, float("nan"), 0.0, 12.0]})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(bucketize(F.col("x"), 0.0, 12.0, 12).alias("b"))
+        .toPandas()["b"]
+    )
+    expected = pd.cut(pdf.x, bins=12).cat.codes  # -1 for missing
+    assert out[1] is None or pd.isna(out[1])
+    assert out[2] is None or pd.isna(out[2])
+    assert [int(v) for v in out[[0, 3, 4]]] == [int(v) for v in expected[[0, 3, 4]]]
+
+
+def test_topk_excludes_nan_cosine_and_accepts_string_ids(spark):
+    """Zero-norm vectors produce 0/0 = NaN cosines; the bounded reducer
+    must drop them (not misorder the selection) and must not assume
+    numeric ids."""
+    from big_data_elt_pipeline_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]),
+        ("z", [0.0, 0.0]),  # zero norm -> NaN cosine against everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = brute_force_topk(df, df.filter("vec_id = 'a'"), k=3).toPandas()
+    assert "z" not in set(out.vec_id)  # NaN candidate excluded
+    assert list(out.sort_values("rank").vec_id) == ["b", "c"]
+    assert not out.cosine.isna().any()
+
+
 def test_days_between_is_pandas_floor(spark):
     # 2h into the next calendar day => pandas .days == 0, not 1
     ref = dt.datetime(2024, 3, 5, 1, 0, 0)
