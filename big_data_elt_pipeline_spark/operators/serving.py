@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data_elt_pipeline_spark.functions.core import bucketize, money_sum, safe_div
+from big_data_elt_pipeline_spark.functions.core import (
+    bucketize,
+    fixed_sum,
+    money_sum,
+    safe_div,
+)
 
 
 def build_daily(fact: DataFrame) -> DataFrame:
@@ -107,9 +112,10 @@ def build_kpis(fact: DataFrame, scored: DataFrame | None = None) -> DataFrame:
         F.countDistinct("id_client").alias("total_clients"),
     ).withColumn("panier_moyen", safe_div(F.col("total_ca"), F.col("total_achats")))
     if scored is not None:
-        expected = scored.agg(
-            F.sum(F.col("expected_value_12m").cast("decimal(28,8)")).cast("double").alias("expected_total")
-        )
+        # expected_value_12m is score-derived (not decimal-clean), so the
+        # cross-engine-exact sum is fixed_sum, same idiom as
+        # summarize_segments — see functions/core.py
+        expected = scored.agg(fixed_sum("expected_value_12m", "expected_total"))
         kpis = kpis.crossJoin(F.broadcast(expected))
     return kpis
 

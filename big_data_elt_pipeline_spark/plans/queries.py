@@ -361,6 +361,30 @@ def q_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.build_kpis(_fact(spark, sf_dir))
 
 
+@register("kpis_extended", _D + f",\n{_SCORES_SQL},\nk AS (" + """
+    SELECT CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS total_ca,
+           count(*) AS total_achats,
+           count(DISTINCT id_client) AS total_clients,
+           CASE WHEN count(*) != 0
+                THEN CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                ELSE 0.0 END AS panier_moyen
+    FROM fact
+)
+SELECT k.*,
+       (SELECT CAST(sum(CAST(floor(expected_value_12m * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0
+        FROM scores) AS expected_total
+FROM k
+""")
+def q_kpis_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 KPIs + portfolio expected 12-month value (the scored branch of
+    ``build_kpis``, previously pytest-only)."""
+    clients, achats = _silver_frames(spark, sf_dir)
+    fact = gold.build_fact(achats, clients)
+    ref = gold.reference_date(fact)
+    features = gold.build_client_features(fact, clients, ref)
+    return serving.build_kpis(fact, gold.score_clients(features))
+
+
 @register("top_clients", _D + f""",
 {_REF_SQL},
 agg AS (
@@ -734,7 +758,7 @@ _GATE_ORDER = [
     "ca_monthly", "ca_country", "ca_product", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
     "cohort_first_purchase", "serving_weekly", "serving_distribution",
-    "monthly_growth", "kpis", "top_clients", "top_opportunities",
+    "monthly_growth", "kpis_extended", "top_clients", "top_opportunities",
     "to_reactivate", "union_scale", "anti_join_inactive",
     # events / streaming twins
     "events_tumbling", "events_sessionize", "events_session_window",
