@@ -47,6 +47,43 @@ def distribution_bounds(fact: DataFrame, col: str = "montant") -> tuple[float, f
     return float(row["mn"]), float(row["mx"])
 
 
+def _round_frac(x: float, precision: int) -> float:
+    """pandas' ``_round_frac``: round to ``precision`` significant digits of
+    the fractional part when |x| < 1, else ``precision`` decimal digits.
+    Reimplemented from public pandas behavior (pandas.core.reshape.tile)."""
+    import numpy as np
+
+    if not np.isfinite(x) or x == 0:
+        return x
+    frac, whole = np.modf(x)
+    if whole == 0:
+        digits = -int(np.floor(np.log10(abs(frac)))) - 1 + precision
+    else:
+        digits = precision
+    return float(np.around(x, digits))
+
+
+def interval_labels(mn: float, mx: float, bins: int, precision: int = 3) -> list[str]:
+    """The exact ``(lo, hi]`` label strings ``pd.cut(x, bins)`` produces for
+    data with the given min/max: linspace edges with the leftmost padded by
+    0.1% of the range (right-closed), rounded at pandas' ADAPTIVE precision
+    (the smallest >= ``precision`` that keeps all edges distinct), formatted
+    with the shortest float repr — e.g. ``(10.49, 51.3]``, not
+    ``(10.4900, 51.3000]``. Pure driver-side arithmetic on bins+1 scalars.
+    """
+    import numpy as np
+
+    edges = np.linspace(mn, mx, bins + 1)
+    edges[0] = mn - (mx - mn) * 0.001
+    for p in range(precision, 20):
+        rounded = [_round_frac(float(b), p) for b in edges]
+        if len(set(rounded)) == len(edges):
+            break
+    return [
+        f"({np.float64(rounded[i])}, {np.float64(rounded[i + 1])}]" for i in range(bins)
+    ]
+
+
 def build_distribution(
     fact: DataFrame,
     bins: int = 12,
@@ -57,11 +94,10 @@ def build_distribution(
 
     Bucket assignment is a pure expression over driver-collected min/max
     scalars — no shuffle beyond the final tiny groupBy. With ``labels``,
-    buckets get pandas-style ``(lo, hi]`` interval strings (fixed 4-decimal
-    formatting — a documented simplification of pandas' adaptive precision).
+    buckets get the exact pandas interval strings (adaptive precision, see
+    ``interval_labels``) via an array-literal lookup.
     """
     mn, mx = bounds or distribution_bounds(fact)
-    width = (mx - mn) / bins
     bucket = bucketize(F.col("montant"), mn, mx, bins)
     out = (
         fact.filter(F.col("montant").isNotNull())
@@ -69,13 +105,8 @@ def build_distribution(
         .agg(F.count(F.lit(1)).alias("count"))
     )
     if labels:
-        lo = F.lit(mn) + F.col("bucket") * F.lit(width)
-        hi = lo + F.lit(width)
-        label = F.concat(
-            F.lit("("), F.round(lo, 4).cast("string"), F.lit(", "),
-            F.round(hi, 4).cast("string"), F.lit("]"),
-        )
-        out = out.withColumn("bucket_label", label)
+        arr = F.array(*[F.lit(s) for s in interval_labels(mn, mx, bins)])
+        out = out.withColumn("bucket_label", F.element_at(arr, F.col("bucket") + 1))
     return out.orderBy("bucket")
 
 

@@ -70,6 +70,43 @@ def test_bucketize_property_matches_pd_cut(vals, bins):
     assert got == expected
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0001, max_value=99999.99, allow_nan=False),
+        min_size=2, max_size=40,
+    ),
+    bins=st.integers(min_value=2, max_value=20),
+)
+def test_interval_labels_match_pd_cut_strings(vals, bins):
+    """Property: interval_labels reproduces pandas' ADAPTIVE label precision
+    — string-equal to pd.cut's categories, e.g. (10.49, 51.3], closing the
+    last documented serving-parity simplification. Driver-side only, no
+    Spark needed."""
+    mn, mx = min(vals), max(vals)
+    if mn == mx:
+        return
+    expected = [str(c) for c in pd.cut(pd.Series(vals), bins=bins).cat.categories]
+    got = serving.interval_labels(mn, mx, bins)
+    assert got == expected
+
+
+def test_build_distribution_labels_are_pandas_exact(spark):
+    vals = [10.52, 11.0, 51.3, 123.45, 250.0, 499.99, 500.0, 10.49]
+    pdf = pd.DataFrame({"montant": vals, "id_achat": range(len(vals)),
+                        "id_client": [1] * len(vals)})
+    fact = spark.createDataFrame(pdf)
+    out = serving.build_distribution(fact, bins=4).toPandas()
+    cats = pd.cut(pdf.montant, bins=4)
+    expected = (
+        cats.cat.codes.value_counts().sort_index().rename_axis("bucket").reset_index(name="count")
+    )
+    assert out.bucket.tolist() == expected.bucket.tolist()
+    assert out["count"].tolist() == expected["count"].tolist()
+    labels = [str(c) for c in cats.cat.categories]
+    assert out.bucket_label.tolist() == [labels[b] for b in out.bucket]
+
+
 @pytest.fixture(autouse=True)
 def _inject_spark(spark):
     test_bucketize_property_matches_pd_cut._spark = spark
