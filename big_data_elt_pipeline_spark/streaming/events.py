@@ -262,3 +262,47 @@ def stream_tumbling_revenue(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_tumbling_revenue_to_sink(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: str = "ts timestamp, event_type string, value double, event_id long",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Durable, RESUMABLE form of ``stream_tumbling_revenue``: file source →
+    watermarked tumbling aggregate → append parquet sink, with a checkpoint.
+
+    Source offsets, window state, and the event-time watermark all live in
+    ``checkpoint_dir``, so a stopped query restarted against the same
+    checkpoint continues exactly where it left off: consumed files are not
+    re-read, open windows keep their partial aggregates, finalized windows
+    are never re-emitted. Each call drains whatever is currently in
+    ``source_dir`` and stops — call again after new files land (or after a
+    simulated crash) to resume. The restart test asserts the recovered
+    output is bit-identical to the batch twin on every finalized window.
+    """
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

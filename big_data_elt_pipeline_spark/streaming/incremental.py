@@ -81,10 +81,18 @@ def incremental_gold(
     key_name: str,
     chunks: int = 3,
     shard_col: str = "id_achat",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Stage ``df`` as N file shards, stream them one per micro-batch, and
     fold each batch into the gold state with ``foreachBatch``. Returns the
-    final state as (key_name, ca, n)."""
+    final state as (key_name, ca, n).
+
+    With ``checkpoint_dir`` the query is RESUMABLE: source offsets and
+    commit log persist, so a stopped query restarted against the same
+    checkpoint skips already-folded shards and continues from the saved
+    state — the cluster restart/recovery property
+    (tests/test_streaming.py asserts the recovered state equals a full
+    batch recompute bit-for-bit)."""
     src = pathlib.Path(source_dir)
     if not (src / "_STAGED").exists():
         df.withColumn(
@@ -98,11 +106,12 @@ def incremental_gold(
         .option("recursiveFileLookup", "true")
         .parquet(str(src / "data"))
     )
-    q = (
-        raw.writeStream.outputMode("append")
-        .foreachBatch(lambda batch, _epoch: _merge_batch(spark, batch, state_dir, key, key_name))
-        .start()
+    writer = raw.writeStream.outputMode("append").foreachBatch(
+        lambda batch, _epoch: _merge_batch(spark, batch, state_dir, key, key_name)
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:
