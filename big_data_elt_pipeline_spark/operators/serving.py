@@ -75,10 +75,19 @@ def interval_labels(mn: float, mx: float, bins: int, precision: int = 3) -> list
 
     edges = np.linspace(mn, mx, bins + 1)
     edges[0] = mn - (mx - mn) * 0.001
+    if len(set(edges.tolist())) != len(edges):
+        # pandas contract: a span too narrow for distinct float64 edges
+        # (e.g. mn/mx one ulp apart) is un-binnable — pd.cut raises the
+        # same error on its identically-computed edge array.
+        raise ValueError(f"Bin edges must be unique: {edges.tolist()}")
     for p in range(precision, 20):
         rounded = [_round_frac(float(b), p) for b in edges]
         if len(set(rounded)) == len(edges):
             break
+    else:
+        # unreachable for unique float64 edges (np.around at >=17 sig
+        # digits is the identity) — keep the exact edges as a safety net
+        rounded = [float(b) for b in edges]
     return [
         f"({np.float64(rounded[i])}, {np.float64(rounded[i + 1])}]" for i in range(bins)
     ]
@@ -100,7 +109,11 @@ def build_distribution(
     mn, mx = bounds or distribution_bounds(fact)
     bucket = bucketize(F.col("montant"), mn, mx, bins)
     out = (
-        fact.filter(F.col("montant").isNotNull())
+        # pd.cut drops missing values entirely — exclude SQL NULL and NaN
+        # alike so neither emits a bucket=NULL row
+        fact.filter(
+            F.col("montant").isNotNull() & ~F.isnan(F.col("montant").cast("double"))
+        )
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("count"))
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -96,27 +97,38 @@ def achats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark can only read as
-    a long with this legacy conf. Sessions we build set it at startup, but
-    the driver's verify passes its OWN session — set it defensively at
-    runtime (it is a runtime-settable SQL conf; verified)."""
+    """Older corpus drops store events.ts as TIMESTAMP(NANOS), which Spark
+    can only read as a long with this legacy conf. Sessions we build set it
+    at startup, but the driver's verify passes its OWN session — set it
+    defensively at runtime (it is a runtime-settable SQL conf; verified).
+    Harmless when the file stores micros."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with proper microsecond timestamps.
+def events_ts_col(ts_type: T.DataType):
+    """Normalize the raw events ``ts`` to a microsecond TIMESTAMP column.
 
-    The parquet stores TIMESTAMP(NANOS), which Spark reads as a nanosecond
-    long (``spark.sql.legacy.parquet.nanosAsLong``); DuckDB truncates to
-    micros on scan — mirrored here with integer floor-division.
+    The driver corpus has shipped ``ts`` both as TIMESTAMP(NANOS) (read as
+    a nanosecond long under ``nanosAsLong``) and as TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ). Branch on the observed physical type so a
+    regenerated testdata drop cannot break the loaders; the session TZ is
+    pinned to UTC, so the NTZ→TZ cast is wall-clock-identical to DuckDB's
+    naive TIMESTAMP.
     """
+    if isinstance(ts_type, T.LongType):
+        # integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's exact
+        # integer range, so float division corrupts the low microseconds
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
+def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with proper microsecond timestamps (type-adaptive scan)."""
     ensure_nanos_conf(spark)
     raw = read_table(spark, sf_dir, "events")
     return raw.select(
         "event_id",
-        # integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's exact
-        # integer range, so float division corrupts the low microseconds
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        events_ts_col(raw.schema["ts"].dataType).alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -24,16 +24,12 @@ from big_data_elt_pipeline_spark.functions.core import money_sum
 
 SESSION_GAP_MIN = 30
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Schema for the streaming file source, derived from the staged files
+    themselves (a one-time footer read). The corpus has shipped ``ts`` as
+    both nanos-long and TIMESTAMP(MICROS); deriving instead of hardcoding
+    keeps the stream readers working across testdata regenerations."""
+    return spark.read.parquet(path).schema
 
 
 def tumbling_revenue(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -147,13 +143,15 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf
+    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf, events_ts_col
 
     ensure_nanos_conf(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_staged_events_dir(sf_dir))
+    stage = _staged_events_dir(sf_dir)
+    schema = events_raw_schema(spark, stage)
+    raw = spark.readStream.schema(schema).parquet(stage)
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        events_ts_col(schema["ts"].dataType).alias("ts"),
         "user_id", "event_type", "value",
     )
 

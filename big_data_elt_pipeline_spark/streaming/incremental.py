@@ -15,6 +15,7 @@ state is dimension-sized: one row per key).
 
 from __future__ import annotations
 
+import atexit
 import pathlib
 import shutil
 import tempfile
@@ -33,12 +34,18 @@ def staging_dir(prefix: str, sf_dir: str) -> str:
     stages the source once per process (``incremental_gold`` skips staging
     when ``_STAGED`` exists); the ``state`` subdir is wiped here so every
     invocation folds from an empty state and stays deterministic.
+
+    Cached roots are removed at interpreter exit (atexit) so repeated gate
+    runs leak nothing. Caveat (documented, not defended): regenerating the
+    ``sf_dir`` dataset mid-process serves the stale staged copy — restart
+    the process (or clear ``_STAGING_CACHE``) after a testdata refresh.
     """
     key = (prefix, sf_dir)
     root = _STAGING_CACHE.get(key)
     if root is None:
         root = tempfile.mkdtemp(prefix=f"{prefix}_")
         _STAGING_CACHE[key] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     state = pathlib.Path(root, "state")
     if state.exists():
         shutil.rmtree(state)

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from big_data_elt_pipeline_spark.streaming.events import EVENTS_RAW_SCHEMA
+from big_data_elt_pipeline_spark.streaming.events import events_raw_schema
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -77,7 +77,7 @@ def user_running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (the last update each key emitted)."""
     stage = _stage_two_chunks(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, stage))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )

@@ -45,12 +45,16 @@ def test_bucketize_null_and_nan_yield_null(spark):
     """pd.cut assigns NULL/NaN code -1 (missing), never a bucket; the
     when-ladder used to coerce NULL to bucket 0 and NaN (greatest under
     Spark ordering) to n_bins-1."""
-    pdf = pd.DataFrame({"x": [5.0, None, float("nan"), 0.0, 12.0]})
+    # explicit schema + Python None: pandas would coerce None -> NaN in a
+    # float64 column, which silently skips the SQL-NULL branch of the
+    # isNull()|isnan() guard — build the true NULL row Spark-side instead
+    rows = [(5.0,), (None,), (float("nan"),), (0.0,), (12.0,)]
     out = (
-        spark.createDataFrame(pdf)
+        spark.createDataFrame(rows, "x double")
         .select(bucketize(F.col("x"), 0.0, 12.0, 12).alias("b"))
         .toPandas()["b"]
     )
+    pdf = pd.DataFrame({"x": [5.0, None, float("nan"), 0.0, 12.0]})
     expected = pd.cut(pdf.x, bins=12).cat.codes  # -1 for missing
     assert out[1] is None or pd.isna(out[1])
     assert out[2] is None or pd.isna(out[2])

@@ -86,9 +86,28 @@ def test_interval_labels_match_pd_cut_strings(vals, bins):
     mn, mx = min(vals), max(vals)
     if mn == mx:
         return
-    expected = [str(c) for c in pd.cut(pd.Series(vals), bins=bins).cat.categories]
+    try:
+        expected = [str(c) for c in pd.cut(pd.Series(vals), bins=bins).cat.categories]
+    except ValueError:
+        # degenerate span (edges collide at float64): pandas refuses to
+        # bin — the engine's contract is to raise the identical error
+        with pytest.raises(ValueError, match="Bin edges must be unique"):
+            serving.interval_labels(mn, mx, bins)
+        return
     got = serving.interval_labels(mn, mx, bins)
     assert got == expected
+
+
+def test_interval_labels_degenerate_ulp_range_raises():
+    """Regression: the exact Hypothesis counterexample from round 3 —
+    min/max one ulp apart, where np.linspace edges collide and pd.cut
+    raises ValueError('Bin edges must be unique'). interval_labels must
+    mirror the raise, not emit duplicate-edge labels."""
+    vals = [0.00010000000000000002, 0.0001]
+    with pytest.raises(ValueError, match="Bin edges must be unique"):
+        pd.cut(pd.Series(vals), bins=2)
+    with pytest.raises(ValueError, match="Bin edges must be unique"):
+        serving.interval_labels(min(vals), max(vals), 2)
 
 
 def test_build_distribution_labels_are_pandas_exact(spark):
