@@ -79,7 +79,10 @@ def main() -> None:
         total += best
 
     # full medallion pipeline (bronze CSV → silver → gold+serving parquet),
-    # the BASELINE.md-comparable number: one session, persisted fact/features
+    # the BASELINE.md-comparable number: one session, persisted fact/features.
+    # min-of-2 like the queries — the r03 artifact shipped a single-shot
+    # pipeline_gold 2x off its reproducible value (host I/O noise), so the
+    # stages get the same noise discipline as everything else.
     import shutil
     import tempfile
 
@@ -94,15 +97,32 @@ def main() -> None:
         (achats.write.mode("overwrite").option("header", True)
          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
          .csv(f"{tmp}/sources/achats.csv"))
-        result = P.run_medallion(
-            spark, f"{tmp}/sources", f"{tmp}/lake",
-            min_date="1990-01-01", max_amount=1e9, count_rows=False,
-        )
-        for stage, sec in result["seconds"].items():
+        stage_best: dict[str, float] = {}
+        for run in range(2):
+            result = P.run_medallion(
+                spark, f"{tmp}/sources", f"{tmp}/lake{run}",
+                min_date="1990-01-01", max_amount=1e9, count_rows=False,
+            )
+            for stage, sec in result["seconds"].items():
+                if stage not in stage_best or sec < stage_best[stage]:
+                    stage_best[stage] = sec
+        for stage, sec in stage_best.items():
             timings[f"pipeline_{stage}"] = sec
-        total += result["seconds"]["total"]
+        total += stage_best["total"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # scaled-corpus dedup/ANN: deterministic x4/x16 corpora (see
+    # plans/scale_bench.py) — the empirical near-linear-scaling evidence
+    # for the beyond-reference surface. Disable with SPARK_GRAFT_SCALE=0.
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        from big_data_elt_pipeline_spark.plans.scale_bench import run_scaled
+
+        # recorded next to the queries but NOT folded into the headline
+        # total: the scaled corpora are a scaling exhibit, not part of the
+        # round-over-round comparable suite
+        for k, v in run_scaled(spark, sf_dir, (1, 4, 16)).items():
+            timings[k] = v
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -41,15 +41,32 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return path
 
 
-def read_lakehouse(spark: SparkSession, fmt: str, path: str) -> DataFrame:
-    """Delta/Iceberg/Hudi scan — STUB: their jars are not on this image's
-    classpath. The call shape is the production one; gate on availability.
+def read_lakehouse(
+    spark: SparkSession, fmt: str, path: str, version: int | None = None
+) -> DataFrame:
+    """Lakehouse scan with time travel.
+
+    ``fmt='manifest'`` (or any path carrying a ``_manifest`` commit log —
+    i.e. written by ``lakehouse.write_table``) reads through the built-in
+    manifest-snapshot format: ``version=N`` time-travels. For
+    delta/iceberg/hudi the real connector is tried first; when its jars
+    are absent (this image) a manifest log at the same path still serves
+    the table, otherwise the honest NotImplementedError stands.
     """
-    if fmt not in ("delta", "iceberg", "hudi"):
+    from big_data_elt_pipeline_spark import lakehouse
+
+    if fmt not in ("delta", "iceberg", "hudi", "manifest"):
         raise ValueError(f"unknown lakehouse format {fmt!r}")
+    if fmt == "manifest":
+        return lakehouse.read_table(spark, path, version)
     try:
-        return spark.read.format(fmt).load(path)
+        reader = spark.read.format(fmt)
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(path)
     except Exception as exc:
+        if lakehouse.is_manifest_table(path):
+            return lakehouse.read_table(spark, path, version)
         raise NotImplementedError(
             f"{fmt} connector jars are not on the classpath in this image; "
             "add the connector package on a real cluster "

@@ -1,0 +1,137 @@
+"""Minimal manifest-snapshot table format over parquet (time travel).
+
+The real lakehouse connectors (Delta/Iceberg/Hudi) are absent from this
+image's classpath, but their core mechanism — an append-only COMMIT LOG
+whose entries list immutable data files, so any historical version is
+reconstructable — is engine-independent and small. This module implements
+that mechanism directly over parquet, mirroring Delta's ``_delta_log``
+design (public: the "Delta Lake: High-Performance ACID Table Storage"
+VLDB'20 paper):
+
+- ``<table>/_manifest/<version>.json`` — one JSON commit per version:
+  ``{"version": N, "mode": "append"|"overwrite", "files": [...]}``.
+- ``<table>/data/commit-<version>/part-*.parquet`` — immutable files; an
+  overwrite LOGICALLY removes prior files (they drop out of the live set)
+  but never deletes bytes, which is exactly what makes time travel and
+  snapshot isolation free.
+- Readers resolve the live file set by folding commits 0..version
+  (overwrite resets, append extends) and hand Spark an explicit file list
+  — a snapshot is immune to concurrent writers by construction.
+- Commits are atomic via write-temp + ``os.rename`` onto the versioned
+  manifest name; a rename collision means a concurrent writer won the
+  version — optimistic retry with the next number (Delta's protocol).
+
+At 100 TB nothing here changes: manifests stay KB-sized per commit (file
+lists, not data), readers prune by reading the log only, and the data
+files are ordinary partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(path: str) -> pathlib.Path:
+    return pathlib.Path(path) / "_manifest"
+
+
+def table_versions(path: str) -> list[int]:
+    md = _manifest_dir(path)
+    if not md.is_dir():
+        return []
+    return sorted(
+        int(p.stem) for p in md.glob("*.json") if p.stem.isdigit()
+    )
+
+
+def is_manifest_table(path: str) -> bool:
+    return bool(table_versions(path))
+
+
+def _read_commit(path: str, version: int) -> dict:
+    with open(_manifest_dir(path) / f"{version}.json") as f:
+        return json.load(f)
+
+
+def live_files(path: str, version: int | None = None) -> list[str]:
+    """Fold the commit log into the file set visible at ``version``
+    (default: latest). Paths are absolute."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no manifest log at {path!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions})")
+    files: list[str] = []
+    for v in versions:
+        if v > version:
+            break
+        commit = _read_commit(path, v)
+        if commit["mode"] == "overwrite":
+            files = []
+        files.extend(os.path.join(path, f) for f in commit["files"])
+    return files
+
+
+def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    Data lands in a commit-private directory first, then the manifest
+    rename publishes it — readers can never observe a half-written commit.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    root = pathlib.Path(path)
+    commit_id = uuid.uuid4().hex[:12]
+    data_rel = f"data/commit-{commit_id}"
+    df.write.mode("errorifexists").parquet(str(root / data_rel))
+    files = sorted(
+        f"{data_rel}/{p.name}"
+        for p in (root / data_rel).glob("*.parquet")
+    )
+    md = _manifest_dir(path)
+    md.mkdir(parents=True, exist_ok=True)
+    while True:
+        versions = table_versions(path)
+        version = (versions[-1] + 1) if versions else 0
+        payload = json.dumps(
+            {
+                "version": version,
+                "mode": mode,
+                "files": files,
+                "schema": json.loads(df.schema.json()),
+            }
+        )
+        fd, tmp = tempfile.mkstemp(dir=md, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        target = md / f"{version}.json"
+        try:
+            os.link(tmp, target)  # atomic publish: fails iff version taken
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race — retry with the next version
+        os.unlink(tmp)
+        return version
+
+
+def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read at ``version`` (default latest): an explicit-file-list
+    parquet scan, so later commits — even overwrites — cannot change what
+    this DataFrame returns."""
+    files = live_files(path, version)
+    if not files:
+        # overwrite-with-empty commit: reconstruct from the logged schema
+        from pyspark.sql import types as T
+
+        versions = [v for v in table_versions(path) if version is None or v <= version]
+        schema = T.StructType.fromJson(_read_commit(path, versions[-1])["schema"])
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*files)

@@ -162,8 +162,32 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_running_totals_stream(spark, sf_dir)
 
 
+@register("attribution_join", _E + """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id AS user_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0 AS gap_sec
+FROM ev p JOIN ev v ON p.user_id = v.user_id
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND v.ts <= p.ts
+  AND v.ts >= p.ts - INTERVAL 30 MINUTE
+""")
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch purchase→view attribution (interval join within 30 min) —
+    the exactness anchor for ``stream_attribution``, now under the full
+    DuckDB oracle: gap_sec is an integer micros difference divided by a
+    double, bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    ev = events_df(spark, sf_dir)
+    return EV.attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+
+
 @register("stream_attribution", None)  # stream-stream join — rows-only check
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (purchase→view attribution);
-    batch-equality asserted in tests/test_streaming.py."""
+    batch-equality asserted in tests/test_streaming.py (equals
+    ``attribution_join``, which carries the SQL oracle)."""
     return EV.stream_attribution_join(spark, sf_dir)

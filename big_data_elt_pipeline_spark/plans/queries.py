@@ -727,19 +727,18 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # Driver-gate ordering. The driver correctness-checks exactly the FIRST
 # GATE_LIMIT registered queries in registration order (round-1 finding), so
 # window membership is made EXPLICIT here instead of depending on import
-# order. Round-3 rotation: the 8 oracle-backed queries that sat past the
-# 50-slot cap in rounds 1-2 (ca_product, serving_weekly,
-# quality_counters_clients, events_session_window, top_opportunities,
-# to_reactivate, calendar_dense_monthly, rollup_sales_monthly) are swapped
-# IN, in place of 8 same-plan-family queries that earned green driver rows
-# in CORRECTNESS_r02 (silver_dirty_clients/_achats, events_sliding,
-# incremental_ca_monthly, salted_distinct_products, dedup_simhash,
-# serving_daily, repeat_rate) — each family keeps at least one gated
-# member, so the union of r02+r03 driver evidence covers every
-# oracle-backed query. Rows-only queries stay out of the window (they'd
-# burn a slot on the weaker check). Demoted queries still run under the
-# local pytest oracle harness (tests/test_oracle_parity.py sweeps every
-# registered name).
+# order. Rotation history: round 3 swapped in the 8 queries that sat past
+# the cap in rounds 1-2 (all earned green rows — r02∪r03 covers every
+# oracle-backed query). Round-4 rotation: IN — ``attribution_join`` (newly
+# oracle-backed batch twin of the stream-stream join), plus ``repeat_rate``
+# / ``serving_daily`` / ``kpis`` (rotated out in r03; fresh driver evidence
+# after the corpus regeneration); OUT — four r03-green same-family members
+# (``ca_product`` → A3 keeps ca_monthly+ca_country; ``serving_weekly`` →
+# A4 keeps serving_daily; ``kpis_extended`` → A7 keeps kpis;
+# ``quality_counters_clients`` → P9 keeps quality_counters). Rows-only
+# queries stay out of the window (they'd burn a slot on the weaker check).
+# Demoted queries still run under the local pytest oracle harness
+# (tests/test_oracle_parity.py sweeps every registered name).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -753,16 +752,16 @@ _GATE_ORDER = [
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
     # reference pipeline: silver
     "silver_achats", "silver_clients", "quality_counters",
-    "quality_counters_clients",
     # reference pipeline: gold + serving
-    "ca_monthly", "ca_country", "ca_product", "fact_achats", "dim_clients",
+    "ca_monthly", "ca_country", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
-    "cohort_first_purchase", "serving_weekly", "serving_distribution",
-    "monthly_growth", "kpis_extended", "top_clients", "top_opportunities",
-    "to_reactivate", "union_scale", "anti_join_inactive",
+    "cohort_first_purchase", "serving_daily", "serving_distribution",
+    "monthly_growth", "kpis", "repeat_rate", "top_clients",
+    "top_opportunities", "to_reactivate", "union_scale",
+    "anti_join_inactive",
     # events / streaming twins
     "events_tumbling", "events_sessionize", "events_session_window",
-    "events_props", "events_daily_share",
+    "events_props", "events_daily_share", "attribution_join",
     # OLAP / join zoo
     "set_ops_users", "asof_event_purchase", "range_join_bands",
     "cumulative_monthly_revenue", "cube_sales", "pivot_event_counts",

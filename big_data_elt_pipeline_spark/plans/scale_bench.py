@@ -1,0 +1,110 @@
+"""Scaled-corpus benchmark for the dedup/ANN surface.
+
+The correctness gate runs these operators on the base ``documents`` /
+``embeddings`` tables; this module provides the SCALING evidence — the
+same operators on deterministic x4 / x16 / x64 corpora, built so the
+true-result size grows ~linearly with the factor:
+
+- Text copies get a per-copy SALT suffixed onto every word
+  (``a b c`` -> ``ac7 bc7 cc7``). Word n-gram shingles keep exactly the
+  base corpus's within-copy structure (so each copy contributes exactly
+  the base pair set), while no shingle ever matches across copies —
+  corpus xK means work and output exactly xK, not xK² (which a naive
+  concat-of-identical-copies corpus would produce and which no dedup
+  design could survive). A between-words salt token was tried first and
+  rejected: it degrades 3-gram shingles into effective unigrams
+  (``s1 the s1`` matches every doc containing "the"), blowing up LSH
+  buckets ~35x at x4.
+- Embedding copies are multiplied elementwise by a per-copy ±1 mask — an
+  orthogonal transform, so within-copy cosines (and the base copy's
+  ground truth) are bit-preserved while cross-copy cosines scatter and
+  sign-LSH buckets diverge. Queries stay FIXED (the base copy's probe
+  set): the realistic ANN scaling axis is corpus growth under a constant
+  query load.
+
+Near-linear wall-time across factors is the 100 TB claim made empirical:
+every stage is blocking-key equi-join / groupBy with no all-pairs term.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.operators import dedup as D
+from big_data_elt_pipeline_spark.operators import similarity as S
+from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+_ID_STRIDE = 10_000_000
+
+
+def _sign_mask(copy: int, dim: int) -> list[float]:
+    """Deterministic ±1 mask per copy — fixed LCG, engine-independent."""
+    x = (copy + 1) * 0x9E3779B97F4A7C15
+    out = []
+    for _ in range(dim):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(1.0 if (x >> 63) == 0 else -1.0)
+    return out
+
+
+def scaled_docs(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = [docs]
+    for k in range(1, factor):
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * _ID_STRIDE)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1c{k}").alias("text"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def scaled_embeddings(spark: SparkSession, sf_dir: str, factor: int, dim: int = 64) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = [emb]
+    for k in range(1, factor):
+        mask = F.array(*[F.lit(v) for v in _sign_mask(k, dim)])
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * _ID_STRIDE)).alias("vec_id"),
+                F.zip_with("embedding", mask, lambda a, b: (a * b).cast("float")).alias(
+                    "embedding"
+                ),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def run_scaled(
+    spark: SparkSession, sf_dir: str, factors: tuple[int, ...] = (1, 4, 16)
+) -> dict[str, float]:
+    """Time dedup_minhash / dedup_ngram_jaccard / ann_lsh_topk at each
+    corpus factor (single shot per point — the scaled runs dominate their
+    own noise floor). Also records result rows so linear OUTPUT growth is
+    auditable next to linear wall-time."""
+    out: dict[str, float] = {}
+    for factor in factors:
+        docs = scaled_docs(spark, sf_dir, factor)
+        emb = scaled_embeddings(spark, sf_dir, factor)
+        queries = emb.filter(F.col("vec_id") < 64)  # base copy only: fixed probes
+        runs = {
+            "dedup_minhash": lambda: D.minhash_dedup(docs),
+            "dedup_ngram_jaccard": lambda: D.ngram_jaccard_dedup(docs),
+            "ann_lsh_topk": lambda: S.lsh_topk(emb, queries, k=5, n_bits=8),
+        }
+        for name, fn in runs.items():
+            t0 = time.perf_counter()
+            n = fn().count()
+            out[f"scale_{name}_x{factor}"] = round(time.perf_counter() - t0, 4)
+            out[f"scale_{name}_x{factor}_rows"] = float(n)
+    return out

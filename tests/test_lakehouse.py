@@ -1,0 +1,76 @@
+"""Manifest-snapshot lakehouse emulation: commit log, time travel,
+snapshot isolation (immutable files + explicit-file-list reads)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import io as eio
+from big_data_elt_pipeline_spark import lakehouse as lh
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert lh.write_table(_df(spark, 0, 5), path, "append") == 0
+    assert lh.write_table(_df(spark, 5, 8), path, "append") == 1
+    assert lh.write_table(_df(spark, 100, 102), path, "overwrite") == 2
+
+    assert sorted(r.id for r in lh.read_table(spark, path, 0).collect()) == list(range(5))
+    assert sorted(r.id for r in lh.read_table(spark, path, 1).collect()) == list(range(8))
+    assert sorted(r.id for r in lh.read_table(spark, path, 2).collect()) == [100, 101]
+    # default = latest
+    assert sorted(r.id for r in lh.read_table(spark, path).collect()) == [100, 101]
+    assert lh.table_versions(path) == [0, 1, 2]
+
+
+def test_snapshot_isolation_across_concurrent_commits(spark, tmp_path):
+    """A snapshot DataFrame resolved at version N returns the same rows
+    even after later appends AND a later overwrite — the files it pinned
+    are never mutated or deleted."""
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 5), path, "append")
+    snap = lh.read_table(spark, path, 0)
+    before = sorted(r.id for r in snap.collect())
+
+    lh.write_table(_df(spark, 5, 50), path, "append")
+    lh.write_table(_df(spark, 900, 903), path, "overwrite")
+
+    # the old snapshot is stable; a fresh read sees the overwrite
+    assert sorted(r.id for r in snap.collect()) == before == list(range(5))
+    assert sorted(r.id for r in lh.read_table(spark, path).collect()) == [900, 901, 902]
+    # and the pre-overwrite history is still reachable by version
+    assert sorted(r.id for r in lh.read_table(spark, path, 1).collect()) == list(range(50))
+
+
+def test_read_lakehouse_serves_manifest_tables(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 3), path, "append")
+    lh.write_table(_df(spark, 3, 6), path, "append")
+    # first-class manifest format
+    assert eio.read_lakehouse(spark, "manifest", path, version=0).count() == 3
+    # delta jars are absent on this image — the manifest log at the same
+    # path still serves the table (and its history)
+    assert eio.read_lakehouse(spark, "delta", path).count() == 6
+    assert eio.read_lakehouse(spark, "delta", path, version=0).count() == 3
+
+
+def test_read_lakehouse_still_raises_without_a_log(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="connector jars"):
+        eio.read_lakehouse(spark, "delta", str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="unknown lakehouse format"):
+        eio.read_lakehouse(spark, "parquetish", str(tmp_path))
+
+
+def test_overwrite_with_empty_frame_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 3), path, "append")
+    lh.write_table(_df(spark, 0, 0), path, "overwrite")
+    out = lh.read_table(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["id", "val"]
+    assert lh.read_table(spark, path, 0).count() == 3
