@@ -191,3 +191,11 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-equality asserted in tests/test_streaming.py (equals
     ``attribution_join``, which carries the SQL oracle)."""
     return EV.stream_attribution_join(spark, sf_dir)
+
+
+@register("stream_dedup", None)  # cross-batch streaming state — rows-only
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once repair (dropDuplicatesWithinWatermark over
+    a twice-delivered source); equals batch dropDuplicates — asserted in
+    tests/test_streaming.py."""
+    return EV.stream_deduped_events(spark, sf_dir)

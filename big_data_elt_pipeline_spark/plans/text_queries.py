@@ -429,3 +429,159 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 64)
     out = SIM.lsh_topk(emb, queries, k=5, n_bits=8)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# keyword extraction: rarity-weighted top-k terms per document
+# --------------------------------------------------------------------------
+
+_KEYWORDS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, unnest({_TOK.format(c='text')}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM base GROUP BY doc_id, term
+),
+scored AS (
+    SELECT doc_id, term, tf,
+           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+           CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE)
+               / CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS score
+    FROM tf
+)
+SELECT doc_id, term, tf, df, score,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+@register("doc_keywords", _KEYWORDS_SQL)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per doc by rarity-weighted term frequency
+    (``tf * N / df`` — the TF-IDF shape with a RATIONAL idf so both
+    engines produce bit-identical doubles; a log idf differs in the last
+    ulp between libm implementations and would break the hash gate).
+
+    Scale shape: one explode + one groupBy(doc, term), document frequency
+    as a window over the (doc, term) relation (one shuffle on term), the
+    corpus size N broadcast from a 1-row aggregate, and a per-doc top-k
+    window — no all-pairs term joins anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    terms = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .join(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("__n")).cast("double") / F.col("df").cast("double"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus curation: the end-to-end training-data prep composite
+# --------------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+WITH {_DOCS2_SQL.strip()},
+base AS (
+    SELECT doc_id, text, {_TOK.format(c='text')} AS tok FROM docs2
+),
+st AS (
+    SELECT doc_id, text, tok,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({_count_in_sql('tok', TX.STOPWORDS)} AS BIGINT) AS n_stopwords,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+           {_LANG_SCORES},
+           md5(array_to_string(tok, ' ')) AS fingerprint
+    FROM base
+),
+r AS (
+    SELECT *,
+           CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio
+    FROM st
+),
+q AS (
+    SELECT *,
+           least(greatest(
+               0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * least(stopword_ratio * 5.0, 1.0)
+               + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)), 0.0), 1.0) AS quality,
+           {_LANG_CASE} AS lang_guess,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+           len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS bpe_tokens
+    FROM r
+)
+SELECT lang_guess AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+FROM q
+WHERE quality >= 0.5 AND lang_guess <> 'und' AND doc_id = canonical_id
+GROUP BY lang_guess
+ORDER BY lang_guess
+"""
+
+
+@register("corpus_curation", _CURATION_SQL)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data-prep composite, end-to-end in one declarative plan:
+    quality-score gate (>= 0.5) -> language ID (drop 'und') -> exact
+    dedup (keep the canonical min-id survivor) -> per-language token
+    budget. Runs on the dup-augmented ``docs2`` corpus so the dedup stage
+    provably removes rows.
+
+    Scale shape: the scalar features are one codegen pass over the scan;
+    dedup is ONE shuffle on fingerprint (window-min); the final rollup is
+    a tiny groupBy(lang). Nothing materializes between stages — Catalyst
+    fuses the whole curation into scan -> window -> filter -> agg.
+    """
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    docs = _docs2(spark, sf_dir)
+    n_tok = TX.token_count(t)
+    feats = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        TX.bpe_token_count(t).alias("bpe_tokens"),
+        TX.quality_score(t).alias("quality"),
+        TX.lang_id(t).alias("lang"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+    canon = feats.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    kept = canon.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang") != "und")
+        & (F.col("doc_id") == F.col("canonical_id"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )

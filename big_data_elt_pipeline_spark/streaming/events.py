@@ -304,3 +304,62 @@ def stream_tumbling_revenue_to_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def _staged_dup_events_dir(sf_dir: str) -> str:
+    """Landing zone holding the events fixture TWICE (two files) — the
+    at-least-once-delivery corpus for the streaming dedup operator."""
+    import pathlib
+    import shutil
+
+    stage = pathlib.Path("/tmp/spark_graft_stream_dup") / pathlib.Path(sf_dir).name
+    stage.mkdir(parents=True, exist_ok=True)
+    for name in ("events_a.parquet", "events_b.parquet"):
+        target = stage / name
+        if not target.exists():
+            shutil.copyfile(f"{sf_dir}/events.parquet", target)
+    return str(stage)
+
+
+def stream_deduped_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once repair for at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on the event key.
+
+    The staged source delivers EVERY event twice, in different
+    micro-batches (``maxFilesPerTrigger=1``), so the dedup state must
+    carry across batches — each event is emitted exactly once
+    (batch-equality with ``events_df().dropDuplicates`` asserted in
+    tests/test_streaming.py). ``WithinWatermark`` is what makes this a
+    100 TB operator: plain streaming ``dropDuplicates`` keeps every key
+    forever, while this variant evicts keys older than the watermark —
+    bounded state under unbounded input, with the dedup guarantee scoped
+    to the redelivery window (real redelivery happens within seconds).
+    """
+    from big_data_elt_pipeline_spark.sources.tpch import ensure_nanos_conf, events_ts_col
+
+    ensure_nanos_conf(spark)
+    stage = _staged_dup_events_dir(sf_dir)
+    schema = events_raw_schema(spark, stage)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = (
+        raw.select(
+            "event_id",
+            events_ts_col(schema["ts"].dataType).alias("ts"),
+            "user_id", "event_type", "value",
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = "stream_dedup_sink"
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -223,3 +223,27 @@ def test_tumbling_sink_checkpoint_recovery(spark, tmp_path):
     assert got.event_type.tolist() == batch.event_type.tolist()
     assert got.n.tolist() == batch.n.tolist()
     assert got.total_value.tolist() == batch.total_value.tolist()
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    """Every event delivered twice across micro-batches comes out exactly
+    once — equal to the batch dropDuplicates on the single-delivery set."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+    from big_data_elt_pipeline_spark.streaming.events import stream_deduped_events
+
+    stream = stream_deduped_events(spark, SF_SMOKE).toPandas()
+    batch = (
+        events_df(spark, SF_SMOKE)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .dropDuplicates(["event_id"])
+        .toPandas()
+    )
+    assert len(stream) == len(batch) > 0
+    assert not stream.event_id.duplicated().any()
+    s = stream.sort_values("event_id").reset_index(drop=True)
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    assert (s.event_id.values == b.event_id.values).all()
+    assert (s.value.values == b.value.values).all()
+    assert (s.ts.values == b.ts.values).all()
