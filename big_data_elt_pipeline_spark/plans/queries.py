@@ -735,7 +735,11 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # after the corpus regeneration); OUT — four r03-green same-family members
 # (``ca_product`` → A3 keeps ca_monthly+ca_country; ``serving_weekly`` →
 # A4 keeps serving_daily; ``kpis_extended`` → A7 keeps kpis;
-# ``quality_counters_clients`` → P9 keeps quality_counters). Rows-only
+# ``quality_counters_clients`` → P9 keeps quality_counters). The two
+# NEW round-4 operators (``doc_keywords``, ``corpus_curation``) take the
+# slots of r03-green ``events_session_window`` (events family keeps
+# tumbling/sessionize/props/daily_share) and ``calendar_dense_monthly``
+# (OLAP family keeps rollup/cube/cumulative). Rows-only
 # queries stay out of the window (they'd burn a slot on the weaker check).
 # Demoted queries still run under the local pytest oracle harness
 # (tests/test_oracle_parity.py sweeps every registered name).
@@ -745,9 +749,9 @@ GATE_LIMIT = 50
 
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search
-    "doc_stats", "doc_token_budget", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_jaccard", "embedding_neardup", "ann_topk",
-    "ann_lsh_topk",
+    "doc_stats", "doc_token_budget", "doc_keywords", "corpus_curation",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "embedding_neardup", "ann_topk", "ann_lsh_topk",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
     # reference pipeline: silver
@@ -760,12 +764,12 @@ _GATE_ORDER = [
     "top_opportunities", "to_reactivate", "union_scale",
     "anti_join_inactive",
     # events / streaming twins
-    "events_tumbling", "events_sessionize", "events_session_window",
+    "events_tumbling", "events_sessionize",
     "events_props", "events_daily_share", "attribution_join",
     # OLAP / join zoo
     "set_ops_users", "asof_event_purchase", "range_join_bands",
     "cumulative_monthly_revenue", "cube_sales", "pivot_event_counts",
-    "calendar_dense_monthly", "rollup_sales_monthly",
+    "rollup_sales_monthly",
     # ML / multimodal / profiling
     "multimodal_features", "grouped_center", "tpch_q1_sql",
     "profile_documents",
