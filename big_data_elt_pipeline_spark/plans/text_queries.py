@@ -585,3 +585,75 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# context-window packing: assign documents to fixed token-budget bins
+# --------------------------------------------------------------------------
+
+_PACK_SHARDS = 8
+_PACK_CAPACITY = 512
+
+_PACKING_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({_TOK.format(c='text')}) AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {_PACK_SHARDS} AS INT) AS shard
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens, shard,
+           sum(least(n_tokens, {_PACK_CAPACITY})) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum_tokens
+    FROM base
+)
+SELECT doc_id, n_tokens, shard,
+       CAST((cum_tokens - 1) // {_PACK_CAPACITY} AS BIGINT) AS bin_in_shard,
+       CAST(shard * 1000000 + (cum_tokens - 1) // {_PACK_CAPACITY} AS BIGINT) AS bin_id
+FROM cum
+"""
+
+
+@register("doc_packing", _PACKING_SQL)
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign each document to a fixed
+    token-capacity bin (the pretraining sequence-packing step).
+
+    Global greedy packing is inherently sequential, so the SCALABLE form
+    shards first (md5 of doc_id mod S — deterministic, engine-portable)
+    and packs within each shard by doc_id order via one windowed running
+    sum: bin = floor((cumsum-1) / capacity). Oversized docs are clamped to
+    one full bin (``least(n_tokens, capacity)``) rather than overflowing
+    their neighbors. S shards = S independent window partitions — the
+    100 TB story is one shuffle on shard and embarrassingly parallel
+    packing inside; capacity utilization loss vs global greedy is the
+    usual first-fit trade, bounded and auditable from the output.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % _PACK_SHARDS
+    ).cast("int")
+    base = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = base.withColumn(
+        "cum_tokens", F.sum(F.least(F.col("n_tokens"), F.lit(_PACK_CAPACITY))).over(w)
+    )
+    # integer floor-division in BOTH engines: DuckDB CAST(double AS BIGINT)
+    # ROUNDS while Spark .cast("long") truncates — // and F.floor agree
+    bin_in_shard = F.floor((F.col("cum_tokens") - 1) / F.lit(_PACK_CAPACITY)).cast("long")
+    return cum.select(
+        "doc_id", "n_tokens", "shard",
+        bin_in_shard.alias("bin_in_shard"),
+        (F.col("shard").cast("long") * 1_000_000 + bin_in_shard).alias("bin_id"),
+    )
