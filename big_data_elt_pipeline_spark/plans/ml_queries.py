@@ -273,3 +273,42 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register("audio_features", None)  # real binary codec path — rows-only
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the registry: deterministic per-doc sine
+    WAVs (freq/duration derived from doc_id) synthesized in one
+    mapInPandas pass, then decoded by the stdlib-wave codec in another —
+    the full binary-column round trip (synthesize -> opaque payload ->
+    decode -> typed features). Feature correctness is pinned by the
+    analytic test (sine RMS = A/sqrt(2), tests/test_ml_multimodal.py);
+    the driver records the rows-only check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_elt_pipeline_spark.operators import multimodal as MM
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "payload": [
+                        MM.synth_wav(
+                            freq_hz=100.0 + float(i % 400),
+                            duration_s=0.05 + (i % 5) * 0.025,
+                            rate=8000,
+                            amp=0.5,
+                        )
+                        for i in b["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    media = MM.to_media_table(payloads, "media_id", "payload", mime="audio/wav")
+    return MM.extract_audio_features(media).orderBy("media_id")
