@@ -37,15 +37,20 @@ BENCH_QUERIES = [
     "silver_clients",
     # beyond-reference surface
     "doc_stats",
+    "doc_keywords",
+    "doc_packing",
+    "corpus_curation",
     "dedup_exact",
     "dedup_minhash",
     "ann_topk",
     "ann_lsh_topk",
     "events_tumbling",
     "events_sessionize",
+    "attribution_join",
     "asof_event_purchase",
     "cube_sales",
     "pivot_event_counts",
+    "tpch_q3",
 ]
 
 
