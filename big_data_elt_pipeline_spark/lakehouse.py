@@ -135,3 +135,23 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
         schema = T.StructType.fromJson(_read_commit(path, versions[-1])["schema"])
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)
+
+
+def stream_ingest(
+    df_stream, path: str, checkpoint_dir: str | None = None
+):
+    """Streaming ingestion INTO a manifest table: each micro-batch lands
+    as one atomic versioned commit, so the table history IS the batch
+    history — any prefix of the stream is reconstructable via
+    ``read_table(version=N)``, and a reader mid-ingest sees only whole
+    commits (the same snapshot isolation as batch writes).
+
+    Returns the started ``StreamingQuery``; callers drive it
+    (``processAllAvailable``/``awaitTermination``) and stop it.
+    """
+    writer = df_stream.writeStream.outputMode("append").foreachBatch(
+        lambda batch, _epoch: write_table(batch, path, mode="append")
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

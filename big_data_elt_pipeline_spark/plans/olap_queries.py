@@ -267,3 +267,30 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return out
+
+
+@register("grouping_sets_sales", _D + """
+SELECT pays, produit,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+       count(*) AS n,
+       CAST(grouping(pays) AS INT) AS g_pays,
+       CAST(grouping(produit) AS INT) AS g_produit
+FROM fact GROUP BY GROUPING SETS ((pays), (produit), ())
+""")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-country, per-product, grand total in
+    one pass — the general form cube/rollup specialize) with grouping()
+    flags to disambiguate real NULL keys from aggregation placeholders.
+    One Expand + one shuffle, identical plan family to CUBE."""
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, sf_dir)
+    fact.createOrReplaceTempView("__fact_gs")
+    return spark.sql("""
+        SELECT pays, produit,
+               CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+               count(*) AS n,
+               CAST(grouping(pays) AS INT) AS g_pays,
+               CAST(grouping(produit) AS INT) AS g_produit
+        FROM __fact_gs GROUP BY GROUPING SETS ((pays), (produit), ())
+    """)

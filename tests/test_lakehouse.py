@@ -74,3 +74,34 @@ def test_overwrite_with_empty_frame_keeps_schema(spark, tmp_path):
     assert out.count() == 0
     assert out.columns == ["id", "val"]
     assert lh.read_table(spark, path, 0).count() == 3
+
+
+def test_stream_ingest_commits_per_batch(spark, tmp_path):
+    """Streaming → manifest table: one atomic commit per micro-batch;
+    version history replays the stream prefix-by-prefix and the final
+    table equals the batch union."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    _df(spark, 0, 4).coalesce(1).write.mode("append").parquet(src)
+    _df(spark, 4, 9).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = lh.stream_ingest(stream, path, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = lh.table_versions(path)
+    assert len(versions) == 2  # one commit per micro-batch
+    assert lh.read_table(spark, path).count() == 9
+    v0 = lh.read_table(spark, path, versions[0]).count()
+    assert v0 in (4, 5)  # one whole file, whichever arrived first
+    # replaying history: each version adds exactly one batch
+    assert lh.read_table(spark, path, versions[1]).count() == 9
