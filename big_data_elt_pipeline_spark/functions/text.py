@@ -123,6 +123,36 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(k >= n, ngrams).otherwise(F.array(F.concat_ws(" ", tok)))
 
 
+def top_token_ratio(col: Column) -> Column:
+    """Share of all tokens taken by the single most frequent token — the
+    Gopher-style repetition signal (a doc where one word is 40% of the
+    text is boilerplate, not prose).
+
+    Pure array expressions: count each DISTINCT token's occurrences with a
+    ``transform``+``filter`` lambda and take the max. O(tokens x distinct)
+    per document, but entirely JVM-side with zero shuffle — at 100 TB this
+    stays a map-only pass over the scan (documents are short relative to
+    partition sizes; no groupBy/explode needed)."""
+    tok = tokens(col)
+    per_distinct = F.transform(
+        F.array_distinct(tok),
+        lambda d: F.size(F.filter(tok, lambda x: x == d)),
+    )
+    return F.array_max(per_distinct).cast("double") / F.size(tok).cast("double")
+
+
+def dup_ngram_ratio(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document (``1 - distinct/total``) — the second Gopher-style
+    repetition signal. Map-only array math, same scale story as
+    ``top_token_ratio``."""
+    ng = word_shingles(col, n)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(ng)).cast("double") / F.size(ng).cast("double")
+    )
+
+
 def hash32(col: Column) -> Column:
     """Portable 32-bit string hash: first 8 hex chars of md5 → bigint.
     Identical in DuckDB as ``('0x' || substr(md5(s),1,8))::BIGINT``."""

@@ -1,0 +1,105 @@
+"""Corpus-level governance operators: benchmark-contamination detection and
+deterministic stratified mixture sampling.
+
+Beyond-reference surface — two steps every large-scale training-data
+pipeline runs between "cleaned corpus" and "training mixture":
+
+- ``benchmark_overlap``: find training documents that share enough word
+  n-grams with a held-out benchmark/eval set to count as contaminated
+  (the n-gram-overlap decontamination rule used by GPT-3/PaLM-style data
+  cards, on the same shingle machinery as the dedup family).
+- ``stratified_sample``: down/up-weight strata (language, source, domain)
+  to target rates with a DETERMINISTIC per-row coin flip — a Knuth-style
+  multiplicative hash of the id, not ``rand()`` — so the sampled corpus is
+  reproducible run-to-run, engine-to-engine, and auditable by the DuckDB
+  oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.operators.dedup import shingle_table
+
+# Knuth multiplicative-hash constants for the sampling coin flip. The modulus
+# is a power of two so ``(id * A + C) % M / M`` is exact integer→double math
+# in both engines (no float rounding ambiguity at the rate boundary).
+SAMPLE_A = 2654435761
+SAMPLE_C = 12345
+SAMPLE_M = 1 << 20
+
+
+def benchmark_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """(train_id, bench_id, n_shared) for every train doc sharing at least
+    ``min_shared`` distinct word ``n``-grams with a benchmark doc.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    thousands of docs, the corpus is billions), so its shingle table is
+    broadcast — the contamination scan is then a map-side hash join over
+    the training shingles with NO shuffle of the 100 TB side; the only
+    exchange is the tiny groupBy on (train_id, bench_id) candidate pairs.
+    ``shingle_table`` emits distinct (doc, shingle) pairs by construction,
+    so ``count(*)`` per pair IS the distinct-shared-shingle count.
+    """
+    tr = shingle_table(train, id_col, text_col, n).withColumnRenamed(id_col, "train_id")
+    be = shingle_table(bench, id_col, text_col, n).withColumnRenamed(id_col, "bench_id")
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sample_flag(id_col: F.Column, rate_col: F.Column) -> F.Column:
+    """Deterministic keep/drop decision: uniform-ish u in [0,1) from a
+    multiplicative hash of the id, kept iff ``u < rate``. Pure bigint
+    arithmetic + one exact division — bit-identical in any engine."""
+    u = ((id_col.cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_C)) % F.lit(SAMPLE_M)) \
+        .cast("double") / F.lit(float(SAMPLE_M))
+    return u < rate_col
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum summary of a deterministic mixture-sampling pass:
+    (stratum, target_rate, n_docs, n_sampled, realized_rate, weight).
+
+    ``weight`` = 1/rate is the importance weight a loss-reweighting
+    trainer would attach to surviving rows. One map-only flag pass plus
+    one tiny groupBy on the stratum — no other shuffle at any scale.
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    flagged = docs.select(
+        F.col(strata_col).alias("stratum"),
+        rate.alias("target_rate"),
+        sample_flag(F.col(id_col), rate).cast("int").alias("sampled"),
+    )
+    return (
+        flagged.groupBy("stratum", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sampled").cast("long").alias("n_sampled"),
+            (F.sum("sampled").cast("double") / F.count(F.lit(1))).alias("realized_rate"),
+        )
+        .withColumn(
+            "weight",
+            F.when(F.col("target_rate") > 0, F.lit(1.0) / F.col("target_rate")).otherwise(F.lit(0.0)),
+        )
+        .orderBy("stratum")
+    )

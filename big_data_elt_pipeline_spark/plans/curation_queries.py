@@ -1,0 +1,331 @@
+"""Training-data governance queries: PII scrubbing, repetition quality,
+benchmark decontamination, mixture sampling, vocabulary statistics.
+
+Beyond-reference surface (the reference pipeline stops at BI gold tables;
+a 100 TB LLM corpus pipeline additionally needs the governance pass between
+"cleaned corpus" and "training mixture"). Every query is a bit-identical
+DuckDB oracle pair; the regex / hash constants are shared Python values so
+parity is structural.
+
+The synthetic ``documents`` corpus carries no real PII, so ``pii_scrub``
+derives deterministic PII-bearing text FROM ``doc_id`` inside the query
+(same derivation in both engines) — the machinery under test is the
+detect/redact pass, not the generator. Same trick as the dirty-data
+fixtures and the ``docs2`` perturbed-dup corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions import text as TX
+from big_data_elt_pipeline_spark.operators import privacy as PII
+from big_data_elt_pipeline_spark.operators import sampling as SMP
+from big_data_elt_pipeline_spark.plans.queries import register
+from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+_TOK = "string_split_regex(lower(trim({c})), '\\s+')"
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB mirror of functions/text.word_shingles for width ``n``."""
+    return (
+        f"CASE WHEN len(tok) >= {n} THEN "
+        f"list_transform(range(0, len(tok)-{n}+1), i -> array_to_string(tok[(i+1):(i+{n})], ' ')) "
+        "ELSE [array_to_string(tok, ' ')] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# pii_scrub: detect + redact emails / phones / IPv4 (audit counts + scrubbed
+# fingerprint). PII text is derived deterministically from doc_id.
+# --------------------------------------------------------------------------
+
+_PII_EXTRA_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+  WHEN 1 THEN ' call +1-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
+  WHEN 2 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 3) % 256 AS VARCHAR) || '.' || CAST((doc_id * 5) % 256 AS VARCHAR) || ' up'
+  ELSE ''
+END
+"""
+
+_PII_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id, text || ({_PII_EXTRA_SQL.strip()}) AS text2 FROM documents
+),
+counted AS (
+    SELECT doc_id, text2,
+           CAST(len(regexp_extract_all(text2, '{PII.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text2, '{PII.PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text2, '{PII.IPV4_RE}')) AS BIGINT) AS n_ips
+    FROM seeded
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       n_emails + n_phones + n_ips AS pii_total,
+       (n_emails + n_phones + n_ips) = 0 AS is_clean,
+       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+           '{PII.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII.PHONE_RE}', '<PHONE>', 'g'),
+           '{PII.IPV4_RE}', '<IP>', 'g')) AS redacted_fp
+FROM counted
+"""
+
+
+def _pii_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    extra = (
+        F.when(did % 4 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")))
+        .when(did % 4 == 1, F.concat(F.lit(" call +1-555-"), F.lpad(((did * 7) % 10000).cast("string"), 4, "0"), F.lit(" today")))
+        .when(did % 4 == 2, F.concat(
+            F.lit(" node 10."), (did % 256).cast("string"),
+            F.lit("."), ((did * 3) % 256).cast("string"),
+            F.lit("."), ((did * 5) % 256).cast("string"), F.lit(" up")))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), extra).alias("text2"))
+
+
+@register("pii_scrub", _PII_SQL)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII governance pass: per-category detection counts + the md5 of the
+    fully redacted text (the provable "scrubbed corpus" artifact).
+
+    Scale shape: one whole-stage-codegen pass over the scan — three
+    ``regexp_count`` + three chained ``regexp_replace`` + md5, zero
+    shuffles, zero Python. At 100 TB this is embarrassingly parallel and
+    I/O-bound, exactly what a scrub pass should be.
+    """
+    seeded = _pii_seeded(spark, sf_dir)
+    t2 = F.col("text2")
+    counts = PII.pii_counts(t2)
+    total = counts["email"] + counts["phone"] + counts["ip"]
+    return seeded.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        total.alias("pii_total"),
+        (total == 0).alias("is_clean"),
+        F.md5(PII.redact(t2)).alias("redacted_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_repetition: Gopher-style repetition quality signals
+# --------------------------------------------------------------------------
+
+_REPETITION_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(tok) AS term FROM base
+),
+tc AS (
+    SELECT doc_id, term, count(*) AS n FROM toks GROUP BY doc_id, term
+),
+tops AS (
+    SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM tc GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS b FROM base
+),
+bgs AS (
+    SELECT doc_id, count(*) AS tot_bg, count(DISTINCT b) AS dist_bg
+    FROM bg GROUP BY doc_id
+),
+tg AS (
+    SELECT doc_id, unnest({_shingle_sql(3)}) AS t FROM base
+),
+tgs AS (
+    SELECT doc_id, count(*) AS tot_tg, count(DISTINCT t) AS dist_tg
+    FROM tg GROUP BY doc_id
+)
+SELECT tops.doc_id, n_tokens,
+       CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio,
+       1.0 - CAST(dist_bg AS DOUBLE) / CAST(tot_bg AS DOUBLE) AS dup_bigram_ratio,
+       1.0 - CAST(dist_tg AS DOUBLE) / CAST(tot_tg AS DOUBLE) AS dup_trigram_ratio,
+       (CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2)
+        OR (1.0 - CAST(dist_bg AS DOUBLE) / CAST(tot_bg AS DOUBLE) > 0.3) AS is_repetitive
+FROM tops
+JOIN bgs ON tops.doc_id = bgs.doc_id
+JOIN tgs ON tops.doc_id = tgs.doc_id
+"""
+
+
+@register("doc_repetition", _REPETITION_SQL)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter signals (Rae et al., Gopher §A1.1-style):
+    share of the most frequent token, and the duplicate word-{2,3}-gram
+    fractions, with the boilerplate flag at the published-ish thresholds
+    (top-token > 0.2 OR dup-bigram > 0.3).
+
+    Scale shape: the Spark side is PURE ARRAY MATH on the tokens column —
+    ``array_distinct``/``transform``/``filter``/``array_max`` — a map-only
+    codegen pass with ZERO shuffles (the oracle's unnest+groupBy shape
+    would shuffle the full token explosion; the array form never leaves
+    the row). Same doubles: integer counts divided as doubles.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    top = TX.top_token_ratio(t)
+    bg = TX.dup_ngram_ratio(t, 2)
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        top.alias("top_token_ratio"),
+        bg.alias("dup_bigram_ratio"),
+        TX.dup_ngram_ratio(t, 3).alias("dup_trigram_ratio"),
+        ((top > 0.2) | (bg > 0.3)).alias("is_repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contamination_check: n-gram overlap decontamination vs a benchmark split
+# --------------------------------------------------------------------------
+
+_CONTAM_SQL = f"""
+WITH bench AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+),
+train AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+    FROM bench
+),
+tsh AS (
+    SELECT doc_id AS train_id, unnest(list_distinct(sh)) AS shingle
+    FROM (SELECT doc_id, {_shingle_sql(5)} AS sh
+          FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM train))
+),
+bsh AS (
+    SELECT doc_id AS bench_id, unnest(list_distinct(sh)) AS shingle
+    FROM (SELECT doc_id, {_shingle_sql(5)} AS sh
+          FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM bench))
+)
+SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tsh JOIN bsh USING (shingle)
+GROUP BY train_id, bench_id
+HAVING count(*) >= 3
+"""
+
+
+@register("contamination_check", _CONTAM_SQL)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 3 distinct word
+    5-grams with any benchmark doc (the GPT-3/PaLM-style n-gram overlap
+    rule). The benchmark split is ``doc_id % 37 = 0``; the train side is
+    augmented with first-token-dropped copies of the benchmark docs
+    (id+20000) so the query provably flags planted contamination.
+
+    Scale shape: ``operators/sampling.benchmark_overlap`` — the benchmark
+    shingle table is broadcast (eval sets are tiny vs a 100 TB corpus), so
+    the train side is scanned once with a map-side hash join and the only
+    shuffle is the candidate-pair groupBy. No all-pairs anything.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    planted = bench.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 37 != 0).unionByName(planted)
+    return SMP.benchmark_overlap(train, bench, n=5, min_shared=3)
+
+
+# --------------------------------------------------------------------------
+# mixture_sample: deterministic stratified sampling to target mixture rates
+# --------------------------------------------------------------------------
+
+# exact binary fractions on purpose: target_rate and weight=1/rate are then
+# exactly representable doubles, so the hash-gate has no rounding exposure
+MIX_RATES: dict[str, float] = {"en": 0.5, "fr": 0.75, "de": 1.0, "es": 0.25, "zh": 0.125}
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in sorted(MIX_RATES.items())
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+_MIX_SQL = f"""
+WITH flagged AS (
+    SELECT lang AS stratum,
+           {_RATE_CASE} AS target_rate,
+           CASE WHEN CAST((doc_id * {SMP.SAMPLE_A} + {SMP.SAMPLE_C}) % {SMP.SAMPLE_M} AS DOUBLE)
+                     / {float(SMP.SAMPLE_M)} < {_RATE_CASE}
+                THEN 1 ELSE 0 END AS sampled
+    FROM documents
+)
+SELECT stratum, target_rate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(sampled) AS BIGINT) AS n_sampled,
+       CAST(sum(sampled) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS realized_rate,
+       CASE WHEN target_rate > 0 THEN 1.0 / target_rate ELSE 0.0 END AS weight
+FROM flagged
+GROUP BY stratum, target_rate
+ORDER BY stratum
+"""
+
+
+@register("mixture_sample", _MIX_SQL)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: deterministic per-language sampling
+    to target rates (en 50%, zh 12.5%, ...) with importance weights.
+
+    The coin flip is a Knuth multiplicative hash of ``doc_id`` — NOT
+    ``rand()`` — so the mixture is reproducible, engine-portable, and the
+    DuckDB oracle verifies the exact same survivor set. Scale shape: one
+    map-only flag pass + one tiny groupBy(stratum); re-running on a grown
+    corpus keeps every previously-sampled row (append-stable sampling).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return SMP.stratified_sample(docs, MIX_RATES, strata_col="lang", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# vocab_topk: corpus vocabulary statistics (top-100 by term frequency)
+# --------------------------------------------------------------------------
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOK.format(c='text')}) AS term FROM documents
+),
+agg AS (
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY term
+)
+SELECT term, tf, df, rank FROM (
+    SELECT term, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS rank
+    FROM agg
+)
+WHERE rank <= 100
+"""
+
+
+@register("vocab_topk", _VOCAB_SQL)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 terms by total frequency with
+    document frequency (the tokenizer-training / stopword-audit view).
+
+    Scale shape: explode + one groupBy(term) with map-side partial
+    aggregation, then ``orderBy(...).limit(100)`` — Spark executes that as
+    TakeOrderedAndProject (per-partition top-k, merge on driver-sized
+    output), NOT a global sort of the vocabulary. The row_number window
+    runs on the 100 surviving rows only. Tie-break (tf DESC, term ASC) is
+    total, so rank is deterministic.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    agg = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    head = agg.orderBy(F.desc("tf"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return head.withColumn("rank", F.row_number().over(w).cast("int"))

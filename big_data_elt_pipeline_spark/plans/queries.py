@@ -717,6 +717,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # extended registries (register themselves on import; import at the tail so
 # `register` is already defined)
+from big_data_elt_pipeline_spark.plans import curation_queries  # noqa: E402,F401
 from big_data_elt_pipeline_spark.plans import events_queries  # noqa: E402,F401
 from big_data_elt_pipeline_spark.plans import lakehouse_queries  # noqa: E402,F401
 from big_data_elt_pipeline_spark.plans import ml_queries  # noqa: E402,F401
@@ -739,8 +740,15 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # NEW round-4 operators (``doc_keywords``, ``corpus_curation``) take the
 # slots of r03-green ``events_session_window`` (events family keeps
 # tumbling/sessionize/props/daily_share) and ``calendar_dense_monthly``
-# (OLAP family keeps rollup/cube/cumulative). Rows-only
-# queries stay out of the window (they'd burn a slot on the weaker check).
+# (OLAP family keeps rollup/cube/cumulative); the five round-4 governance
+# operators (``pii_scrub``/``doc_repetition``/``contamination_check``/
+# ``mixture_sample``/``vocab_topk``) take the slots of r03-green
+# ``set_ops_users`` (U-family keeps union_scale), ``multimodal_features``,
+# ``pivot_event_counts`` (OLAP keeps cube/rollup/cumulative),
+# ``to_reactivate`` (top-k family keeps top_clients/top_opportunities) and
+# ``events_props`` (events family keeps tumbling/sessionize/daily_share).
+# Rows-only queries stay out of the window (they'd burn a slot on the
+# weaker check).
 # Demoted queries still run under the local pytest oracle harness
 # (tests/test_oracle_parity.py sweeps every registered name).
 # --------------------------------------------------------------------------
@@ -748,8 +756,10 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 GATE_LIMIT = 50
 
 _GATE_ORDER = [
-    # LLM-data-pipeline: text stats, dedup, similarity search
+    # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "doc_token_budget", "doc_keywords", "corpus_curation",
+    "pii_scrub", "doc_repetition", "contamination_check",
+    "mixture_sample", "vocab_topk",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "embedding_neardup", "ann_topk", "ann_lsh_topk",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
@@ -761,17 +771,17 @@ _GATE_ORDER = [
     "client_features", "client_scores", "segment_summary",
     "cohort_first_purchase", "serving_daily", "serving_distribution",
     "monthly_growth", "kpis", "repeat_rate", "top_clients",
-    "top_opportunities", "to_reactivate", "union_scale",
+    "top_opportunities", "union_scale",
     "anti_join_inactive",
     # events / streaming twins
     "events_tumbling", "events_sessionize",
-    "events_props", "events_daily_share", "attribution_join",
+    "events_daily_share", "attribution_join",
     # OLAP / join zoo
-    "set_ops_users", "asof_event_purchase", "range_join_bands",
-    "cumulative_monthly_revenue", "cube_sales", "pivot_event_counts",
+    "asof_event_purchase", "range_join_bands",
+    "cumulative_monthly_revenue", "cube_sales",
     "rollup_sales_monthly",
     # ML / multimodal / profiling
-    "multimodal_features", "grouped_center", "tpch_q1_sql",
+    "grouped_center", "tpch_q1_sql",
     "profile_documents",
 ]
 
