@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "cube_sales",
     "pivot_event_counts",
     "tpch_q3",
+    "pii_scrub",
+    "doc_repetition",
+    "contamination_check",
 ]
 
 

@@ -286,6 +286,80 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# doc_chunking: overlapping token-window chunking (embedding/RAG prep)
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 64   # window size (tokens)
+_CHUNK_S = 48   # stride (tokens) -> 16-token overlap
+
+_CHUNK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents
+),
+pre AS (
+    SELECT doc_id, tok, len(tok) AS n, greatest(len(tok) - {_CHUNK_W}, 0) AS m FROM base
+),
+st AS (
+    SELECT doc_id, tok, n,
+           CASE WHEN m % {_CHUNK_S} <> 0 THEN list_append(range(0, m + 1, {_CHUNK_S}), m)
+                ELSE range(0, m + 1, {_CHUNK_S}) END AS starts
+    FROM pre
+),
+ex AS (
+    SELECT doc_id, tok, n,
+           unnest(range(0, len(starts))) AS chunk_id,
+           unnest(starts) AS start_tok
+    FROM st
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, n - start_tok) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(tok[(start_tok + 1):(least(start_tok + {_CHUNK_W}, n))], ' ')) AS chunk_fp
+FROM ex
+"""
+
+
+@register("doc_chunking", _CHUNK_SQL)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 64, stride 48) — the
+    embedding-pipeline / RAG document splitter. Chunk starts are
+    ``0, S, 2S, ...`` up to ``n-W``, plus a final ``n-W`` start so the
+    tail is always a FULL window (no sub-window fragment duplicating the
+    previous chunk); docs shorter than one window yield exactly one chunk.
+
+    Scale shape: pure array math + one ``posexplode`` — map-only, no
+    shuffle, chunk text never leaves the row (only its md5 is emitted).
+    The output is the (doc_id, chunk) relation an embedding batch job
+    would feed through ``mapInPandas``.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    base = docs.select("doc_id", tok.alias("tok"))
+    pre = base.select(
+        "doc_id", "tok",
+        F.size("tok").alias("n"),
+        F.greatest(F.size("tok") - F.lit(_CHUNK_W), F.lit(0)).alias("m"),
+    )
+    seq = F.sequence(F.lit(0), F.col("m"), F.lit(_CHUNK_S))
+    starts = F.when(
+        F.col("m") % _CHUNK_S != 0, F.concat(seq, F.array(F.col("m")))
+    ).otherwise(seq)
+    ex = pre.select(
+        "doc_id", "tok", "n", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    chunk = F.slice(
+        F.col("tok"), F.col("start_tok") + 1,
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start_tok")),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
 # vocab_topk: corpus vocabulary statistics (top-100 by term frequency)
 # --------------------------------------------------------------------------
 

@@ -747,6 +747,13 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # ``pivot_event_counts`` (OLAP keeps cube/rollup/cumulative),
 # ``to_reactivate`` (top-k family keeps top_clients/top_opportunities) and
 # ``events_props`` (events family keeps tumbling/sessionize/daily_share).
+# Final round-4 pass: every oracle-backed query NEW this round earns a
+# driver slot — IN ``doc_chunking``/``doc_packing``/``tpch_q3``/
+# ``grouping_sets_sales``; OUT r03-green ``cube_sales`` (OLAP keeps
+# rollup/cumulative/grouping-sets), ``events_daily_share`` (events keeps
+# tumbling/sessionize + attribution), ``tpch_q1_sql`` (TPC-H-shape slot
+# passes to q3, which exercises joins; q1 keeps its r03 row + local
+# sweep) and ``top_opportunities`` (top-k keeps top_clients).
 # Rows-only queries stay out of the window (they'd burn a slot on the
 # weaker check).
 # Demoted queries still run under the local pytest oracle harness
@@ -759,7 +766,7 @@ _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "doc_token_budget", "doc_keywords", "corpus_curation",
     "pii_scrub", "doc_repetition", "contamination_check",
-    "mixture_sample", "vocab_topk",
+    "mixture_sample", "vocab_topk", "doc_chunking", "doc_packing",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "embedding_neardup", "ann_topk", "ann_lsh_topk",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
@@ -771,17 +778,16 @@ _GATE_ORDER = [
     "client_features", "client_scores", "segment_summary",
     "cohort_first_purchase", "serving_daily", "serving_distribution",
     "monthly_growth", "kpis", "repeat_rate", "top_clients",
-    "top_opportunities", "union_scale",
+    "union_scale",
     "anti_join_inactive",
     # events / streaming twins
-    "events_tumbling", "events_sessionize",
-    "events_daily_share", "attribution_join",
+    "events_tumbling", "events_sessionize", "attribution_join",
     # OLAP / join zoo
     "asof_event_purchase", "range_join_bands",
-    "cumulative_monthly_revenue", "cube_sales",
+    "cumulative_monthly_revenue", "grouping_sets_sales",
     "rollup_sales_monthly",
     # ML / multimodal / profiling
-    "grouped_center", "tpch_q1_sql",
+    "grouped_center", "tpch_q3",
     "profile_documents",
 ]
 

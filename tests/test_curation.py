@@ -99,6 +99,51 @@ def test_benchmark_overlap_flags_planted_copy_only(spark):
     assert out[0].n_shared == 15
 
 
+def test_doc_chunking_boundary_rules(spark):
+    # plans.queries is the canonical import entry (tail-imports the plan
+    # modules in order); importing a plan submodule first would hit the
+    # registry while it's half-built
+    import big_data_elt_pipeline_spark.plans.queries  # noqa: F401
+    from big_data_elt_pipeline_spark.plans.curation_queries import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_doc_chunking,
+    )
+    import big_data_elt_pipeline_spark.sources.tpch as tpch
+
+    # craft docs around the boundary: exactly W, W+1, W+S, and tiny
+    lens = {1: _CHUNK_W, 2: _CHUNK_W + 1, 3: _CHUNK_W + _CHUNK_S, 4: 5}
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in lens.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = tpch.read_table
+    try:
+        tpch.read_table = lambda s, d, t: df  # noqa: ARG005
+        import big_data_elt_pipeline_spark.plans.curation_queries as CQ
+
+        orig_cq = CQ.read_table
+        CQ.read_table = lambda s, d, t: df
+        out = {r.doc_id: r for r in []}
+        rows_out = q_doc_chunking(spark, "unused").collect()
+        CQ.read_table = orig_cq
+    finally:
+        tpch.read_table = orig
+    by_doc = {}
+    for r in rows_out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # exactly-W doc: one chunk covering all tokens
+    assert [(c.start_tok, c.n_chunk_tokens) for c in by_doc[1]] == [(0, _CHUNK_W)]
+    # W+1 doc: second chunk starts at n-W (full window), not at stride
+    assert [(c.start_tok, c.n_chunk_tokens) for c in sorted(by_doc[2], key=lambda c: c.chunk_id)] == [
+        (0, _CHUNK_W), (1, _CHUNK_W)
+    ]
+    # W+S doc: stride-aligned second chunk, full window, no third chunk
+    assert [(c.start_tok, c.n_chunk_tokens) for c in sorted(by_doc[3], key=lambda c: c.chunk_id)] == [
+        (0, _CHUNK_W), (_CHUNK_S, _CHUNK_W)
+    ]
+    # tiny doc: one partial chunk
+    assert [(c.start_tok, c.n_chunk_tokens) for c in by_doc[4]] == [(0, 5)]
+
+
 def test_benchmark_overlap_broadcasts_bench_side(spark):
     docs = spark.range(100).select(
         F.col("id").alias("doc_id"),
