@@ -128,17 +128,34 @@ def top_token_ratio(col: Column) -> Column:
     Gopher-style repetition signal (a doc where one word is 40% of the
     text is boilerplate, not prose).
 
-    Pure array expressions: count each DISTINCT token's occurrences with a
-    ``transform``+``filter`` lambda and take the max. O(tokens x distinct)
-    per document, but entirely JVM-side with zero shuffle — at 100 TB this
-    stays a map-only pass over the scan (documents are short relative to
-    partition sizes; no groupBy/explode needed)."""
+    Scale-honest form: ``array_sort`` the tokens, then the most-frequent
+    count IS the longest run of equal adjacent elements — found with one
+    linear ``aggregate`` over the pairwise-equality array. O(n log n) per
+    document instead of the naive O(n x distinct) count-per-distinct-token
+    scan (which goes quadratic on long repetitive docs — exactly the docs
+    this filter exists to catch). Entirely JVM-side array math, zero
+    shuffle: at 100 TB this stays a map-only pass over the scan."""
     tok = tokens(col)
-    per_distinct = F.transform(
-        F.array_distinct(tok),
-        lambda d: F.size(F.filter(tok, lambda x: x == d)),
+    s = F.array_sort(tok)
+    n = F.size(s)
+    # eq[i] = 1 iff s[i+1] == s[i]; longest run of 1s + 1 = top count
+    eq = F.zip_with(
+        F.slice(s, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
     )
-    return F.array_max(per_distinct).cast("double") / F.size(tok).cast("double")
+    best = F.aggregate(
+        eq,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            F.when(x == 1, acc.cur + 1).otherwise(F.lit(0)).alias("cur"),
+            F.greatest(
+                acc.best, F.when(x == 1, acc.cur + 1).otherwise(F.lit(0))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return (best + 1).cast("double") / n.cast("double")
 
 
 def dup_ngram_ratio(col: Column, n: int = 2) -> Column:
