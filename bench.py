@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "doc_repetition",
     "contamination_check",
+    "training_mixture",
 ]
 
 

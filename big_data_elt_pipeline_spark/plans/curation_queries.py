@@ -73,7 +73,7 @@ FROM counted
 """
 
 
-def _pii_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pii_seeded(spark: SparkSession, sf_dir: str, keep: tuple[str, ...] = ()) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     did = F.col("doc_id")
     extra = (
@@ -85,7 +85,7 @@ def _pii_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("."), ((did * 5) % 256).cast("string"), F.lit(" up")))
         .otherwise(F.lit(""))
     )
-    return docs.select("doc_id", F.concat(F.col("text"), extra).alias("text2"))
+    return docs.select("doc_id", *keep, F.concat(F.col("text"), extra).alias("text2"))
 
 
 @register("pii_scrub", _PII_SQL)
@@ -356,6 +356,182 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_tok").cast("long").alias("start_tok"),
         F.least(F.lit(_CHUNK_W), F.col("n") - F.col("start_tok")).cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training_mixture: the full governance pipeline as ONE declarative plan
+# --------------------------------------------------------------------------
+
+_Q_SQL = (
+    "least(greatest("
+    "0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)"
+    " + 0.3 * least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5.0, 1.0)"
+    " + 0.2 * (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 10.0, 1.0))"
+    ", 0.0), 1.0)"
+)
+
+
+def _mixture_sql() -> str:
+    from big_data_elt_pipeline_spark.plans.text_queries import _count_in_sql
+
+    redact = (
+        "regexp_replace(regexp_replace(regexp_replace(text2, "
+        f"'{PII.EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII.PHONE_RE}', '<PHONE>', 'g'), "
+        f"'{PII.IPV4_RE}', '<IP>', 'g')"
+    )
+    return f"""
+WITH seeded AS (
+    SELECT doc_id, lang, text || ({_PII_EXTRA_SQL.strip()}) AS text2 FROM documents
+),
+red AS (
+    SELECT doc_id, lang, {redact} AS rtext FROM seeded
+),
+base AS (
+    SELECT doc_id, lang, rtext, {_TOK.format(c='rtext')} AS tok FROM red
+),
+feat AS (
+    SELECT doc_id, lang, tok,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(length(rtext) AS BIGINT) AS n_chars,
+           CAST({_count_in_sql('tok', TX.STOPWORDS)} AS BIGINT) AS n_stop,
+           CAST(len(regexp_extract_all(rtext, '[.,;:!?]')) AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(rtext, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+           md5(array_to_string(tok, ' ')) AS fingerprint
+    FROM base
+),
+rep AS (
+    SELECT doc_id,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_ratio
+    FROM (SELECT doc_id, term, count(*) AS n
+          FROM (SELECT doc_id, unnest(tok) AS term FROM base)
+          GROUP BY doc_id, term)
+    GROUP BY doc_id
+),
+bgr AS (
+    SELECT doc_id,
+           1.0 - CAST(count(DISTINCT b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_bg
+    FROM (SELECT doc_id, unnest({_shingle_sql(2)}) AS b FROM base)
+    GROUP BY doc_id
+),
+gated AS (
+    SELECT feat.doc_id, lang, n_tokens, bpe_tokens, fingerprint
+    FROM feat
+    JOIN rep ON feat.doc_id = rep.doc_id
+    JOIN bgr ON feat.doc_id = bgr.doc_id
+    WHERE n_tokens >= 8 AND {_Q_SQL} >= 0.5
+      AND top_ratio <= 0.2 AND dup_bg <= 0.3
+),
+canon AS (
+    SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id FROM gated
+),
+contam AS (
+    SELECT DISTINCT train_id FROM (
+        SELECT train_id, bench_id
+        FROM (SELECT doc_id AS train_id, unnest(list_distinct(sh)) AS shingle
+              FROM (SELECT doc_id, {_shingle_sql(5)} AS sh
+                    FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok
+                          FROM documents WHERE doc_id % 37 <> 0)))
+        JOIN (SELECT doc_id AS bench_id, unnest(list_distinct(sh)) AS shingle
+              FROM (SELECT doc_id, {_shingle_sql(5)} AS sh
+                    FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok
+                          FROM documents WHERE doc_id % 37 = 0)))
+        USING (shingle)
+        GROUP BY train_id, bench_id
+        HAVING count(*) >= 3
+    )
+),
+kept AS (
+    SELECT doc_id, lang, bpe_tokens, {_RATE_CASE} AS target_rate
+    FROM canon
+    WHERE doc_id % 37 <> 0
+      AND doc_id = canonical_id
+      AND doc_id NOT IN (SELECT train_id FROM contam)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CASE WHEN any_value(target_rate) > 0 THEN 1.0 / any_value(target_rate) ELSE 0.0 END AS weight
+FROM kept
+WHERE CAST((doc_id * {SMP.SAMPLE_A} + {SMP.SAMPLE_C}) % {SMP.SAMPLE_M} AS DOUBLE)
+      / {float(SMP.SAMPLE_M)} < target_rate
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("training_mixture", _mixture_sql())
+def q_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance pipeline end-to-end as one declarative plan: PII
+    redaction -> length/quality/repetition gates -> exact dedup (min-id
+    survivor on the REDACTED fingerprint) -> benchmark-split removal +
+    n-gram decontamination (anti-join) -> deterministic per-language
+    mixture sampling -> final per-language document/BPE-token budget with
+    importance weights. A user's whole corpus-prep run is this one query.
+
+    Scale shape: scrub+gates are codegen map work fused over the scan;
+    dedup is one shuffle on fingerprint; the decontamination side is a
+    broadcast of the tiny benchmark shingle set followed by a broadcast
+    anti-join of the contaminated-id list; sampling is map-only; the final
+    rollup is a 5-row groupBy. Catalyst sees the whole lineage and prunes
+    columns end-to-end — nothing materializes between stages.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    red = _pii_seeded(spark, sf_dir, keep=("lang",)).select(
+        "doc_id", "lang", PII.redact(F.col("text2")).alias("rtext")
+    )
+    rt = F.col("rtext")
+    top = TX.top_token_ratio(rt)
+    dup = TX.dup_ngram_ratio(rt, 2)
+    feats = red.select(
+        "doc_id", "lang",
+        TX.token_count(rt).alias("n_tokens"),
+        TX.bpe_token_count(rt).alias("bpe_tokens"),
+        TX.quality_score(rt).alias("quality"),
+        top.alias("top_ratio"),
+        dup.alias("dup_bg"),
+        TX.fingerprint(rt).alias("fingerprint"),
+    )
+    gated = feats.filter(
+        (F.col("n_tokens") >= 8)
+        & (F.col("quality") >= 0.5)
+        & (F.col("top_ratio") <= 0.2)
+        & (F.col("dup_bg") <= 0.3)
+    )
+    canon = gated.withColumn(
+        "canonical_id", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    )
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    contam = (
+        SMP.benchmark_overlap(train, bench, n=5, min_shared=3)
+        .select("train_id").distinct()
+    )
+    rate = F.lit(0.0)
+    for k, v in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(float(v))).otherwise(rate)
+    kept = (
+        canon.filter(
+            (F.col("doc_id") % 37 != 0) & (F.col("doc_id") == F.col("canonical_id"))
+        )
+        .join(
+            F.broadcast(contam),
+            canon["doc_id"] == contam["train_id"],
+            "left_anti",
+        )
+        .withColumn("target_rate", rate)
+        .filter(SMP.sample_flag(F.col("doc_id"), F.col("target_rate")))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.when(F.any_value("target_rate") > 0, F.lit(1.0) / F.any_value("target_rate"))
+            .otherwise(F.lit(0.0)).alias("weight"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -755,7 +755,8 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # passes to q3, which exercises joins; q1 keeps its r03 row + local
 # sweep) and ``top_opportunities`` (top-k keeps top_clients).
 # Rows-only queries stay out of the window (they'd burn a slot on the
-# weaker check).
+# weaker check). ``training_mixture`` (the governance composite, oracle-
+# exact in the local sweep) is the first r05 rotation candidate.
 # Demoted queries still run under the local pytest oracle harness
 # (tests/test_oracle_parity.py sweeps every registered name).
 # --------------------------------------------------------------------------
