@@ -78,3 +78,21 @@ def test_doc_keywords_has_no_unpartitioned_window(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.split(",")[0].strip() != "", plan
+
+
+def test_training_mixture_broadcasts_and_partitions(spark):
+    """Plan-shape regression guard for the governance composite: the
+    decontamination anti-join and the bench-shingle join are BROADCAST
+    (never a shuffle of the corpus side), no sort-merge join anywhere,
+    and the dedup window is PARTITIONED on fingerprint."""
+    import re
+
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["training_mixture"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # shingle join + anti-join
+    assert "LeftAnti" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.split(",")[0].strip() != "", plan
