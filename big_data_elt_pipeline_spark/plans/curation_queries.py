@@ -536,6 +536,57 @@ def q_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# lang_label_audit: declared label vs content-based guess confusion matrix
+# --------------------------------------------------------------------------
+
+def _lang_audit_sql() -> str:
+    from big_data_elt_pipeline_spark.plans.text_queries import (
+        _LANG_CASE,
+        _LANG_SCORES,
+    )
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang, {_TOK.format(c='text')} AS tok FROM documents
+),
+sc AS (
+    SELECT doc_id, lang, {_LANG_SCORES} FROM base
+),
+g AS (
+    SELECT doc_id, lang, {_LANG_CASE} AS lang_guess FROM sc
+)
+SELECT lang, lang_guess,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       lang = lang_guess AS agree
+FROM g
+GROUP BY lang, lang_guess
+ORDER BY lang, lang_guess
+"""
+
+
+@register("lang_label_audit", _lang_audit_sql())
+def q_lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: confusion matrix of the corpus's DECLARED
+    language label against the content-based n-gram guess — the training-
+    label QA view (systematic disagreement on a (lang, source) slice means
+    mislabeled or code-switched data feeding the mixture).
+
+    Scale shape: one codegen pass computing the marker scores + one tiny
+    groupBy on the (lang, lang_guess) pair — output is at most |langs|²
+    rows regardless of corpus size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_guess"))
+    return (
+        g.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("agree", F.col("lang") == F.col("lang_guess"))
+        .select("lang", "lang_guess", "n_docs", "agree")
+        .orderBy("lang", "lang_guess")
+    )
+
+
+# --------------------------------------------------------------------------
 # vocab_topk: corpus vocabulary statistics (top-100 by term frequency)
 # --------------------------------------------------------------------------
 
