@@ -73,8 +73,8 @@ FROM counted
 """
 
 
-def _pii_seeded(spark: SparkSession, sf_dir: str, keep: tuple[str, ...] = ()) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+def _seed_pii(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Append doc_id-derived PII spans (Spark mirror of _PII_EXTRA_SQL)."""
     did = F.col("doc_id")
     extra = (
         F.when(did % 4 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")))
@@ -86,6 +86,10 @@ def _pii_seeded(spark: SparkSession, sf_dir: str, keep: tuple[str, ...] = ()) ->
         .otherwise(F.lit(""))
     )
     return docs.select("doc_id", *keep, F.concat(F.col("text"), extra).alias("text2"))
+
+
+def _pii_seeded(spark: SparkSession, sf_dir: str, keep: tuple[str, ...] = ()) -> DataFrame:
+    return _seed_pii(read_table(spark, sf_dir, "documents"), keep)
 
 
 @register("pii_scrub", _PII_SQL)
@@ -477,8 +481,16 @@ def q_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a 5-row groupBy. Catalyst sees the whole lineage and prunes
     columns end-to-end — nothing materializes between stages.
     """
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    red = _pii_seeded(spark, sf_dir, keep=("lang",)).select(
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return governance_mixture(base)
+
+
+def governance_mixture(base: DataFrame) -> DataFrame:
+    """The composite on an arbitrary (doc_id, lang, text) frame — also
+    driven by ``plans/scale_bench.py`` on x4/x16 salted corpora for the
+    wall-time linearity exhibit."""
+    docs = base.select("doc_id", "text")
+    red = _seed_pii(base, keep=("lang",)).select(
         "doc_id", "lang", PII.redact(F.col("text2")).alias("rtext")
     )
     rt = F.col("rtext")

@@ -24,6 +24,9 @@ true-result size grows ~linearly with the factor:
 
 Near-linear wall-time across factors is the 100 TB claim made empirical:
 every stage is blocking-key equi-join / groupBy with no all-pairs term.
+The governance composite (``training_mixture``) rides the same exhibit —
+its result is a fixed per-language rollup (constant rows), so for that
+point the linearity signal is wall-time alone.
 """
 
 from __future__ import annotations
@@ -51,12 +54,15 @@ def _sign_mask(copy: int, dim: int) -> list[float]:
 
 
 def scaled_docs(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # lang rides along untouched (harmless for the dedup consumers, needed
+    # by the governance-mixture scaling point)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     copies = [docs]
     for k in range(1, factor):
         copies.append(
             docs.select(
                 (F.col("doc_id") + F.lit(k * _ID_STRIDE)).alias("doc_id"),
+                F.col("lang"),
                 F.regexp_replace("text", r"(\S+)", f"$1c{k}").alias("text"),
             )
         )
@@ -99,10 +105,15 @@ def run_scaled(
         docs = scaled_docs(spark, sf_dir, factor)
         emb = scaled_embeddings(spark, sf_dir, factor)
         queries = emb.filter(F.col("vec_id") < 64)  # base copy only: fixed probes
+        from big_data_elt_pipeline_spark.plans.curation_queries import (
+            governance_mixture,
+        )
+
         runs = {
             "dedup_minhash": lambda: D.minhash_dedup(docs),
             "dedup_ngram_jaccard": lambda: D.ngram_jaccard_dedup(docs),
             "ann_lsh_topk": lambda: S.lsh_topk(emb, queries, k=5, n_bits=8),
+            "training_mixture": lambda: governance_mixture(docs),
         }
         for name, fn in runs.items():
             best, n = None, 0
