@@ -83,6 +83,20 @@ def test_sample_flag_deterministic_and_append_stable(spark):
     assert 0.45 < len(kept) / 2000 < 0.55
 
 
+def test_stratified_sample_unknown_stratum_gets_default_rate(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = {r.stratum: r for r in SMP.stratified_sample(df, {"en": 1.0}).collect()}
+    assert out["en"].n_sampled == out["en"].n_docs == 100
+    assert out["en"].weight == 1.0
+    # 'xx' is not in the rate map -> default_rate 0: kept in the audit
+    # output but nothing sampled, weight 0 (excluded from the mixture)
+    assert out["xx"].target_rate == 0.0
+    assert out["xx"].n_sampled == 0 and out["xx"].weight == 0.0
+
+
 def test_benchmark_overlap_flags_planted_copy_only(spark):
     mk = "w%d"
     long_a = " ".join(mk % i for i in range(20))          # bench doc
