@@ -80,14 +80,41 @@ def live_files(path: str, version: int | None = None) -> list[str]:
     return files
 
 
-def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
+def _txn_committed(path: str, txn: tuple[str, int]) -> bool:
+    """True iff a commit carrying this ``(app_id, epoch)`` transaction tag
+    is already in the log — the Delta txnAppId/txnVersion idempotence
+    check, folded over manifests (KB-sized; no data read)."""
+    app_id, epoch = txn
+    for v in table_versions(path):
+        c = _read_commit(path, v)
+        if c.get("txn_app_id") == app_id and c.get("txn_epoch") == epoch:
+            return True
+    return False
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
+) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
     Data lands in a commit-private directory first, then the manifest
     rename publishes it — readers can never observe a half-written commit.
+
+    ``txn=(app_id, epoch)`` makes the commit IDEMPOTENT (Delta's
+    txnAppId/txnVersion protocol): if the log already holds a commit with
+    the same tag, the write is a no-op returning -1. This is what gives
+    ``stream_ingest`` exactly-once table contents — a crash between the
+    data write and the streaming checkpoint advance makes the engine
+    re-deliver the same epoch, and the replayed commit is skipped instead
+    of duplicating rows.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn is not None and _txn_committed(path, txn):
+        return -1
     root = pathlib.Path(path)
     commit_id = uuid.uuid4().hex[:12]
     data_rel = f"data/commit-{commit_id}"
@@ -101,14 +128,17 @@ def write_table(df: DataFrame, path: str, mode: str = "append") -> int:
     while True:
         versions = table_versions(path)
         version = (versions[-1] + 1) if versions else 0
-        payload = json.dumps(
-            {
-                "version": version,
-                "mode": mode,
-                "files": files,
-                "schema": json.loads(df.schema.json()),
-            }
-        )
+        if txn is not None and _txn_committed(path, txn):
+            return -1  # concurrent replay won the race inside the retry loop
+        commit: dict = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "schema": json.loads(df.schema.json()),
+        }
+        if txn is not None:
+            commit["txn_app_id"], commit["txn_epoch"] = txn[0], int(txn[1])
+        payload = json.dumps(commit)
         fd, tmp = tempfile.mkstemp(dir=md, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(payload)
@@ -148,10 +178,21 @@ def stream_ingest(
 
     Returns the started ``StreamingQuery``; callers drive it
     (``processAllAvailable``/``awaitTermination``) and stop it.
+
+    Exactly-once: each micro-batch commit is tagged ``txn=(app_id,
+    epoch)`` where ``app_id`` is stable across restarts of the same
+    logical stream (derived from the checkpoint dir — the engine's unit
+    of replay) — so an epoch re-delivered after a crash between
+    ``write_table`` and the checkpoint advance is skipped, not
+    re-appended. Without a checkpoint there is no replay, hence no tag.
     """
-    writer = df_stream.writeStream.outputMode("append").foreachBatch(
-        lambda batch, _epoch: write_table(batch, path, mode="append")
-    )
+    txn_app = f"stream_ingest:{checkpoint_dir}" if checkpoint_dir is not None else None
+
+    def _commit(batch: DataFrame, epoch: int) -> None:
+        txn = (txn_app, int(epoch)) if txn_app is not None else None
+        write_table(batch, path, mode="append", txn=txn)
+
+    writer = df_stream.writeStream.outputMode("append").foreachBatch(_commit)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

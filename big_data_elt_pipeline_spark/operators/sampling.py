@@ -62,9 +62,18 @@ def benchmark_overlap(
 def sample_flag(id_col: F.Column, rate_col: F.Column) -> F.Column:
     """Deterministic keep/drop decision: uniform-ish u in [0,1) from a
     multiplicative hash of the id, kept iff ``u < rate``. Pure bigint
-    arithmetic + one exact division — bit-identical in any engine."""
-    u = ((id_col.cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_C)) % F.lit(SAMPLE_M)) \
-        .cast("double") / F.lit(float(SAMPLE_M))
+    arithmetic + one exact division — bit-identical in any engine.
+
+    The id is reduced mod ``SAMPLE_M`` BEFORE the multiply: the final
+    reduction is also mod ``SAMPLE_M``, so ``((id % M) * A + C) % M ==
+    (id * A + C) % M`` mathematically, but the pre-mod keeps the product
+    under 2**51 — without it, ids above ~3.4e9 overflow int64 (a throw
+    under Spark ANSI mode and DuckDB alike), which matters at the
+    billions-of-docs scale this operator targets. Hash values for any id
+    are identical to the un-pre-modded form.
+    """
+    u = ((id_col.cast("long") % F.lit(SAMPLE_M) * F.lit(SAMPLE_A) + F.lit(SAMPLE_C))
+         % F.lit(SAMPLE_M)).cast("double") / F.lit(float(SAMPLE_M))
     return u < rate_col
 
 

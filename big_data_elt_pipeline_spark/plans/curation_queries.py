@@ -258,7 +258,7 @@ _MIX_SQL = f"""
 WITH flagged AS (
     SELECT lang AS stratum,
            {_RATE_CASE} AS target_rate,
-           CASE WHEN CAST((doc_id * {SMP.SAMPLE_A} + {SMP.SAMPLE_C}) % {SMP.SAMPLE_M} AS DOUBLE)
+           CASE WHEN CAST((doc_id % {SMP.SAMPLE_M} * {SMP.SAMPLE_A} + {SMP.SAMPLE_C}) % {SMP.SAMPLE_M} AS DOUBLE)
                      / {float(SMP.SAMPLE_M)} < {_RATE_CASE}
                 THEN 1 ELSE 0 END AS sampled
     FROM documents
@@ -458,7 +458,7 @@ SELECT lang,
        CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        CASE WHEN any_value(target_rate) > 0 THEN 1.0 / any_value(target_rate) ELSE 0.0 END AS weight
 FROM kept
-WHERE CAST((doc_id * {SMP.SAMPLE_A} + {SMP.SAMPLE_C}) % {SMP.SAMPLE_M} AS DOUBLE)
+WHERE CAST((doc_id % {SMP.SAMPLE_M} * {SMP.SAMPLE_A} + {SMP.SAMPLE_C}) % {SMP.SAMPLE_M} AS DOUBLE)
       / {float(SMP.SAMPLE_M)} < target_rate
 GROUP BY lang
 ORDER BY lang

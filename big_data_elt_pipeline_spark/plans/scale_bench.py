@@ -2,8 +2,12 @@
 
 The correctness gate runs these operators on the base ``documents`` /
 ``embeddings`` tables; this module provides the SCALING evidence — the
-same operators on deterministic x4 / x16 / x64 corpora, built so the
-true-result size grows ~linearly with the factor:
+same operators on deterministic x4 / x16 corpora (the factors actually
+executed and recorded by ``bench.py``; exactly those, so the artifact
+and this doc agree), built so the true-result size grows ~linearly with
+the factor. The sf0.1 base corpus is itself 10x the sf0.01 one (5,000
+docs in the round-5 testdata drop), so the recorded x16 point spans
+80,000 docs:
 
 - Text copies get a per-copy SALT suffixed onto every word
   (``a b c`` -> ``ac7 bc7 cc7``). Word n-gram shingles keep exactly the

@@ -308,16 +308,36 @@ def stream_tumbling_revenue_to_sink(
 
 def _staged_dup_events_dir(sf_dir: str) -> str:
     """Landing zone holding the events fixture TWICE (two files) — the
-    at-least-once-delivery corpus for the streaming dedup operator."""
+    at-least-once-delivery corpus for the streaming dedup operator.
+
+    Staleness guard: the cached copies are reused only while their
+    size+mtime still match the source — a regenerated testdata drop
+    (which has historically changed even the ``ts`` physical type)
+    invalidates the stage instead of silently serving old events. The
+    staging root is removed at interpreter exit, same policy as
+    ``streaming.incremental.staging_dir``.
+    """
+    import atexit
+    import os
     import pathlib
     import shutil
 
-    stage = pathlib.Path("/tmp/spark_graft_stream_dup") / pathlib.Path(sf_dir).name
+    root = pathlib.Path("/tmp/spark_graft_stream_dup")
+    stage = root / pathlib.Path(sf_dir).name
     stage.mkdir(parents=True, exist_ok=True)
+    if not getattr(_staged_dup_events_dir, "_atexit", False):
+        atexit.register(shutil.rmtree, str(root), ignore_errors=True)
+        _staged_dup_events_dir._atexit = True
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
     for name in ("events_a.parquet", "events_b.parquet"):
         target = stage / name
-        if not target.exists():
-            shutil.copyfile(f"{sf_dir}/events.parquet", target)
+        if target.exists():
+            ts = target.stat()
+            if ts.st_size == st.st_size and ts.st_mtime == st.st_mtime:
+                continue
+        shutil.copyfile(src, target)
+        os.utime(target, (st.st_atime, st.st_mtime))
     return str(stage)
 
 

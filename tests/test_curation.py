@@ -129,18 +129,19 @@ def test_doc_chunking_boundary_rules(spark):
     lens = {1: _CHUNK_W, 2: _CHUNK_W + 1, 3: _CHUNK_W + _CHUNK_S, 4: 5}
     rows = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in lens.items()]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    import big_data_elt_pipeline_spark.plans.curation_queries as CQ
+
     orig = tpch.read_table
+    orig_cq = CQ.read_table
     try:
         tpch.read_table = lambda s, d, t: df  # noqa: ARG005
-        import big_data_elt_pipeline_spark.plans.curation_queries as CQ
-
-        orig_cq = CQ.read_table
-        CQ.read_table = lambda s, d, t: df
-        out = {r.doc_id: r for r in []}
+        CQ.read_table = lambda s, d, t: df  # noqa: ARG005
         rows_out = q_doc_chunking(spark, "unused").collect()
-        CQ.read_table = orig_cq
     finally:
+        # both restores in finally: a throw mid-collect must not leak the
+        # 4-row fake into every later test in the session
         tpch.read_table = orig
+        CQ.read_table = orig_cq
     by_doc = {}
     for r in rows_out:
         by_doc.setdefault(r.doc_id, []).append(r)

@@ -105,3 +105,50 @@ def test_stream_ingest_commits_per_batch(spark, tmp_path):
     assert v0 in (4, 5)  # one whole file, whichever arrived first
     # replaying history: each version adds exactly one batch
     assert lh.read_table(spark, path, versions[1]).count() == 9
+
+
+def test_txn_commit_is_idempotent(spark, tmp_path):
+    """Delta-style txn tags: re-delivering the same (app_id, epoch) — the
+    crash-between-commit-and-checkpoint scenario — is a no-op; a different
+    epoch or a different app commits normally."""
+    path = str(tmp_path / "t")
+    assert lh.write_table(_df(spark, 0, 4), path, "append", txn=("app", 0)) == 0
+    # replay of epoch 0: skipped, no new version, no duplicate rows
+    assert lh.write_table(_df(spark, 0, 4), path, "append", txn=("app", 0)) == -1
+    assert lh.table_versions(path) == [0]
+    assert lh.read_table(spark, path).count() == 4
+    # next epoch and a different app both land
+    assert lh.write_table(_df(spark, 4, 6), path, "append", txn=("app", 1)) == 1
+    assert lh.write_table(_df(spark, 6, 7), path, "append", txn=("other", 0)) == 2
+    assert lh.read_table(spark, path).count() == 7
+
+
+def test_stream_ingest_replayed_epoch_not_duplicated(spark, tmp_path):
+    """Simulated crash-replay: after stream_ingest finishes, committing the
+    first epoch's batch again under the stream's txn app id (exactly what a
+    restarted query would do before its checkpoint advanced) leaves the
+    table unchanged."""
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _df(spark, 0, 4).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = lh.stream_ingest(stream, path, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert lh.read_table(spark, path).count() == 4
+
+    # the replayed foreachBatch call: same app id (derived from ckpt), epoch 0
+    replay = lh.write_table(
+        _df(spark, 0, 4), path, "append", txn=(f"stream_ingest:{ckpt}", 0)
+    )
+    assert replay == -1
+    assert lh.read_table(spark, path).count() == 4
+    assert lh.table_versions(path) == [0]
