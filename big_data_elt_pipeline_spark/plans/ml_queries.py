@@ -275,6 +275,128 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q18 = """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+)
+SELECT c_name, o_custkey AS c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18", _TPCH_Q18)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers, reference columns adapted):
+    group-by-HAVING qualifier -> semi-join into the fact -> re-aggregate ->
+    deterministic top-100. Covers the having-pushdown + semi-join plan no
+    other gated query exercises (round-4 verdict prescription 6).
+
+    Scale shape: the qualifier is ONE shuffle of lineitem's (orderkey,
+    quantity) projection — the narrowest possible relation — with the
+    HAVING applied map-side after partial aggregation; the surviving
+    order-key set is a tiny fraction (sum(qty) > 200 keeps ~6% of orders
+    here), so the semi-join against orders broadcasts it under AQE rather
+    than shuffling orders. The final per-order rollup re-joins lineitem on
+    the already-partitioned orderkey, and the top-100 is
+    TakeOrderedAndProject (no global sort), tie-broken (o_totalprice desc,
+    o_orderdate, o_orderkey) so LIMIT is deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey", "o_orderdate", "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16", _TPCH_Q16)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-count-by-part, adapted: lineitem plays
+    partsupp — this corpus has no partsupp table — and the excluded-
+    supplier predicate is ``s_acctbal < 0`` since supplier carries no
+    comment column): anti-join + countDistinct, the plan family no other
+    gated query covers (round-4 verdict prescription 6).
+
+    Scale shape: the excluded-supplier set is dimension-sized and filtered
+    BEFORE the anti-join, so it broadcasts (BroadcastNestedLoop never
+    appears — the join is a broadcast-hash left_anti on suppkey); part is
+    filtered by brand/type/size then broadcast into the fact; the only
+    lineitem shuffle is the final (brand, type, size) rollup, whose
+    partial countDistinct dedups map-side. Group count is bounded by
+    |brands|x|types|x|sizes| — tiny at any corpus scale.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").startswith("PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 @register("audio_features", None)  # real binary codec path — rows-only
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the registry: deterministic per-doc sine

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from big_data_elt_pipeline_spark.functions import text as TX
 from big_data_elt_pipeline_spark.operators import dedup as DD
+from big_data_elt_pipeline_spark.operators import sampling as SMP
 from big_data_elt_pipeline_spark.operators import similarity as SIM
 from big_data_elt_pipeline_spark.plans.queries import register
 from big_data_elt_pipeline_spark.sources.tpch import read_table
@@ -417,10 +418,99 @@ def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells + n_probe nearest-cell candidates. Recall vs
     brute force asserted in tests (sketch recall is data-dependent, so no
-    SQL oracle — the exactness anchor is ``ann_topk``)."""
+    SQL oracle — the exactness anchor is ``ann_topk``; the oracle-backed
+    IVF quality gate is ``ann_ivf_recall``, whose sampled-centroid
+    quantizer is engine-portable)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+# IVF recall gate: the quantizer is the DETERMINISTIC sampled-centroid one
+# (similarity.fixed_centroid_cells) — SQL-expressible, so the whole
+# IVF-vs-brute-force recall computation is oracle-checked end to end.
+_IVF_K, _IVF_CELLS, _IVF_PROBE = 10, 16, 4
+_IVF_HASH = "(vec_id % {m} * {a} + {c}) % {m}".format(
+    m=SMP.SAMPLE_M, a=SMP.SAMPLE_A, c=SMP.SAMPLE_C
+)
+
+_ANN_IVF_RECALL_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+    ORDER BY {_IVF_HASH}, vec_id
+    LIMIT {_IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos("e.embedding", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+probes AS (
+    SELECT query_id, qvec, cell FROM (
+        SELECT q.query_id, q.qvec, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos("q.qvec", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+    ) WHERE rn <= {_IVF_PROBE}
+),
+ivf AS (
+    SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_cos("p.qvec", "a.embedding")} DESC, a.vec_id ASC
+               ) AS rn
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE p.query_id != a.vec_id
+    ) WHERE rn <= {_IVF_K}
+),
+bf AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos("q.qvec", "e.embedding")} DESC, e.vec_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE q.query_id != e.vec_id
+    ) WHERE rn <= {_IVF_K}
+),
+hits AS (
+    SELECT q.query_id, count(x.vec_id) AS h
+    FROM q LEFT JOIN (
+        SELECT i.query_id, i.vec_id FROM ivf i
+        JOIN bf b ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    ) x ON x.query_id = q.query_id
+    GROUP BY q.query_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({_IVF_K} AS INTEGER) AS k,
+       CAST(sum(h) AS DOUBLE) / (count(*) * {_IVF_K}) AS recall_at_k,
+       CAST(min(h) AS DOUBLE) / {_IVF_K} AS min_recall
+FROM hits
+"""
+
+
+@register("ann_ivf_recall", _ANN_IVF_RECALL_SQL)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality gate: recall@k of the deterministic sampled-centroid
+    IVF vs exact brute force, one scalar row — oracle-checked end to end
+    because quantizer, assignment, probing, ranking, and the
+    integer-until-the-last-division recall math are all engine-portable
+    (round-4 verdict prescription 4)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SIM.ivf_recall(
+        emb, queries, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    )
 
 
 @register("ann_lsh_topk", _ANN_LSH_SQL)
