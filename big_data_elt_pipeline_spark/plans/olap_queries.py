@@ -44,11 +44,21 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchasers.intersect(clickers).subtract(erroring)
 
 
-@register("kpis_approx", None)  # sketch-based: engine-specific, rows-only
+@register("kpis_approx", None)  # sketch-based — see docstring for why no oracle
 def q_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, t-digest-style percentile) —
+    """Approximate aggregates (HLL distinct, GK-summary percentile) —
     the constant-memory path for 100 TB interactive dashboards; the exact
     twins ('kpis', 'client_scores' thresholds) are the correctness anchor.
+
+    WHY rows-only (no DuckDB oracle): sketch VALUES are engine-defined —
+    Spark's HLL++ register hashing and Greenwald-Khanna summary differ
+    from DuckDB's HLL/t-digest implementations, so equal inputs give
+    different (both within-tolerance) outputs and a hash-match oracle is
+    impossible by construction. The contract is pinned instead by
+    ``tests/test_functions.py::test_kpis_approx_contract``: each sketch
+    lands within its documented error bound of the exact twin, and the
+    result is run-to-run deterministic on fixed data (HLL register maxes
+    and GK merges commute at fixed partitioning).
     """
     from big_data_elt_pipeline_spark.plans.queries import _fact
 

@@ -755,8 +755,20 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # passes to q3, which exercises joins; q1 keeps its r03 row + local
 # sweep) and ``top_opportunities`` (top-k keeps top_clients).
 # Rows-only queries stay out of the window (they'd burn a slot on the
-# weaker check). ``training_mixture`` (the governance composite, oracle-
-# exact in the local sweep) is the first r05 rotation candidate.
+# weaker check).
+# Round-5 rotation (verdict prescriptions 1/4/6): IN — ``training_mixture``
+# and ``lang_label_audit`` (the only oracle-backed queries that had never
+# held a driver slot; with them, r02∪…∪r05 covers every oracle-backed
+# query ever registered), ``ann_ivf_recall`` (new IVF quality gate),
+# ``tpch_q18`` and ``tpch_q16`` (new having-semi-join and
+# anti-join+countDistinct plan families). OUT — five green members whose
+# families keep other gated coverage: ``mixture_sample`` (subsumed by the
+# training_mixture composite, which ends in the same sampler),
+# ``repeat_rate`` (A10; scalar-KPI family keeps ``kpis``), ``ca_country``
+# (A3 keeps ca_monthly, plus the salted/incremental country twins stay
+# gated), ``anti_join_inactive`` (anti-join family passes to tpch_q16),
+# and ``doc_token_budget`` (text-stats family keeps
+# doc_stats/doc_keywords/corpus_curation).
 # Demoted queries still run under the local pytest oracle harness
 # (tests/test_oracle_parity.py sweeps every registered name).
 # --------------------------------------------------------------------------
@@ -765,28 +777,28 @@ GATE_LIMIT = 50
 
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
-    "doc_stats", "doc_token_budget", "doc_keywords", "corpus_curation",
+    "doc_stats", "doc_keywords", "corpus_curation",
     "pii_scrub", "doc_repetition", "contamination_check",
-    "mixture_sample", "vocab_topk", "doc_chunking", "doc_packing",
+    "training_mixture", "lang_label_audit",
+    "vocab_topk", "doc_chunking", "doc_packing",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "embedding_neardup", "ann_topk", "ann_lsh_topk",
+    "embedding_neardup", "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
     # reference pipeline: silver
     "silver_achats", "silver_clients", "quality_counters",
     # reference pipeline: gold + serving
-    "ca_monthly", "ca_country", "fact_achats", "dim_clients",
+    "ca_monthly", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
     "cohort_first_purchase", "serving_daily", "serving_distribution",
-    "monthly_growth", "kpis", "repeat_rate", "top_clients",
+    "monthly_growth", "kpis", "top_clients",
     "union_scale",
-    "anti_join_inactive",
     # events / streaming twins
     "events_tumbling", "events_sessionize", "attribution_join",
     # OLAP / join zoo
     "asof_event_purchase", "range_join_bands",
     "cumulative_monthly_revenue", "grouping_sets_sales",
-    "rollup_sales_monthly",
+    "rollup_sales_monthly", "tpch_q18", "tpch_q16",
     # ML / multimodal / profiling
     "grouped_center", "tpch_q3",
     "profile_documents",

@@ -97,3 +97,27 @@ def test_money_sum_is_order_independent(spark):
     a = df.repartition(1).agg(money_sum("m", "s")).first().s
     b = df.repartition(32).agg(money_sum("m", "s")).first().s
     assert a == b  # bit-identical regardless of partitioning/order
+
+
+def test_kpis_approx_contract(spark):
+    """kpis_approx is rows-only by contract (sketch values are
+    engine-defined — see the register-site docstring); this pins what CAN
+    be pinned: each sketch lands within its documented error bound of the
+    exact twin, and the result is run-to-run deterministic on fixed data."""
+    from tests.conftest import SF_SMOKE
+    from big_data_elt_pipeline_spark.plans import queries as Q
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    approx = Q.spark_queries()["kpis_approx"](spark, SF_SMOKE).first()
+    fact = _fact(spark, SF_SMOKE)
+    exact_clients = fact.select("id_client").distinct().count()
+    exact_median = fact.agg(F.median("montant")).first()[0]
+    # HLL++ default relative standard deviation is 0.05; 3 sigma bound
+    assert abs(approx.approx_clients - exact_clients) <= 0.15 * exact_clients
+    # percentile_approx(accuracy=10000): rank error <= n/10000; translate
+    # to a generous 5% value tolerance on this distribution
+    assert abs(approx.approx_median_amount - exact_median) <= 0.05 * exact_median
+    assert approx.n == fact.count()
+    # determinism on fixed data: a second evaluation is bit-identical
+    again = Q.spark_queries()["kpis_approx"](spark, SF_SMOKE).first()
+    assert again == approx

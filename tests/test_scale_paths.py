@@ -80,6 +80,54 @@ def test_doc_keywords_has_no_unpartitioned_window(spark):
         assert spec.split(",")[0].strip() != "", plan
 
 
+def test_tpch_q18_semi_join_then_topk(spark):
+    """Plan-shape guard for the having-semi-join family: the qualifier
+    feeds a LeftSemi join (broadcast at this scale — never a shuffle of
+    orders for it), customer is broadcast, and the top-100 runs as
+    TakeOrderedAndProject, not a global sort."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q18"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("SortAggregate", "")  # no global sort op
+
+
+def test_tpch_q16_anti_join_shape(spark):
+    """Plan-shape guard for the anti-join+countDistinct family: the
+    excluded-supplier set anti-joins as a broadcast-hash LeftAnti (a
+    BroadcastNestedLoopJoin would be the NOT IN null-trap plan), part
+    filters are pushed to the parquet scan, and the rollup aggregates."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q16"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PushedFilters" in plan and "IsNotNull(p_brand)" in plan
+    assert "HashAggregate" in plan
+
+
+def test_ann_ivf_recall_no_corpus_shuffle_for_assignment(spark):
+    """The IVF cell assignment must be a map-side array expression over
+    the broadcast centroid list — no Window.partitionBy(vec_id) over the
+    corpus x n_cells relation (that would shuffle 16x the corpus). The
+    only windows in the plan are the bounded top-k rankers, which are
+    partitioned by query_id."""
+    import re
+
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["ann_ivf_recall"](spark, SF_SMOKE)
+    plan = _plan(df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        key = spec.split(",")[0].strip()
+        assert key != "", plan
+        assert key.startswith("query_id"), plan  # never vec_id: assignment is map-only
+
+
 def test_training_mixture_broadcasts_and_partitions(spark):
     """Plan-shape regression guard for the governance composite: the
     decontamination anti-join and the bench-shingle join are BROADCAST
