@@ -20,6 +20,12 @@ VLDB'20 paper):
 - Commits are atomic via write-temp + ``os.rename`` onto the versioned
   manifest name; a rename collision means a concurrent writer won the
   version — optimistic retry with the next number (Delta's protocol).
+- Each commit records per-file column (min, max) folded from the parquet
+  footers; ``read_table_pruned`` uses them for Delta-style DATA SKIPPING
+  (whole files provably outside a predicate's range are never opened),
+  and ``cluster_by`` range-clusters a write so those ranges are tight.
+- ``txn=(app_id, epoch)`` tags make commits idempotent under streaming
+  replay (Delta's txnAppId/txnVersion protocol).
 
 At 100 TB nothing here changes: manifests stay KB-sized per commit (file
 lists, not data), readers prune by reading the log only, and the data
@@ -35,6 +41,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_dir(path: str) -> pathlib.Path:
@@ -92,11 +99,59 @@ def _txn_committed(path: str, txn: tuple[str, int]) -> bool:
     return False
 
 
+def _file_stats(file_path: str) -> dict[str, list]:
+    """Per-file column (min, max) folded over the parquet FOOTER row-group
+    statistics — a KB-sized metadata read, no data pages touched. Values
+    are kept only when they survive a JSON round-trip with a total order:
+    ints/floats/strs/bools as-is, date/timestamp as ISO strings (ISO-8601
+    sorts lexicographically, so string compare at prune time is correct).
+    Columns without usable stats (arrays, binary, all-null) are absent —
+    readers treat absent as "cannot prune"."""
+    import pyarrow.parquet as pq
+
+    def _portable(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (int, float, str)) and not isinstance(v, bool):
+            return v
+        if getattr(v, "tzinfo", None) is not None:
+            # TIMESTAMP_MICROS stats come back tz-aware (UTC, matching the
+            # pinned session TZ); drop the "+00:00" suffix so the stored
+            # string compares lexicographically against naive ISO bounds —
+            # with it, a bound equal to a file's min would mis-skip the file
+            v = v.replace(tzinfo=None)
+        iso = getattr(v, "isoformat", None)
+        return iso() if iso else None
+
+    out: dict[str, list] = {}
+    md = pq.ParquetFile(file_path).metadata
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = _portable(st.min), _portable(st.max)
+            if mn is None or mx is None:
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
 def write_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -110,19 +165,48 @@ def write_table(
     data write and the streaming checkpoint advance makes the engine
     re-deliver the same epoch, and the replayed commit is skipped instead
     of duplicating rows.
+
+    ``cluster_by`` range-clusters the rows across files (repartitionByRange
+    + sortWithinPartitions) before writing, Delta OPTIMIZE-style: each
+    data file then covers a tight value range of the cluster keys, which
+    is what makes the per-file min/max statistics (recorded in every
+    commit from the parquet footers) actually selective —
+    ``read_table_pruned`` skips whole files whose range cannot match a
+    predicate, never opening their data pages. ``n_files`` bounds the
+    clustered file count (defaults to the session's shuffle partitions).
+    At 100 TB the stats fold stays metadata-only (KB-sized footers); a
+    distributed writer would collect the same min/max from its write
+    tasks instead of re-opening footers, as Delta does — same manifest
+    contract either way.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn is not None and _txn_committed(path, txn):
         return -1
+    if cluster_by:
+        cols = [df[c] for c in cluster_by]
+        df = (
+            df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
     root = pathlib.Path(path)
     commit_id = uuid.uuid4().hex[:12]
     data_rel = f"data/commit-{commit_id}"
-    df.write.mode("errorifexists").parquet(str(root / data_rel))
+    # Spark's default INT96 parquet timestamps carry NO min/max statistics,
+    # which would silently disable data skipping on time columns — the most
+    # common pruning axis. Pin the modern micros physical type for the
+    # commit (runtime conf; restored after the write).
+    sess = df.sparkSession
+    prev_ts = sess.conf.get("spark.sql.parquet.outputTimestampType", "INT96")
+    sess.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("errorifexists").parquet(str(root / data_rel))
+    finally:
+        sess.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
     files = sorted(
         f"{data_rel}/{p.name}"
         for p in (root / data_rel).glob("*.parquet")
     )
+    stats = {f: _file_stats(str(root / f)) for f in files}
     md = _manifest_dir(path)
     md.mkdir(parents=True, exist_ok=True)
     while True:
@@ -134,6 +218,7 @@ def write_table(
             "version": version,
             "mode": mode,
             "files": files,
+            "stats": stats,
             "schema": json.loads(df.schema.json()),
         }
         if txn is not None:
@@ -165,6 +250,77 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
         schema = T.StructType.fromJson(_read_commit(path, versions[-1])["schema"])
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)
+
+
+def live_file_stats(path: str, version: int | None = None) -> dict[str, dict]:
+    """(abs file path -> column stats) for the live set at ``version``.
+    Files from commits predating the stats field map to ``{}``."""
+    versions = table_versions(path)
+    if version is None:
+        version = versions[-1] if versions else None
+    stats: dict[str, dict] = {}
+    for v in versions:
+        if version is not None and v > version:
+            break
+        commit = _read_commit(path, v)
+        if commit["mode"] == "overwrite":
+            stats = {}
+        cstats = commit.get("stats", {})
+        for f in commit["files"]:
+            stats[os.path.join(path, f)] = cstats.get(f, {})
+    return stats
+
+
+def prune_files(
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Split the live file set into (kept, skipped) for the predicate
+    ``lo <= column <= hi`` using the manifest min/max stats — the Delta
+    data-skipping read path. A file is skipped only when its recorded
+    range PROVABLY cannot overlap [lo, hi]; files without stats for the
+    column are always kept (absence never loses rows)."""
+    live = live_files(path, version)
+    stats = live_file_stats(path, version)
+    kept, skipped = [], []
+    for f in live:
+        rng = stats.get(f, {}).get(column)
+        if rng is not None and (
+            (lo is not None and rng[1] < lo) or (hi is not None and rng[0] > hi)
+        ):
+            skipped.append(f)
+        else:
+            kept.append(f)
+    return kept, skipped
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest-level file skipping, then the residual
+    row filter in Spark (stats prune whole files; the filter is still
+    needed inside kept files). With a ``cluster_by`` write layout this
+    reads a small fraction of the table's files for a narrow predicate —
+    the at-scale point of the stats: partition-style pruning without
+    committing to one physical partition column."""
+    kept, _ = prune_files(path, column, lo, hi, version)
+    if not kept:  # every file skipped: empty frame with the table schema
+        return read_table(spark, path, version).limit(0)
+    df = spark.read.parquet(*kept)
+    c = F.col(column)
+    if lo is not None:
+        df = df.filter(c >= lo)
+    if hi is not None:
+        df = df.filter(c <= hi)
+    return df
 
 
 def stream_ingest(

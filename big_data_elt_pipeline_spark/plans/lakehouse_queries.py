@@ -130,6 +130,50 @@ def q_salted_distinct_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Manifest data skipping: pruned snapshot read == the plain SQL filter
+# --------------------------------------------------------------------------
+
+@register("lakehouse_pruned_read", _D + """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca
+FROM achats
+WHERE date_achat >= TIMESTAMP '1996-03-01 00:00:00'
+  AND date_achat <= TIMESTAMP '1996-08-31 23:59:59'
+""")
+def q_lakehouse_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read path: achats is committed to a manifest table
+    range-clustered on ``date_achat`` (so each file covers a tight time
+    range with min/max recorded in the manifest), then a six-month window
+    is read through ``read_table_pruned`` — non-overlapping files are
+    never opened — and rolled up with the exact money sum. The oracle is
+    the PLAIN filter+aggregate over the same rows, so the gate proves
+    skipping loses nothing (file pruning itself is pinned by
+    tests/test_lakehouse.py). Bounds use the 'T' ISO separator because
+    manifest stats compare lexicographically in that format.
+    """
+    from big_data_elt_pipeline_spark import lakehouse as LH
+    from big_data_elt_pipeline_spark.functions.core import money_sum
+    from big_data_elt_pipeline_spark.sources.tpch import achats_df
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+    from pyspark.sql import functions as F
+
+    root = staging_dir("lakehouse_prune_gate", sf_dir)
+    path = f"{root}/achats_manifest"
+    if not LH.is_manifest_table(path):
+        LH.write_table(
+            achats_df(spark, sf_dir), path, "append",
+            cluster_by=["date_achat"], n_files=8,
+        )
+    pruned = LH.read_table_pruned(
+        spark, path, "date_achat",
+        lo="1996-03-01T00:00:00", hi="1996-08-31T23:59:59",
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n"), money_sum("montant", "ca")
+    )
+
+
+# --------------------------------------------------------------------------
 # foreachBatch incremental maintenance, second gold key
 # --------------------------------------------------------------------------
 

