@@ -142,6 +142,70 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental exact dedup: new batch vs the existing corpus index
+# --------------------------------------------------------------------------
+
+_FP = f"md5(array_to_string({_TOK.format(c='text')}, ' '))"
+
+_DEDUP_INCR_SQL = f"""
+WITH index_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM index_docs WHERE doc_id % 97 = 1
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id % 50 = 0
+),
+idx AS (
+    SELECT {_FP} AS fingerprint, min(doc_id) AS corpus_canonical
+    FROM index_docs GROUP BY 1
+),
+b AS (SELECT doc_id, {_FP} AS fingerprint FROM batch),
+bmin AS (SELECT fingerprint, min(doc_id) AS first_in_batch FROM b GROUP BY 1)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN i.corpus_canonical IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.doc_id > m.first_in_batch THEN 'dup_in_batch'
+            ELSE 'new' END AS status,
+       CASE WHEN i.corpus_canonical IS NOT NULL THEN i.corpus_canonical
+            WHEN b.doc_id > m.first_in_batch THEN m.first_in_batch
+            END AS dup_of
+FROM b
+JOIN bmin m USING (fingerprint)
+LEFT JOIN idx i USING (fingerprint)
+"""
+
+
+@register("dedup_incremental", _DEDUP_INCR_SQL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest dedup decisions against the existing corpus (the 100 TB
+    operational form — nobody re-deduplicates the whole corpus per batch):
+    incoming docs are flagged dup_of_corpus / dup_in_batch / new with a
+    deterministic survivor. The batch plants both duplicate kinds (exact
+    copies of index docs and a within-batch duplicate wave) so every
+    status is exercised; the oracle recomputes the identical decision
+    table."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    base = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = (
+        base.unionByName(
+            index_docs.filter(F.col("doc_id") % 97 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return DD.incremental_exact_dedup(index_docs, batch)
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH + exact-Jaccard near-dup
 # --------------------------------------------------------------------------
 

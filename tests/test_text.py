@@ -23,3 +23,43 @@ def test_doc_packing_respects_capacity(spark):
     for shard, grp in clamped.groupby("shard"):
         bins = sorted(grp.bin_in_shard.unique())
         assert bins == list(range(len(bins)))  # dense, zero-based
+
+
+def test_incremental_exact_dedup_decisions(spark):
+    """Crafted index+batch covering every decision: an exact corpus dup
+    maps to the CORPUS canonical (not its own id), a within-batch dup maps
+    to the batch's first id, whitespace/case variants collapse to one
+    fingerprint, and survivors ('new') carry a NULL dup_of. Appending the
+    survivors keeps the index invariant (unique fingerprints, min id)."""
+    from big_data_elt_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    index_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (7, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "  Alpha   BETA gamma "),  # corpus dup via normalization
+            (11, "zeta eta"),               # new
+            (12, "zeta eta"),               # dup of 11 within the batch
+            (13, "theta iota"),             # new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_exact_dedup(index_docs, batch).collect()}
+    assert (out[10].status, out[10].dup_of) == ("dup_of_corpus", 1)  # min corpus id wins
+    assert (out[11].status, out[11].dup_of) == ("new", None)
+    assert (out[12].status, out[12].dup_of) == ("dup_in_batch", 11)
+    assert (out[13].status, out[13].dup_of) == ("new", None)
+    # fold survivors into the index: fingerprints stay unique
+    from pyspark.sql import functions as F
+
+    survivors = batch.join(
+        incremental_exact_dedup(index_docs, batch).filter("status = 'new'").select("doc_id"),
+        "doc_id",
+    )
+    new_index = index_docs.unionByName(survivors)
+    from big_data_elt_pipeline_spark.functions.text import fingerprint
+
+    fps = new_index.select(fingerprint(F.col("text")).alias("fp"))
+    assert fps.count() - fps.distinct().count() == 1  # only the pre-existing 1/7 dup
