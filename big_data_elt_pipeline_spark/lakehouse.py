@@ -252,6 +252,76 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
     return spark.read.parquet(*files)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the table's live rows as ONE overwrite commit —
+    fewer, larger, optionally range-clustered files (small-file compaction
+    + layout optimization in one step, like Delta ``OPTIMIZE ... ZORDER``).
+    History is untouched: the rewrite is just the next version, old
+    snapshots still resolve to the old files, and readers mid-scan keep
+    their pinned file lists. Returns the new version."""
+    df = read_table(spark, path)
+    return write_table(df, path, mode="overwrite", cluster_by=cluster_by, n_files=n_files)
+
+
+def vacuum(path: str, retain_versions: int = 1) -> dict:
+    """Reclaim storage: keep the most recent ``retain_versions`` versions
+    time-travelable and delete everything older — data files referenced
+    ONLY by dropped versions, and the dropped manifests themselves.
+
+    Because append commits list only their own files, the fold needs every
+    manifest since the last overwrite; so before deleting, the earliest
+    RETAINED version's manifest is rewritten as a CONSOLIDATED checkpoint
+    (mode=overwrite, full live file list + folded stats at that version) —
+    Delta's log-checkpoint mechanism, which is what makes dropping the log
+    prefix safe. Returns {"deleted_files": n, "deleted_manifests": n}.
+    """
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    versions = table_versions(path)
+    if len(versions) <= retain_versions:
+        return {"deleted_files": 0, "deleted_manifests": 0}
+    cutoff = versions[-retain_versions]
+    keep_files: set[str] = set()
+    for v in versions:
+        if v >= cutoff:
+            keep_files.update(live_files(path, v))
+    # checkpoint the cutoff version: consolidated overwrite manifest
+    cut_live = live_files(path, cutoff)
+    cut_stats = live_file_stats(path, cutoff)
+    commit = _read_commit(path, cutoff)
+    commit.update(
+        mode="overwrite",
+        files=[os.path.relpath(f, path) for f in cut_live],
+        stats={os.path.relpath(f, path): cut_stats.get(f, {}) for f in cut_live},
+    )
+    md = _manifest_dir(path)
+    fd, tmp = tempfile.mkstemp(dir=md, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(commit))
+    os.replace(tmp, md / f"{cutoff}.json")  # atomic swap onto the manifest
+
+    deleted_files = 0
+    root = pathlib.Path(path)
+    for data_dir in (root / "data").glob("commit-*"):
+        for p in data_dir.glob("*.parquet"):
+            if str(p) not in keep_files:
+                p.unlink()
+                deleted_files += 1
+        if not any(data_dir.iterdir()):
+            data_dir.rmdir()
+    deleted_manifests = 0
+    for v in versions:
+        if v < cutoff:
+            (md / f"{v}.json").unlink()
+            deleted_manifests += 1
+    return {"deleted_files": deleted_files, "deleted_manifests": deleted_manifests}
+
+
 def live_file_stats(path: str, version: int | None = None) -> dict[str, dict]:
     """(abs file path -> column stats) for the live set at ``version``.
     Files from commits predating the stats field map to ``{}``."""

@@ -76,6 +76,61 @@ def test_overwrite_with_empty_frame_keeps_schema(spark, tmp_path):
     assert lh.read_table(spark, path, 0).count() == 3
 
 
+def test_compact_preserves_history_and_tightens_layout(spark, tmp_path):
+    """OPTIMIZE: many small append commits -> one clustered overwrite.
+    Rows identical, pre-compaction snapshots still readable, and the new
+    layout actually skips files for a narrow predicate."""
+    path = str(tmp_path / "t")
+    for lo in range(0, 100, 10):  # 10 tiny interleaved appends
+        lh.write_table(_df(spark, lo, lo + 10), path, "append")
+    before = sorted(r.id for r in lh.read_table(spark, path).collect())
+    v = lh.compact_table(spark, path, cluster_by=["id"], n_files=4)
+    assert v == 10
+    after = sorted(r.id for r in lh.read_table(spark, path).collect())
+    assert after == before == list(range(100))
+    assert len(lh.live_files(path)) == 4
+    # old snapshot still resolves (its files were not touched)
+    assert lh.read_table(spark, path, 0).count() == 10
+    # compacted layout prunes
+    kept, skipped = lh.prune_files(path, "id", lo=5, hi=7)
+    assert len(kept) == 1 and len(skipped) == 3
+
+
+def test_vacuum_checkpoints_log_and_reclaims_files(spark, tmp_path):
+    """Vacuum keeps the last N versions time-travelable via a consolidated
+    checkpoint manifest, deletes older manifests and their exclusive data
+    files, and never touches files the retained versions still need."""
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 10), path, "append")          # v0
+    lh.write_table(_df(spark, 10, 20), path, "append")         # v1
+    lh.write_table(_df(spark, 100, 110), path, "overwrite")    # v2 (orphans v0/v1 files)
+    lh.write_table(_df(spark, 110, 120), path, "append")       # v3
+
+    out = lh.vacuum(path, retain_versions=2)
+    assert out["deleted_manifests"] == 2  # v0, v1 dropped
+    assert out["deleted_files"] > 0       # their data reclaimed
+    assert lh.table_versions(path) == [2, 3]
+    # retained versions read exactly as before (v2 is now a checkpoint)
+    assert sorted(r.id for r in lh.read_table(spark, path, 2).collect()) == list(range(100, 110))
+    assert sorted(r.id for r in lh.read_table(spark, path).collect()) == list(range(100, 120))
+    # stats survived the checkpoint consolidation -> pruning still works
+    kept, _ = lh.prune_files(path, "id", lo=100, hi=101)
+    assert kept
+    # dropped history is gone
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lh.read_table(spark, path, 0)
+
+
+def test_vacuum_noop_within_retention(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 5), path, "append")
+    assert lh.vacuum(path, retain_versions=3) == {
+        "deleted_files": 0, "deleted_manifests": 0,
+    }
+    assert lh.read_table(spark, path).count() == 5
+
+
 def test_stream_ingest_commits_per_batch(spark, tmp_path):
     """Streaming → manifest table: one atomic commit per micro-batch;
     version history replays the stream prefix-by-prefix and the final
