@@ -66,9 +66,9 @@ def _read_commit(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def live_files(path: str, version: int | None = None) -> list[str]:
-    """Fold the commit log into the file set visible at ``version``
-    (default: latest). Paths are absolute."""
+def _live_commit_versions(path: str, version: int | None = None) -> list[int]:
+    """The commit versions whose files are visible at ``version`` — i.e.
+    everything since (and including) the last overwrite at or before it."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no manifest log at {path!r}")
@@ -76,15 +76,50 @@ def live_files(path: str, version: int | None = None) -> list[str]:
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in log (have {versions})")
-    files: list[str] = []
+    out: list[int] = []
     for v in versions:
         if v > version:
             break
+        if _read_commit(path, v)["mode"] == "overwrite":
+            out = []
+        out.append(v)
+    return out
+
+
+def live_files(path: str, version: int | None = None) -> list[str]:
+    """Fold the commit log into the file set visible at ``version``
+    (default: latest). Paths are absolute."""
+    files: list[str] = []
+    for v in _live_commit_versions(path, version):
         commit = _read_commit(path, v)
-        if commit["mode"] == "overwrite":
-            files = []
         files.extend(os.path.join(path, f) for f in commit["files"])
     return files
+
+
+def _enforce_schema(path: str, df: DataFrame) -> None:
+    """Delta-style schema enforcement with ADDITIVE evolution: an append
+    may introduce new columns (older files read them as NULL under the
+    merged-schema scan) but may not change the type of an existing column
+    — that would corrupt every reader; replacing a type requires an
+    explicit ``overwrite``."""
+    versions = table_versions(path)
+    if not versions:
+        return
+    prev = {
+        f["name"]: json.dumps(f["type"], sort_keys=True)
+        for f in _read_commit(path, versions[-1])["schema"]["fields"]
+    }
+    new = {
+        f["name"]: json.dumps(f["type"], sort_keys=True)
+        for f in json.loads(df.schema.json())["fields"]
+    }
+    clashes = {c for c in prev.keys() & new.keys() if prev[c] != new[c]}
+    if clashes:
+        raise ValueError(
+            f"append would change the type of column(s) {sorted(clashes)}; "
+            "schema evolution is additive-only — use mode='overwrite' to "
+            "replace the table schema"
+        )
 
 
 def _txn_committed(path: str, txn: tuple[str, int]) -> bool:
@@ -183,6 +218,8 @@ def write_table(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if txn is not None and _txn_committed(path, txn):
         return -1
+    if mode == "append":
+        _enforce_schema(path, df)
     if cluster_by:
         cols = [df[c] for c in cluster_by]
         df = (
@@ -240,7 +277,13 @@ def write_table(
 def read_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Snapshot read at ``version`` (default latest): an explicit-file-list
     parquet scan, so later commits — even overwrites — cannot change what
-    this DataFrame returns."""
+    this DataFrame returns.
+
+    When the live commits carry more than one schema (additive evolution:
+    an append introduced columns), the scan merges footer schemas so older
+    files surface the new columns as NULL; single-schema snapshots skip
+    the mergeSchema footer pass (it reads every footer up front — real
+    cost on a 100 TB table, pointless when schemas are uniform)."""
     files = live_files(path, version)
     if not files:
         # overwrite-with-empty commit: reconstruct from the logged schema
@@ -249,7 +292,14 @@ def read_table(spark: SparkSession, path: str, version: int | None = None) -> Da
         versions = [v for v in table_versions(path) if version is None or v <= version]
         schema = T.StructType.fromJson(_read_commit(path, versions[-1])["schema"])
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    schemas = {
+        json.dumps(_read_commit(path, v)["schema"], sort_keys=True)
+        for v in _live_commit_versions(path, version)
+    }
+    reader = spark.read
+    if len(schemas) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def compact_table(

@@ -76,6 +76,34 @@ def test_overwrite_with_empty_frame_keeps_schema(spark, tmp_path):
     assert lh.read_table(spark, path, 0).count() == 3
 
 
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """Additive evolution: an append may introduce a column (older files
+    read it as NULL via the merged-schema scan); a pre-evolution snapshot
+    keeps the old schema; changing an existing column's type is rejected
+    (Delta-style enforcement) unless the table is overwritten."""
+    path = str(tmp_path / "t")
+    lh.write_table(_df(spark, 0, 3), path, "append")
+    widened = _df(spark, 3, 6).withColumn("src", F.lit("batch2"))
+    lh.write_table(widened, path, "append")
+
+    out = lh.read_table(spark, path)
+    assert set(out.columns) == {"id", "val", "src"}
+    rows = {r.id: r.src for r in out.collect()}
+    assert rows[0] is None and rows[3] == "batch2"
+    # time travel before the evolution: old schema, no phantom column
+    assert set(lh.read_table(spark, path, 0).columns) == {"id", "val"}
+
+    # type change rejected on append...
+    retyped = _df(spark, 6, 7).withColumn("val", F.col("val").cast("string"))
+    with pytest.raises(ValueError, match="additive-only"):
+        lh.write_table(retyped, path, "append")
+    # ...but an explicit overwrite replaces the schema
+    v = lh.write_table(retyped, path, "overwrite")
+    assert lh.read_table(spark, path).schema["val"].dataType.typeName() == "string"
+    # and the pre-overwrite merged snapshot is still reachable
+    assert lh.read_table(spark, path, v - 1).count() == 6
+
+
 def test_compact_preserves_history_and_tightens_layout(spark, tmp_path):
     """OPTIMIZE: many small append commits -> one clustered overwrite.
     Rows identical, pre-compaction snapshots still readable, and the new
