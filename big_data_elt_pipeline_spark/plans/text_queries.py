@@ -267,6 +267,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components over minhash pairs)
+# --------------------------------------------------------------------------
+
+def _clusters_sql() -> str:
+    """Oracle: the SAME minhash pair relation, closed transitively by a
+    recursive CTE (set-semantics UNION guarantees termination), then
+    labeled with the component min — DuckDB computes in one recursive
+    query what the Spark side computes in O(log d) pointer-jumping rounds.
+    The PLANS are deliberately different; the fixpoint is identical."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql()}
+),
+edges AS (
+    SELECT id1 AS u, id2 AS v FROM pairs
+    UNION
+    SELECT id2 AS u, id1 AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labels
+"""
+
+
+@register("dedup_clusters", _clusters_sql())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: MinHash near-dup pairs (threshold 0.5) resolved
+    to connected components; one row per clustered doc with the
+    deterministic canonical (= component-min id). The operational form of
+    dedup — what actually decides keep/drop for a training corpus."""
+    pairs = DD.minhash_dedup(_docs2(spark, sf_dir), threshold=0.5).select("id1", "id2")
+    return DD.neardup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup
 # --------------------------------------------------------------------------
 
