@@ -397,6 +397,190 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("tpch_q13", _TPCH_Q13)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution; the comment
+    NOT-LIKE predicate adapted to ``o_orderpriority <> '1-URGENT'`` — this
+    corpus carries no comment column): outer join preserving zero-order
+    customers -> per-customer count -> distribution of counts. The only
+    gated query whose aggregate must SEE rows that the join produced from
+    nothing (the NULL-extended side).
+
+    Scale shape: orders pre-aggregates to (custkey, count) BEFORE meeting
+    customer — the filtered fact collapses by one shuffle on o_custkey and
+    only the count relation (one row per active customer) joins the
+    customer table on its own key. The distribution groupBy has at most
+    |max orders per customer| groups — single-digit partitions of a few
+    hundred rows at any corpus scale."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    ocnt = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_TPCH_Q17 = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+li AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN bp ON p_partkey = l_partkey
+),
+av AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+    FROM li GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN av USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("tpch_q17", _TPCH_Q17)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    per-part average subquery, decorrelated the way a columnar engine
+    should — per-part avg computed once as its own aggregate, joined back
+    to the fact. The avg is decimal-sum / count (exact, order-independent
+    addition, then ONE double division) so the comparison threshold is
+    bit-identical in any engine; quantities are integral so no precision
+    is lost in the snap.
+
+    Scale shape: the brand filter cuts part to dimension size ->
+    broadcast semi-reduction of lineitem BEFORE any aggregation (the fact
+    is scanned once per consumer but only brand rows survive the scan
+    filter's broadcast join); the per-part avg is one shuffle of the
+    narrow (partkey, qty) projection; joining the avg back is a broadcast
+    (|brand parts| rows). Nothing ever shuffles the full lineitem."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    bp = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    av = li_b.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li_b.join(F.broadcast(av), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_TPCH_Q22 = """
+WITH avg_bal AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS v
+    FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-09-01 00:00:00'
+)
+SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT v FROM avg_bal)
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""
+
+
+@register("tpch_q22", _TPCH_Q22)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity — dormant above-average
+    customers; cntrycode stand-in = c_nationkey and the no-orders test is
+    date-windowed, since this corpus has no phone column and every
+    customer has SOME order): scalar-subquery threshold + anti-join +
+    rollup. The scalar average is computed in ONE Spark action (decimal
+    sum / count — order-independent) and inlined as a literal, the same
+    collect-then-inline discipline every scored query here uses; the SQL
+    oracle computes it in a CTE — same double, same comparisons.
+
+    Scale shape: the threshold agg is a map-side-combinable scan of one
+    column; the anti-join shuffles only (custkey) projections — at
+    cluster scale the recent-orders key set is the small side after its
+    date filter and broadcasts under AQE; the final rollup has
+    |nations| groups."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    cutoff = "1998-09-01 00:00:00"
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .first()[0]
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 @register("audio_features", None)  # real binary codec path — rows-only
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the registry: deterministic per-doc sine

@@ -164,3 +164,47 @@ def test_training_mixture_broadcasts_and_partitions(spark):
     assert "LeftAnti" in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert spec.split(",")[0].strip() != "", plan
+
+
+def test_tpch_q13_preaggregates_before_outer_join(spark):
+    """Plan-shape guard for the outer-join-distribution family: orders
+    collapse to (custkey, count) BEFORE meeting customer — the aggregate
+    must sit UNDER the outer join in the plan, not above a joined fact —
+    and the priority filter reaches the parquet scan."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q13"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
+    # the left outer join's build side is the aggregated count relation:
+    # the plan never outer-joins raw orders rows
+    left_outer = plan[plan.index("LeftOuter"):] if "LeftOuter" in plan else plan
+    assert "LeftOuter" in plan, plan
+    assert "HashAggregate" in left_outer, plan  # agg below the join
+
+
+def test_tpch_q17_broadcast_decorrelated_avg(spark):
+    """Plan-shape guard for the correlated-avg family: both the brand
+    part list and the per-part avg join back as BROADCASTS; the full
+    lineitem is never sort-merge joined, and the brand filter is pushed."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q17"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EqualTo(p_brand,Brand#2)" in plan, plan
+
+
+def test_tpch_q22_anti_join_and_pushed_cutoff(spark):
+    """Plan-shape guard for the scalar-threshold anti-join family: the
+    dormancy test is a hash LeftAnti (not the NOT IN null-trap
+    BroadcastNestedLoopJoin), and the date cutoff reaches the orders
+    scan."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q22"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
