@@ -70,6 +70,35 @@ def q_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hll_monthly_distinct", None)  # sketch values are engine-defined —
+# same no-oracle contract as kpis_approx; pinned by tests/test_sketches.py
+# (estimates within HLL error of exact twins; stored-sketch merge ==
+# from-scratch build, bit-identical; run-to-run deterministic)
+def q_hll_monthly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSIST-THEN-MERGE distinct counting: per-month HLL sketches of the
+    buyer set, then the all-time distinct answered by MERGING the stored
+    monthly sketches — never rescanning the fact. The operational 100 TB
+    shape: gold keeps one kilobyte sketch per (month), and any later range
+    ('Q3 buyers', 'trailing 12 months') is a union of stored sketches
+    (``functions/sketches.py``). Returns one row per month plus an 'ALL'
+    row whose estimate provably equals a direct whole-fact sketch."""
+    from big_data_elt_pipeline_spark.functions import sketches as SK
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, sf_dir)
+    monthly = SK.build_sketch_table(fact, ["mois"], "id_client")
+    per_month = monthly.select(
+        "mois",
+        SK.estimate("sketch").alias("approx_clients"),
+        F.col("n_rows").alias("n_orders"),
+    )
+    total = SK.merge_sketches(monthly).select(
+        F.lit("ALL").alias("mois"),
+        SK.estimate("sketch").alias("approx_clients"),
+    ).join(fact.agg(F.count(F.lit(1)).alias("n_orders")), how="cross")
+    return per_month.unionByName(total).orderBy("mois")
+
+
 # --- as-of join: each event gets the user's latest purchase at/before ts ---
 
 @register("asof_event_purchase", _D + f""",
