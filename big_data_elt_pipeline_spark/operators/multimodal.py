@@ -3,12 +3,14 @@ processed through Arrow-batched ``mapInPandas`` (beyond-reference surface).
 
 Images/audio/video are treated as ``binary`` columns with a metadata
 struct. The Spark-side machinery — schema, batch iteration, partition
-sizing, UDF signatures — is real and tested; the actual media decoding is
-STUBBED (this container ships no image/audio libraries): ``decode_image``
-raises ``NotImplementedError`` unless PIL is importable, and the default
-feature extractor computes deterministic content-derived pseudo-features
-(byte length, md5 content hash, md5-derived fake dimensions) so the
-pipeline is exercisable and oracle-checkable end-to-end.
+sizing, UDF signatures — is real and tested. Codec status is per-FORMAT:
+PCM WAV (``extract_audio_features``) and binary P6 PPM
+(``extract_image_features``) decode for REAL with stdlib+numpy only;
+compressed formats (PNG/JPEG/...) raise through the honest PIL gate
+(``decode_image``) since this container ships no imaging library. The
+generic ``extract_features`` keeps the deterministic content-derived
+pseudo-features (byte length, md5 hash, md5-derived fake dimensions) so
+the format-agnostic pipeline stays oracle-checkable end-to-end.
 
 At 100 TB: binary payloads dominate row size — the partition knobs that
 matter are ``spark.sql.files.maxPartitionBytes`` (keep scan partitions
@@ -164,6 +166,105 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, brightness double"
+)
+
+
+def synth_ppm(width: int, height: int, r_slope: bool = True, g_const: int = 128,
+              b_value: int = 0) -> bytes:
+    """Deterministic P6 PPM image: horizontal red gradient (0..255 across
+    the row when ``r_slope``), constant green, constant blue — closed-form
+    channel means for the analytic tests. Pure numpy, no imaging lib."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.float64)
+    r = (np.rint(x * 255.0 / (width - 1)).astype(np.uint8) if width > 1 and r_slope
+         else np.zeros(width, dtype=np.uint8))
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[:, :, 0] = r[None, :]
+    img[:, :, 1] = g_const
+    img[:, :, 2] = b_value
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + img.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """REAL image decode for binary P6 PPM (the classic uncompressed RGB
+    format — needs no codec library, exactly like PCM WAV needs none).
+    Parses the whitespace/comment-tolerant header, reshapes the raw RGB
+    plane with numpy, and emits per-channel means plus Rec.601 luma."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM payload")
+    # header = magic + 3 decimal fields, '#' comments allowed between them
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    raster = np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=pos)
+    img = raster.reshape(height, width, 3).astype(np.float64)
+    mean_r, mean_g, mean_b = (float(img[:, :, c].mean()) for c in range(3))
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": mean_r,
+        "mean_g": mean_g,
+        "mean_b": mean_b,
+        "brightness": 0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b,
+    }
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image feature extraction: P6 PPM decodes
+    natively (numpy only); other formats raise through the PIL gate
+    (``decode_image``) — the honest-stub boundary is per-format, not
+    per-modality."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = []
+            for p in batch["payload"]:
+                if bytes(p)[:2] == b"P6":
+                    feats.append(_decode_ppm(p))
+                else:  # non-PPM: PIL gate (raises NotImplementedError here)
+                    img = decode_image(bytes(p))
+                    import numpy as np
+
+                    arr = np.asarray(img.convert("RGB"), dtype=np.float64)
+                    feats.append({
+                        "width": arr.shape[1], "height": arr.shape[0],
+                        "mean_r": float(arr[:, :, 0].mean()),
+                        "mean_g": float(arr[:, :, 1].mean()),
+                        "mean_b": float(arr[:, :, 2].mean()),
+                        "brightness": float(
+                            0.299 * arr[:, :, 0].mean()
+                            + 0.587 * arr[:, :, 1].mean()
+                            + 0.114 * arr[:, :, 2].mean()
+                        ),
+                    })
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", batch["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover

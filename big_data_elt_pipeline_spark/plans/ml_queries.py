@@ -581,6 +581,45 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("image_features", None)  # real binary codec path — rows-only
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the registry: deterministic per-doc P6
+    PPM gradients (dimensions and blue channel derived from doc_id)
+    synthesized in one mapInPandas pass, decoded by the numpy PPM codec in
+    another — the image twin of ``audio_features``, closing the last
+    media modality with a working codec (compressed formats keep the
+    honest PIL gate). Channel-mean correctness is pinned analytically in
+    tests/test_ml_multimodal.py; the driver records the rows-only check."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from big_data_elt_pipeline_spark.operators import multimodal as MM
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["doc_id"],
+                    "payload": [
+                        MM.synth_ppm(
+                            width=16 + int(i) % 17,
+                            height=8 + int(i) % 11,
+                            g_const=int(i) % 256,
+                            b_value=(int(i) * 7) % 256,
+                        )
+                        for i in b["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(synth, schema="media_id long, payload binary")
+    media = MM.to_media_table(payloads, "media_id", "payload", mime="image/x-portable-pixmap")
+    return MM.extract_image_features(media).orderBy("media_id")
+
+
 @register("audio_features", None)  # real binary codec path — rows-only
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the registry: deterministic per-doc sine

@@ -78,3 +78,49 @@ def test_audio_wav_decode_real(spark):
         assert abs(out[mid].rms - amp / math.sqrt(2)) < 0.01  # sine RMS = A/√2
         assert abs(out[mid].peak - amp) < 0.01
         assert out[mid].n_channels == 1
+
+
+def test_image_ppm_decode_real(spark):
+    """The PPM path is a REAL codec (pure numpy), not a stub: synthesized
+    gradient images come back with exact dimensions and analytically-known
+    channel means through the Arrow-batched mapInPandas plumbing. A
+    comment-bearing header exercises the whitespace/comment parser."""
+    import numpy as np
+
+    from big_data_elt_pipeline_spark.operators import multimodal as MM
+
+    fixtures = [
+        (1, MM.synth_ppm(16, 8, g_const=128, b_value=7)),
+        (2, MM.synth_ppm(33, 5, g_const=0, b_value=255)),
+        # header comments are legal PPM; splice one in
+        (3, MM.synth_ppm(4, 4, g_const=10, b_value=20).replace(
+            b"P6\n", b"P6\n# synthetic fixture\n", 1)),
+    ]
+    media = MM.to_media_table(
+        spark.createDataFrame(fixtures, "media_id long, payload binary"),
+        "media_id", "payload", "image/x-portable-pixmap",
+    )
+    out = {r.media_id: r for r in MM.extract_image_features(media).collect()}
+    for mid, (w, h, g, b) in {1: (16, 8, 128, 7), 2: (33, 5, 0, 255), 3: (4, 4, 10, 20)}.items():
+        r = out[mid]
+        assert (r.width, r.height) == (w, h)
+        # red = rounded horizontal gradient: mean computable in closed form
+        expect_r = float(np.rint(np.arange(w) * 255.0 / (w - 1)).mean())
+        assert abs(r.mean_r - expect_r) < 1e-12, (mid, r.mean_r, expect_r)
+        assert r.mean_g == float(g) and r.mean_b == float(b)
+        assert abs(r.brightness - (0.299 * expect_r + 0.587 * g + 0.114 * b)) < 1e-9
+
+
+def test_image_non_ppm_still_gated(spark):
+    """Compressed formats stay behind the honest PIL gate — a PNG magic
+    payload must raise, not silently pseudo-decode."""
+    import pytest
+
+    from big_data_elt_pipeline_spark.operators import multimodal as MM
+
+    media = MM.to_media_table(
+        spark.createDataFrame([(1, b"\x89PNG fake")], "media_id long, payload binary"),
+        "media_id", "payload", "image/png",
+    )
+    with pytest.raises(Exception, match="PIL|NotImplementedError"):
+        MM.extract_image_features(media).collect()
