@@ -180,6 +180,55 @@ def _file_stats(file_path: str) -> dict[str, list]:
     return out
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int | None = None) -> DataFrame:
+    """Append a ``__zkey`` column: the Morton (Z-order) interleaving of the
+    cluster columns' bits — the multi-dimensional layout key behind Delta's
+    ``OPTIMIZE ... ZORDER BY``.
+
+    Linear (lexicographic) clustering gives tight per-file ranges only for
+    the LEADING column; every trailing column spans its full range within
+    each file, so data skipping on it prunes nothing. Interleaving bits
+    makes each file a quad/oct-tree cell — a narrow predicate on ANY of
+    the clustered columns skips most files.
+
+    Mechanics: each column is affinely scaled to a ``bits``-wide integer
+    grid using its (min, max) — computed in ONE agg action over the frame
+    (Delta samples for the same purpose); NULLs map to cell 0. The bit
+    interleave is a closed-form JVM expression (shift/and/sum — codegen,
+    no UDF). ``bits`` defaults to the widest grid that keeps the key in a
+    signed 64-bit long (62 // n_cols, capped at 16)."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    n = len(cols)
+    if bits is None:
+        bits = min(16, 62 // n)
+    if bits * n > 62:
+        raise ValueError(f"{bits} bits x {n} cols overflows a signed long")
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"mn{i}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"mx{i}"))
+    row = df.agg(*aggs).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = row[f"mn{i}"], row[f"mx{i}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        cell = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top))
+        ).cast("long")
+        scaled.append(F.coalesce(F.least(F.greatest(cell, F.lit(0)), F.lit(top)), F.lit(0)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftright(s, b).bitwiseAND(F.lit(1)).cast("long") * F.lit(
+                1 << (b * n + i)
+            )
+    return df.withColumn("__zkey", z)
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -187,6 +236,7 @@ def write_table(
     txn: tuple[str, int] | None = None,
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
+    zorder: bool = False,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -220,7 +270,16 @@ def write_table(
         return -1
     if mode == "append":
         _enforce_schema(path, df)
-    if cluster_by:
+    if cluster_by and zorder:
+        # multi-dimensional layout: range-cluster on the Morton key so
+        # EVERY clustered column gets tight per-file min/max, then drop
+        # the key (a projection — file-internal order is preserved)
+        keyed = zorder_key(df, cluster_by)
+        k = keyed["__zkey"]
+        df = (
+            keyed.repartitionByRange(n_files, k) if n_files else keyed.repartitionByRange(k)
+        ).sortWithinPartitions(k).drop("__zkey")
+    elif cluster_by:
         cols = [df[c] for c in cluster_by]
         df = (
             df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
@@ -307,15 +366,19 @@ def compact_table(
     path: str,
     cluster_by: list[str] | None = None,
     n_files: int | None = None,
+    zorder: bool = False,
 ) -> int:
     """OPTIMIZE: rewrite the table's live rows as ONE overwrite commit —
-    fewer, larger, optionally range-clustered files (small-file compaction
-    + layout optimization in one step, like Delta ``OPTIMIZE ... ZORDER``).
+    fewer, larger, optionally range-clustered (``zorder=True`` for the
+    multi-column Morton layout) files — small-file compaction + layout
+    optimization in one step, like Delta ``OPTIMIZE ... ZORDER``.
     History is untouched: the rewrite is just the next version, old
     snapshots still resolve to the old files, and readers mid-scan keep
     their pinned file lists. Returns the new version."""
     df = read_table(spark, path)
-    return write_table(df, path, mode="overwrite", cluster_by=cluster_by, n_files=n_files)
+    return write_table(
+        df, path, mode="overwrite", cluster_by=cluster_by, n_files=n_files, zorder=zorder
+    )
 
 
 def vacuum(path: str, retain_versions: int = 1) -> dict:

@@ -318,3 +318,50 @@ def test_stream_ingest_replayed_epoch_not_duplicated(spark, tmp_path):
     assert replay == -1
     assert lh.read_table(spark, path).count() == 4
     assert lh.table_versions(path) == [0]
+
+
+def test_zorder_layout_prunes_on_every_clustered_column(spark, tmp_path):
+    """Z-order vs linear clustering on two independent uniform columns:
+    lexicographic layout gives tight file ranges only for the LEADING
+    column (a predicate on y alone prunes ~nothing), while the Morton
+    layout must prune well on BOTH axes — and pruned reads stay
+    row-identical to a full-scan filter."""
+    df = (
+        spark.range(0, 20000)
+        .select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % 20000).cast("double").alias("x"),
+            ((F.col("id") * 40503) % 20000).cast("double").alias("y"),
+        )
+    )
+    lin, zor = str(tmp_path / "lin"), str(tmp_path / "zor")
+    lh.write_table(df, lin, cluster_by=["x", "y"], n_files=16)
+    lh.write_table(df, zor, cluster_by=["x", "y"], n_files=16, zorder=True)
+    assert len(lh.live_files(zor)) >= 8
+
+    lo, hi = 4000.0, 5000.0  # 5% slice on the NON-leading column
+    _, lin_skip_y = lh.prune_files(lin, "y", lo, hi)
+    _, zor_skip_y = lh.prune_files(zor, "y", lo, hi)
+    assert len(zor_skip_y) > len(lin_skip_y), (len(zor_skip_y), len(lin_skip_y))
+    assert len(zor_skip_y) >= len(lh.live_files(zor)) // 2  # skips most files
+
+    _, zor_skip_x = lh.prune_files(zor, "x", lo, hi)  # leading axis prunes too
+    assert len(zor_skip_x) >= len(lh.live_files(zor)) // 2
+
+    for col in ("x", "y"):
+        pruned = lh.read_table_pruned(spark, zor, col, lo, hi)
+        full = lh.read_table(spark, zor).filter(F.col(col).between(lo, hi))
+        assert pruned.count() == full.count() > 0
+
+
+def test_zorder_key_degenerate_and_null_columns(spark):
+    """Constant and NULL columns collapse to cell 0 instead of dividing by
+    zero; the key stays a non-null long for every row."""
+    df = spark.range(0, 100).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(7.0).alias("c"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("n"),
+    )
+    keyed = lh.zorder_key(df, ["x", "c", "n"])
+    assert keyed.filter(F.col("__zkey").isNull()).count() == 0
+    assert keyed.select("__zkey").distinct().count() > 1
