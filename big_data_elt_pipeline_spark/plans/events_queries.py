@@ -185,6 +185,41 @@ def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_enriched", _E + f""",
+dim AS (SELECT c_custkey, c_mktsegment FROM customer)
+SELECT coalesce(c_mktsegment, 'unknown') AS segment, event_type,
+       CAST(count(*) AS BIGINT) AS n, {_MONEY} AS total_value
+FROM ev LEFT JOIN dim ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment: events LEFT-join the
+    broadcast customer dimension ('unknown' fallback keeps every event),
+    rolled up per (segment, event_type). The exactness anchor for
+    ``stream_enrich`` — the join itself is stateless, so streaming must
+    reproduce these numbers bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.core import money_sum
+
+    ev = events_df(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        EV.enrich_events(ev, customer)
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum("value", "total_value"))
+        .orderBy("segment", "event_type")
+    )
+
+
+@register("stream_enrich", None)  # stream-static join — rows-only check
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment driven as a real streaming query; its
+    per-(segment, type) rollup equals the ORACLE-exact batch twin
+    ``events_enriched`` (asserted in tests/test_streaming.py)."""
+    return EV.stream_enriched_events(spark, sf_dir)
+
+
 @register("stream_attribution", None)  # stream-stream join — rows-only check
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (purchase→view attribution);

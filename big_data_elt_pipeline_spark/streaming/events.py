@@ -223,6 +223,45 @@ def stream_attribution_join(
     return spark.table(name)
 
 
+def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Dimension enrichment of the event stream: LEFT join to the customer
+    table (segment label; unmatched users -> 'unknown' so no event is
+    dropped). STATELESS — a stream-static join keeps no watermark state,
+    the static side is simply broadcast into every micro-batch — so the
+    same function serves the batch twin and the streaming form, and their
+    results must be identical (asserted in tests).
+
+    At 100 TB of events this is the canonical map-side enrichment: the
+    dimension broadcasts (or, if dimension-huge, pre-bucketed storage
+    co-locates the join); the stream side never shuffles."""
+    d = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return events.join(F.broadcast(d), "user_id", "left").select(
+        "event_id",
+        F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        "event_type",
+        "value",
+    )
+
+
+def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join driven as a real streaming query: file-source
+    events left-joined per micro-batch to the static customer dimension,
+    appended row-by-row to the sink (no aggregate, no watermark — the
+    join is stateless, so append mode needs neither)."""
+    ev = _stream_events(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enriched = enrich_events(ev, customer)
+    name = "stream_enrich_sink"
+    q = enriched.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stream_tumbling_revenue(
     spark: SparkSession, sf_dir: str, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -247,3 +247,25 @@ def test_stream_dedup_matches_batch_distinct(spark):
     assert (s.event_id.values == b.event_id.values).all()
     assert (s.value.values == b.value.values).all()
     assert (s.ts.values == b.ts.values).all()
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """The stream-static join is stateless, so the streamed enrichment
+    must equal the batch twin row-for-row (same events, same segment
+    labels, same values) — and no event may be dropped by the left join."""
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+    from big_data_elt_pipeline_spark.streaming.events import (
+        enrich_events,
+        stream_enriched_events,
+    )
+
+    stream = stream_enriched_events(spark, SF_SMOKE).toPandas()
+    ev = events_df(spark, SF_SMOKE)
+    customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    batch = enrich_events(ev, customer).toPandas()
+    assert len(stream) == len(batch) == ev.count()  # left join drops nothing
+    cols = ["event_id", "segment", "event_type", "value"]
+    s = stream[cols].sort_values("event_id").reset_index(drop=True)
+    b = batch[cols].sort_values("event_id").reset_index(drop=True)
+    assert (s.values == b.values).all()
+    assert (stream.segment != "unknown").any()  # the dimension actually matched
