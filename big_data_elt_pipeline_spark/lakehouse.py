@@ -381,6 +381,86 @@ def compact_table(
     )
 
 
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_missing: bool = False,
+) -> int:
+    """MERGE INTO (upsert): rows of ``source`` replace target rows with the
+    same key, new keys insert, and ``delete_missing=True`` turns the merge
+    into a full snapshot sync (target keys absent from the source are
+    dropped) — the Delta/Iceberg MERGE semantics over the manifest table.
+
+    Mechanics: surviving target rows = target ANTI-JOIN source keys (plus
+    nothing when snapshot-syncing), union the source, commit as ONE
+    overwrite — so readers see the merge atomically and time travel keeps
+    the pre-merge version intact. Keys must be unique within ``source``
+    (enforced — a dup key would make the merge nondeterministic).
+
+    At 100 TB: this is the copy-on-write strategy (rewrite whole table =
+    simplest correct form; real engines narrow the rewrite to files whose
+    key ranges overlap the source — exactly what the per-file min/max
+    stats in this manifest enable as a future optimization). The anti-join
+    shuffles on the merge key; a small source broadcasts under AQE.
+    """
+    if not key_cols:
+        raise ValueError("merge_table needs at least one key column")
+    dups = (
+        source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+    if dups.limit(1).count():
+        raise ValueError(f"source holds duplicate merge keys on {key_cols}")
+    target = read_table(spark, path)
+    if delete_missing:
+        survivors = target.limit(0)
+    else:
+        survivors = target.join(source.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.select(target.columns).unionByName(
+        source.select(target.columns)
+    )
+    return write_table(merged, path, mode="overwrite")
+
+
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """CHANGE DATA FEED between two snapshots: every row with a
+    ``_change_type`` column (``insert`` / ``delete``; an update appears as
+    its delete+insert pair) such that applying the feed to the
+    ``from_version`` snapshot yields the ``to_version`` snapshot exactly.
+
+    Fast path: when no overwrite commit lies in ``(from, to]``, the delta
+    is append-only — the feed is just the files of the intervening
+    commits, read directly (NO diff computation, the at-scale case for an
+    ingest log). Otherwise the diff is computed as two EXCEPT ALLs of the
+    snapshots — multiset semantics, so duplicate rows count correctly.
+    """
+    versions = table_versions(path)
+    if to_version is None:
+        to_version = versions[-1]
+    if from_version not in versions or to_version not in versions:
+        raise ValueError(f"versions must be committed (have {versions})")
+    if from_version > to_version:
+        raise ValueError("from_version must be <= to_version")
+    between = [v for v in versions if from_version < v <= to_version]
+    if all(_read_commit(path, v)["mode"] == "append" for v in between):
+        files: list[str] = []
+        for v in between:
+            files.extend(os.path.join(path, f) for f in _read_commit(path, v)["files"])
+        if not files:
+            return read_table(spark, path, to_version).limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        return spark.read.parquet(*files).withColumn("_change_type", F.lit("insert"))
+    old = read_table(spark, path, from_version)
+    new = read_table(spark, path, to_version)
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
+
+
 def vacuum(path: str, retain_versions: int = 1) -> dict:
     """Reclaim storage: keep the most recent ``retain_versions`` versions
     time-travelable and delete everything older — data files referenced

@@ -365,3 +365,59 @@ def test_zorder_key_degenerate_and_null_columns(spark):
     keyed = lh.zorder_key(df, ["x", "c", "n"])
     assert keyed.filter(F.col("__zkey").isNull()).count() == 0
     assert keyed.select("__zkey").distinct().count() > 1
+
+
+def test_merge_upsert_semantics_and_history(spark, tmp_path):
+    """MERGE: matched keys update, new keys insert, untouched keys stay;
+    the merge is one atomic overwrite version and the pre-merge snapshot
+    time-travels unchanged."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    v0 = lh.write_table(base, path)
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    v1 = lh.merge_table(spark, path, src, ["k"])
+    got = {r.k: (r.name, r.v) for r in lh.read_table(spark, path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    old = {r.k: (r.name, r.v) for r in lh.read_table(spark, path, v0).collect()}
+    assert old == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+    assert v1 > v0
+
+    # snapshot sync: absent keys are deleted
+    lh.merge_table(spark, path, src, ["k"], delete_missing=True)
+    assert {r.k for r in lh.read_table(spark, path).collect()} == {2, 4}
+
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        lh.merge_table(spark, path, src.unionByName(src), ["k"])
+
+
+def test_table_changes_append_fast_path_and_overwrite_diff(spark, tmp_path):
+    """CDF: append-only ranges serve the feed straight from commit files
+    (insert-only); ranges crossing an overwrite fall back to the multiset
+    snapshot diff, and applying the feed reconciles the snapshots."""
+    path = str(tmp_path / "t")
+    df = lambda rows: spark.createDataFrame(rows, "k int, v string")
+    v0 = lh.write_table(df([(1, "a"), (2, "b")]), path)
+    v1 = lh.write_table(df([(3, "c")]), path)  # append
+    feed = lh.table_changes(spark, path, v0, v1)
+    assert [(r.k, r.v, r._change_type) for r in feed.collect()] == [(3, "c", "insert")]
+
+    v2 = lh.merge_table(spark, path, df([(2, "B"), (4, "d")]), ["k"])  # overwrite
+    feed2 = lh.table_changes(spark, path, v1, v2)
+    got = {(r.k, r.v, r._change_type) for r in feed2.collect()}
+    assert got == {(2, "B", "insert"), (4, "d", "insert"), (2, "b", "delete")}
+
+    # reconciliation: from_snapshot + inserts - deletes == to_snapshot
+    old = lh.read_table(spark, path, v1)
+    ins = feed2.filter(F.col("_change_type") == "insert").drop("_change_type")
+    dels = feed2.filter(F.col("_change_type") == "delete").drop("_change_type")
+    rebuilt = old.unionByName(ins).exceptAll(dels)
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, lh.read_table(spark, path, v2).collect())
+    )
+
+    # empty range: no changes
+    assert lh.table_changes(spark, path, v2, v2).count() == 0
