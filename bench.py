@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q18",
     "tpch_q16",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q22",
+    "dedup_clusters",
+    "events_enriched",
+    "hll_monthly_distinct",
     "pii_scrub",
     "doc_repetition",
     "contamination_check",

@@ -92,10 +92,12 @@ def q_hll_monthly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.estimate("sketch").alias("approx_clients"),
         F.col("n_rows").alias("n_orders"),
     )
+    # the ALL row merges STORED state only: distincts via sketch union,
+    # the additive count via SUM of per-month counts — no fact rescan
     total = SK.merge_sketches(monthly).select(
         F.lit("ALL").alias("mois"),
         SK.estimate("sketch").alias("approx_clients"),
-    ).join(fact.agg(F.count(F.lit(1)).alias("n_orders")), how="cross")
+    ).join(monthly.agg(F.sum("n_rows").alias("n_orders")), how="cross")
     return per_month.unionByName(total).orderBy("mois")
 
 

@@ -771,6 +771,18 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # doc_stats/doc_keywords/corpus_curation).
 # Demoted queries still run under the local pytest oracle harness
 # (tests/test_oracle_parity.py sweeps every registered name).
+# Round-5 second pass — every oracle-backed query NEW this round earns a
+# driver slot: IN ``dedup_clusters`` (connected-component resolution, the
+# round's flagship), ``tpch_q13``/``tpch_q17``/``tpch_q22`` (outer-join
+# distribution / decorrelated-avg / scalar-threshold anti-join families)
+# and ``events_enriched`` (stream-static twin). OUT five r04-green members
+# whose families keep gated coverage: ``tpch_q3`` (TPC-H keeps
+# q18/q16/q13/q17/q22; q3 keeps its r04 row + pushdown plan test),
+# ``dedup_ngram_jaccard`` (dedup keeps exact/minhash/clusters + the
+# lossless-vs-brute-force pytest), ``grouping_sets_sales`` (OLAP keeps
+# rollup/cumulative), ``attribution_join`` (events keep
+# tumbling/sessionize/enriched; the stream twin test still pins it) and
+# ``embedding_neardup`` (similarity keeps ann_topk/ann_lsh/ann_ivf_recall).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -781,8 +793,8 @@ _GATE_ORDER = [
     "pii_scrub", "doc_repetition", "contamination_check",
     "training_mixture", "lang_label_audit",
     "vocab_topk", "doc_chunking", "doc_packing",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "embedding_neardup", "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
+    "dedup_exact", "dedup_minhash", "dedup_clusters",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
     # reference pipeline: silver
@@ -794,13 +806,14 @@ _GATE_ORDER = [
     "monthly_growth", "kpis", "top_clients",
     "union_scale",
     # events / streaming twins
-    "events_tumbling", "events_sessionize", "attribution_join",
+    "events_tumbling", "events_sessionize", "events_enriched",
     # OLAP / join zoo
     "asof_event_purchase", "range_join_bands",
-    "cumulative_monthly_revenue", "grouping_sets_sales",
+    "cumulative_monthly_revenue",
     "rollup_sales_monthly", "tpch_q18", "tpch_q16",
+    "tpch_q13", "tpch_q17", "tpch_q22",
     # ML / multimodal / profiling
-    "grouped_center", "tpch_q3",
+    "grouped_center",
     "profile_documents",
 ]
 
