@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q22",
     "dedup_clusters",
+    "dedup_incremental",
+    "dedup_incremental_minhash",
     "events_enriched",
     "hll_monthly_distinct",
     "pii_scrub",

@@ -783,6 +783,16 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # rollup/cumulative), ``attribution_join`` (events keep
 # tumbling/sessionize/enriched; the stream twin test still pins it) and
 # ``embedding_neardup`` (similarity keeps ann_topk/ann_lsh/ann_ivf_recall).
+# Round-5 third pass — seat the round's remaining unseated oracle-backed
+# queries so "new this round => driver slot" holds for ALL of round 5:
+# IN ``dedup_incremental`` (exact per-ingest decisions),
+# ``dedup_incremental_minhash`` (near-dup per-ingest decisions) and
+# ``lakehouse_pruned_read`` (data-skipping read path). OUT three green
+# members with retained family coverage: ``range_join_bands`` (join zoo
+# keeps asof + cumulative frames; r04 row + sweep), ``union_scale``
+# (U1 keeps its r04 row; set-op sweep still local-green) and
+# ``quality_counters`` (P9 keeps the r03-green clients variant + silver
+# rows).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -794,21 +804,22 @@ _GATE_ORDER = [
     "training_mixture", "lang_label_audit",
     "vocab_topk", "doc_chunking", "doc_packing",
     "dedup_exact", "dedup_minhash", "dedup_clusters",
+    "dedup_incremental", "dedup_incremental_minhash",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
+    "lakehouse_pruned_read",
     # reference pipeline: silver
-    "silver_achats", "silver_clients", "quality_counters",
+    "silver_achats", "silver_clients",
     # reference pipeline: gold + serving
     "ca_monthly", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
     "cohort_first_purchase", "serving_daily", "serving_distribution",
     "monthly_growth", "kpis", "top_clients",
-    "union_scale",
     # events / streaming twins
     "events_tumbling", "events_sessionize", "events_enriched",
     # OLAP / join zoo
-    "asof_event_purchase", "range_join_bands",
+    "asof_event_purchase",
     "cumulative_monthly_revenue",
     "rollup_sales_monthly", "tpch_q18", "tpch_q16",
     "tpch_q13", "tpch_q17", "tpch_q22",

@@ -267,6 +267,117 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental MinHash near-dup: new batch vs the corpus LSH index
+# --------------------------------------------------------------------------
+
+def _mh_side_sql(tag: str, src: str) -> str:
+    """Shingles -> signature -> bands -> sizes CTE chain for one corpus
+    side, suffixed ``_{tag}`` — the two-sided mirror of _minhash_sql's
+    single-corpus chain, generated from the SAME Python constants."""
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {DD.MERSENNE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(DD.PERMS)
+    )
+    band_selects = []
+    for b in range(DD.N_BANDS):
+        cols = ", ".join(
+            f"CAST(mh{b * DD.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(DD.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig_{tag}"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+sh_{tag} AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM {src})
+    )
+),
+hashed_{tag} AS (SELECT doc_id, {_HASH32.format(c='shingle')} AS h FROM sh_{tag}),
+sig_{tag} AS (SELECT doc_id, {mins} FROM hashed_{tag} GROUP BY doc_id),
+bands_{tag} AS (
+{bands}
+),
+sizes_{tag} AS (SELECT doc_id, count(*) AS nsh FROM sh_{tag} GROUP BY doc_id)"""
+
+
+def _incr_minhash_sql() -> str:
+    return f"""
+WITH index_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+    FROM index_docs WHERE doc_id % 97 = 1
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM index_docs WHERE doc_id % 49 = 0
+),
+{_mh_side_sql('i', 'index_docs')},
+{_mh_side_sql('b', 'batch')},
+cand AS (
+    SELECT DISTINCT b.doc_id AS id_b, i.doc_id AS id_i
+    FROM bands_b b JOIN bands_i i USING (band, bkey)
+),
+inter AS (
+    SELECT c.id_b, c.id_i, count(*) AS inter
+    FROM cand c
+    JOIN sh_b sb ON sb.doc_id = c.id_b
+    JOIN sh_i si ON si.doc_id = c.id_i AND si.shingle = sb.shingle
+    GROUP BY c.id_b, c.id_i
+),
+matches AS (
+    SELECT n.id_b, n.id_i,
+           CAST(n.inter AS DOUBLE) / CAST(zb.nsh + zi.nsh - n.inter AS DOUBLE) AS jaccard
+    FROM inter n
+    JOIN sizes_b zb ON zb.doc_id = n.id_b
+    JOIN sizes_i zi ON zi.doc_id = n.id_i
+    WHERE CAST(n.inter AS DOUBLE) / CAST(zb.nsh + zi.nsh - n.inter AS DOUBLE) >= 0.5
+),
+best AS (
+    SELECT id_b, id_i, jaccard,
+           row_number() OVER (PARTITION BY id_b ORDER BY jaccard DESC, id_i) AS rn
+    FROM matches
+)
+SELECT b.doc_id,
+       CASE WHEN w.id_i IS NOT NULL THEN 'near_dup_of_corpus' ELSE 'new' END AS status,
+       w.id_i AS dup_of, w.jaccard
+FROM batch b
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON w.id_b = b.doc_id
+"""
+
+
+@register("dedup_incremental_minhash", _incr_minhash_sql())
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest NEAR-dup decisions against the corpus LSH index (the
+    MinHash twin of ``dedup_incremental``). The batch plants perturbed
+    copies of index docs (first token dropped — near but not exact) and
+    exact copies, so both the verified-match path and the best-match
+    tie-break are exercised; the oracle recomputes the identical decision
+    table from the same md5-derived signatures."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            index_docs.filter(F.col("doc_id") % 97 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+            )
+        )
+        .unionByName(
+            index_docs.filter(F.col("doc_id") % 49 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return DD.incremental_minhash_dedup(index_docs, batch)
+
+
+# --------------------------------------------------------------------------
 # Near-dup cluster resolution (connected components over minhash pairs)
 # --------------------------------------------------------------------------
 

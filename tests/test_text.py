@@ -63,3 +63,33 @@ def test_incremental_exact_dedup_decisions(spark):
 
     fps = new_index.select(fingerprint(F.col("text")).alias("fp"))
     assert fps.count() - fps.distinct().count() == 1  # only the pre-existing 1/7 dup
+
+
+def test_incremental_minhash_best_match_and_tiebreak(spark):
+    """The per-ingest near-dup decision picks the BEST corpus match (max
+    exact Jaccard), and equal scores break to the smallest index id —
+    deterministic assignment either way. Novel docs come back 'new'."""
+    from big_data_elt_pipeline_spark.operators.dedup import incremental_minhash_dedup
+
+    index = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e g"), (9, "z1 z2 z3 z4 z5 z6")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "a b c d e"),   # exact dup of 1 (J=1.0) and partial of 2
+         (101, "q r s t u")],  # novel
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in incremental_minhash_dedup(index, batch).collect()}
+    assert got[100].status == "near_dup_of_corpus"
+    assert got[100].dup_of == 1 and got[100].jaccard == 1.0
+    assert got[101].status == "new" and got[101].dup_of is None
+
+    # best-match: "a b c d" scores J=2/3 against index 1 but only J=1/2
+    # against index 2 — the higher exact Jaccard must win the assignment
+    # (equal-score ties break to min index id via the same window order,
+    # which the differential oracle pins structurally)
+    probe = spark.createDataFrame([(200, "a b c d")], "doc_id long, text string")
+    r = {x.doc_id: x for x in incremental_minhash_dedup(index, probe).collect()}[200]
+    assert r.status == "near_dup_of_corpus" and r.dup_of == 1
+    assert abs(r.jaccard - 2.0 / 3.0) < 1e-12
