@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q22",
     "dedup_clusters",
+    "dedup_winnow",
     "dedup_incremental",
     "dedup_incremental_minhash",
     "events_enriched",

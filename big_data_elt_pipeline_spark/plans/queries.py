@@ -792,7 +792,10 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # keeps asof + cumulative frames; r04 row + sweep), ``union_scale``
 # (U1 keeps its r04 row; set-op sweep still local-green) and
 # ``quality_counters`` (P9 keeps the r03-green clients variant + silver
-# rows).
+# rows). Also IN ``dedup_winnow`` (winnowing/MOSS fingerprints — a fourth
+# near-dup algorithm family) for OUT ``doc_packing`` (text family keeps
+# doc_stats/doc_keywords/doc_chunking/corpus_curation; packing keeps its
+# r04 row + the capacity-invariant pytest).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -802,8 +805,8 @@ _GATE_ORDER = [
     "doc_stats", "doc_keywords", "corpus_curation",
     "pii_scrub", "doc_repetition", "contamination_check",
     "training_mixture", "lang_label_audit",
-    "vocab_topk", "doc_chunking", "doc_packing",
-    "dedup_exact", "dedup_minhash", "dedup_clusters",
+    "vocab_topk", "doc_chunking",
+    "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_winnow",
     "dedup_incremental", "dedup_incremental_minhash",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance

@@ -422,6 +422,66 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) near-dup
+# --------------------------------------------------------------------------
+
+def _winnow_sql() -> str:
+    C = DD._POS_RADIX
+    w = DD.WINNOW_W
+    return f"""
+WITH {_DOCS2_SQL.strip()},
+shp AS (
+    SELECT doc_id, u.pos AS pos, u.sh AS shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(L)),
+                                     i -> struct_pack(pos := i, sh := L[i+1]))) AS u
+        FROM (
+            SELECT doc_id, {_SHINGLES.replace('tok', 'tok')} AS L
+            FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM docs2)
+        )
+    )
+),
+keyed AS (
+    SELECT doc_id, pos,
+           {_HASH32.format(c='shingle')} * {C} + ({C - 1} - pos) AS ck,
+           count(*) OVER (PARTITION BY doc_id) AS m
+    FROM shp
+),
+sel AS (
+    SELECT doc_id, pos, m,
+           min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS c
+    FROM keyed
+),
+fp AS (
+    SELECT DISTINCT doc_id, CAST(floor(c / {C}) AS BIGINT) AS fhash
+    FROM sel WHERE pos <= greatest(m - {w}, 0)
+),
+sizes AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+ov AS (
+    SELECT l.doc_id AS id1, r.doc_id AS id2, count(*) AS overlap
+    FROM fp l JOIN fp r USING (fhash)
+    WHERE l.doc_id < r.doc_id
+    GROUP BY 1, 2
+)
+SELECT o.id1, o.id2, z1.nf AS f1, z2.nf AS f2, o.overlap,
+       CAST(o.overlap AS DOUBLE) / CAST(z1.nf + z2.nf - o.overlap AS DOUBLE) AS score
+FROM ov o
+JOIN sizes z1 ON z1.doc_id = o.id1
+JOIN sizes z2 ON z2.doc_id = o.id2
+WHERE CAST(o.overlap AS DOUBLE) / CAST(z1.nf + z2.nf - o.overlap AS DOUBLE) >= 0.4
+"""
+
+
+@register("dedup_winnow", _winnow_sql())
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint near-dup over the perturbed corpus — the
+    substring-guarantee fingerprint family (MOSS), joining only the
+    winnow-selected fraction of the shingle volume."""
+    return DD.winnow_neardup(_docs2(spark, sf_dir), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup
 # --------------------------------------------------------------------------
 

@@ -93,3 +93,37 @@ def test_incremental_minhash_best_match_and_tiebreak(spark):
     r = {x.doc_id: x for x in incremental_minhash_dedup(index, probe).collect()}[200]
     assert r.status == "near_dup_of_corpus" and r.dup_of == 1
     assert abs(r.jaccard - 2.0 / 3.0) < 1e-12
+
+
+def test_winnow_guarantee_and_identity(spark):
+    """The winnowing guarantee: two docs sharing a token run of length
+    >= k + w - 1 (= 6 here) MUST share at least one selected fingerprint;
+    identical docs must score exactly 1.0; token-disjoint docs never pair."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_neardup,
+    )
+
+    shared = "m1 m2 m3 m4 m5 m6"  # k + w - 1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"p1 p2 p3 {shared} p4 p5 p6 p7"),
+            (2, f"q1 q2 {shared} q3 q4 q5 q6 q7 q8"),
+            (3, "r1 r2 r3 r4 r5 r6 r7 r8"),
+            (4, f"p1 p2 p3 {shared} p4 p5 p6 p7"),  # identical to 1
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs)
+    shared_fps = (
+        fp.filter(F.col("doc_id").isin(1, 2))
+        .groupBy("fhash").agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") == 2).count()
+    )
+    assert shared_fps >= 1  # the substring guarantee
+
+    pairs = {(r.id1, r.id2): r for r in winnow_neardup(docs, threshold=0.0).collect()}
+    assert pairs[(1, 4)].score == 1.0  # identical docs: full overlap
+    assert not any(3 in p for p in pairs)  # disjoint doc never pairs
