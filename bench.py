@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q17",
     "tpch_q22",
+    "tpch_q5",
+    "events_unpivot",
     "dedup_clusters",
     "dedup_winnow",
     "dedup_incremental",

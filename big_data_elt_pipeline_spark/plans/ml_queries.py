@@ -581,6 +581,90 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("tpch_q5", _TPCH_Q5)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the snowflake MULTI-HOP
+    join — region -> nation -> customer -> orders -> lineitem -> supplier —
+    with the classic correlated predicate ``s_nationkey = c_nationkey``
+    (revenue only counts when the supplier is local to the customer),
+    which no other gated query exercises.
+
+    Scale shape: region+nation collapse to a broadcast dimension of
+    |nations-in-region| rows BEFORE touching any fact; customer joins
+    that broadcast map-side; orders arrive date-pruned from the scan; the
+    only big shuffles are orders⋈customer on custkey and the orderkey
+    join into lineitem; supplier is dimension-sized and broadcasts, with
+    the nationkey correlation applied as part of that map-side join (no
+    extra shuffle). Final rollup has |nations| groups."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
+
+    region = (
+        read_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    dim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(dim), F.col("c_nationkey") == dim.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 @register("image_features", None)  # real binary codec path — rows-only
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the registry: deterministic per-doc P6

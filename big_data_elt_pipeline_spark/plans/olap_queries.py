@@ -310,6 +310,44 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_UNPIVOT_BRANCHES = "\nUNION ALL\n".join(
+    f"SELECT day, '{t}' AS event_type, {t} AS n FROM wide" for t in EVENT_TYPES
+)
+
+
+@register("events_unpivot", _D + f""",
+{EVENTS_SQL.strip()},
+wide AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {_PIVOT_COLS}
+    FROM ev GROUP BY strftime(ts, '%Y-%m-%d')
+)
+{_UNPIVOT_BRANCHES}
+ORDER BY day, event_type
+""")
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long round trip: the pivot_event_counts wide table melted
+    back to (day, event_type, n) with Spark's native ``unpivot`` — the
+    relational MELT operator no other query covers. Zero-filled before
+    melting so the long table is a DENSE day x type grid (downstream
+    time-series consumers need explicit zeros, not missing rows).
+
+    Scale shape: one shuffle for the day rollup; the melt itself is a
+    map-only Expand (each wide row emits |types| long rows) — no extra
+    exchange, no Python."""
+    events = events_df(spark, sf_dir)
+    wide = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+    return (
+        wide.unpivot(["day"], EVENT_TYPES, "event_type", "n")
+        .orderBy("day", "event_type")
+    )
+
+
 @register("grouping_sets_sales", _D + """
 SELECT pays, produit,
        CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,

@@ -795,7 +795,13 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # rows). Also IN ``dedup_winnow`` (winnowing/MOSS fingerprints — a fourth
 # near-dup algorithm family) for OUT ``doc_packing`` (text family keeps
 # doc_stats/doc_keywords/doc_chunking/corpus_curation; packing keeps its
-# r04 row + the capacity-invariant pytest).
+# r04 row + the capacity-invariant pytest). And IN ``tpch_q5`` (snowflake
+# multi-hop join with the correlated local-supplier predicate) +
+# ``events_unpivot`` (wide->long MELT — a relational direction nothing
+# else covers) for OUT ``dedup_exact`` (its fingerprint logic is a strict
+# subset of the gated ``dedup_incremental``; r04 row + sweep) and
+# ``serving_daily`` (A4 keeps serving_weekly's r03 row and daily's r04
+# row).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -806,7 +812,7 @@ _GATE_ORDER = [
     "pii_scrub", "doc_repetition", "contamination_check",
     "training_mixture", "lang_label_audit",
     "vocab_topk", "doc_chunking",
-    "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_winnow",
+    "dedup_minhash", "dedup_clusters", "dedup_winnow",
     "dedup_incremental", "dedup_incremental_minhash",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
@@ -817,7 +823,7 @@ _GATE_ORDER = [
     # reference pipeline: gold + serving
     "ca_monthly", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
-    "cohort_first_purchase", "serving_daily", "serving_distribution",
+    "cohort_first_purchase", "serving_distribution",
     "monthly_growth", "kpis", "top_clients",
     # events / streaming twins
     "events_tumbling", "events_sessionize", "events_enriched",
@@ -825,7 +831,8 @@ _GATE_ORDER = [
     "asof_event_purchase",
     "cumulative_monthly_revenue",
     "rollup_sales_monthly", "tpch_q18", "tpch_q16",
-    "tpch_q13", "tpch_q17", "tpch_q22",
+    "tpch_q13", "tpch_q17", "tpch_q22", "tpch_q5",
+    "events_unpivot",
     # ML / multimodal / profiling
     "grouped_center",
     "profile_documents",

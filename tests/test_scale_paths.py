@@ -208,3 +208,41 @@ def test_tpch_q22_anti_join_and_pushed_cutoff(spark):
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: when a selective dimension feeds a
+    shuffle join, the engine builds a bloom filter from the dimension keys
+    and applies might_contain on the FACT scan side — rows that cannot
+    join die before the exchange. Pinned with the application-side size
+    threshold lowered so a local fixture qualifies; at 100 TB this is the
+    default behavior (thresholds are sized for real facts)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+            "l_partkey", "l_quantity"
+        )
+        part = (
+            spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+            .filter(F.col("p_brand") == "Brand#2")
+            .select("p_partkey")
+        )
+        joined = li.join(part, li.l_partkey == part.p_partkey)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
