@@ -41,6 +41,9 @@ def get_spark(app_name: str = "big_data_elt_pipeline_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Python DataSource (docstore) readers implement pushFilters;
+        # Spark 4.1 refuses them unless this runtime switch is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert via timestamp_micros (sources/tpch.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
