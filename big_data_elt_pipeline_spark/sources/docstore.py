@@ -281,6 +281,22 @@ def register(spark: SparkSession) -> None:
     spark.dataSource.register(DocStoreDataSource)
 
 
+def vacuum(path: str) -> int:
+    """Delete shard files no longer referenced by the manifest (orphaned
+    by overwrite commits, which swap the manifest but never delete bytes
+    so that readers mid-scan keep their pinned file lists). Run only when
+    no reader can still hold a pre-overwrite plan — the same retention
+    contract as ``lakehouse.vacuum``. Returns the number deleted."""
+    live = set(_read_manifest(path)["shards"])
+    deleted = 0
+    shards_dir = pathlib.Path(path) / "shards"
+    for f in shards_dir.glob("*.jsonl"):
+        if f.name not in live:
+            f.unlink()
+            deleted += 1
+    return deleted
+
+
 def upsert(spark: SparkSession, path: str, df: DataFrame, key: str) -> None:
     """Mongo replace_one(upsert=True) parity: rows of ``df`` replace
     stored documents with the same key, new keys insert — one atomic

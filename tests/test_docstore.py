@@ -102,3 +102,13 @@ def test_timestamp_column_roundtrip(spark, store):
     df.write.format("docstore").option("key", "k").mode("append").save(store)
     back = spark.read.format("docstore").load(store)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_vacuum_reclaims_orphaned_shards(spark, store):
+    _gold(spark, 50).write.format("docstore").option("key", "k").mode("append").save(store)
+    _gold(spark, 20).write.format("docstore").option("key", "k").mode("overwrite").save(store)
+    shards_dir = pathlib.Path(store) / "shards"
+    before = len(list(shards_dir.glob("*.jsonl")))
+    deleted = DS.vacuum(store)
+    assert deleted >= 1 and len(list(shards_dir.glob("*.jsonl"))) == before - deleted
+    assert spark.read.format("docstore").load(store).count() == 20  # live rows intact
