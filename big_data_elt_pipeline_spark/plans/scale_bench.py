@@ -98,7 +98,8 @@ def scaled_embeddings(spark: SparkSession, sf_dir: str, factor: int, dim: int = 
 def run_scaled(
     spark: SparkSession, sf_dir: str, factors: tuple[int, ...] = (1, 4, 16)
 ) -> dict[str, float]:
-    """Time dedup_minhash / dedup_ngram_jaccard / ann_lsh_topk at each
+    """Time dedup_minhash / dedup_ngram_jaccard / dedup_winnow /
+    dedup_clusters / ann_lsh_topk / training_mixture at each
     corpus factor, min-of-2 per point — single shots on this host showed
     2x swings (the same phantom the round-3 pipeline bench shipped), and
     a noisy point would distort the linearity trend this exhibit exists
@@ -116,6 +117,12 @@ def run_scaled(
         runs = {
             "dedup_minhash": lambda: D.minhash_dedup(docs),
             "dedup_ngram_jaccard": lambda: D.ngram_jaccard_dedup(docs),
+            "dedup_winnow": lambda: D.winnow_neardup(docs, threshold=0.4),
+            # pairs -> components: the salted copies keep each base pair
+            # inside its copy, so cluster count grows ~linearly too
+            "dedup_clusters": lambda: D.neardup_clusters(
+                D.minhash_dedup(docs).select("id1", "id2")
+            ),
             "ann_lsh_topk": lambda: S.lsh_topk(emb, queries, k=5, n_bits=8),
             "training_mixture": lambda: governance_mixture(docs),
         }
