@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -203,6 +204,17 @@ class DocStoreWriter(DataSourceWriter):
         self.key = options.get("key")
         self.schema = schema
         self.overwrite = overwrite
+        # schema enforcement happens at PLAN time (driver), not in commit:
+        # an append that would silently re-point the stored schema at a
+        # different shape corrupts every older shard's decode
+        if not overwrite and _manifest_path(self.path).exists():
+            stored = T.StructType.fromJson(_read_manifest(self.path)["schema"])
+            if stored != schema:
+                raise ValueError(
+                    f"append schema {schema.simpleString()} does not match the "
+                    f"stored schema {stored.simpleString()}; use overwrite to "
+                    "replace the collection"
+                )
 
     def write(self, rows) -> _ShardCommit:
         staging = pathlib.Path(self.path) / "_staging"
@@ -225,7 +237,7 @@ class DocStoreWriter(DataSourceWriter):
         root = pathlib.Path(self.path)
         shards_dir = root / "shards"
         shards_dir.mkdir(parents=True, exist_ok=True)
-        prev: dict = {"shards": [], "stats": {}}
+        prev: dict = {"shards": [], "stats": {}, "txns": {}}
         if not self.overwrite and _manifest_path(self.path).exists():
             prev = _read_manifest(self.path)
         shards, stats = list(prev["shards"]), dict(prev.get("stats", {}))
@@ -240,6 +252,9 @@ class DocStoreWriter(DataSourceWriter):
             "key": self.key,
             "shards": shards,
             "stats": stats,
+            # streaming epoch tags ride along on appends (overwrite resets
+            # them — a truncate-and-load starts a fresh stream history)
+            "txns": prev.get("txns", {}),
             "schema": json.loads(self.schema.json()),
         }
         fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
@@ -257,6 +272,65 @@ class DocStoreWriter(DataSourceWriter):
                     pass
 
 
+class DocStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch's staged shards publish in ONE
+    manifest replace, tagged with (appId, batchId) so a batch re-delivered
+    after a crash between commit and checkpoint advance is SKIPPED — the
+    same exactly-once discipline as ``lakehouse.stream_ingest``. Pass
+    ``option("appId", ...)`` stable across restarts of the logical stream;
+    without it replays append duplicates (at-least-once)."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.path = options["path"]
+        self.key = options.get("key")
+        self.app_id = options.get("appid")  # option keys arrive lowercased
+        self.schema = schema
+
+    def write(self, rows):
+        return DocStoreWriter.write(self, rows)  # same staging protocol
+
+    def commit(self, messages, batchId: int) -> None:
+        root = pathlib.Path(self.path)
+        shards_dir = root / "shards"
+        shards_dir.mkdir(parents=True, exist_ok=True)
+        prev: dict = {"shards": [], "stats": {}, "txns": {}}
+        if _manifest_path(self.path).exists():
+            prev = _read_manifest(self.path)
+        txns: dict = dict(prev.get("txns", {}))
+        if self.app_id is not None and batchId in txns.get(self.app_id, []):
+            for m in messages:  # replayed epoch: drop its staged shards
+                if m is not None:
+                    try:
+                        os.unlink(root / "_staging" / m.staged)
+                    except FileNotFoundError:
+                        pass
+            return
+        shards, stats = list(prev["shards"]), dict(prev.get("stats", {}))
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                continue
+            os.replace(root / "_staging" / m.staged, shards_dir / m.staged)
+            shards.append(m.staged)
+            if m.key_min is not None:
+                stats[m.staged] = [m.key_min, m.key_max]
+        if self.app_id is not None:
+            txns.setdefault(self.app_id, []).append(int(batchId))
+        manifest = {
+            "key": self.key,
+            "shards": shards,
+            "stats": stats,
+            "txns": txns,
+            "schema": json.loads(self.schema.json()),
+        }
+        fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest))
+        os.replace(tmp, _manifest_path(self.path))
+
+    def abort(self, messages, batchId: int) -> None:
+        DocStoreWriter.abort(self, messages)
+
+
 class DocStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -270,6 +344,9 @@ class DocStoreDataSource(DataSource):
 
     def writer(self, schema: T.StructType, overwrite: bool) -> DocStoreWriter:
         return DocStoreWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> DocStoreStreamWriter:
+        return DocStoreStreamWriter(self.options, schema)
 
 
 def register(spark: SparkSession) -> None:

@@ -112,3 +112,56 @@ def test_vacuum_reclaims_orphaned_shards(spark, store):
     deleted = DS.vacuum(store)
     assert deleted >= 1 and len(list(shards_dir.glob("*.jsonl"))) == before - deleted
     assert spark.read.format("docstore").load(store).count() == 20  # live rows intact
+
+
+def test_append_schema_enforced(spark, store):
+    _gold(spark, 10).write.format("docstore").option("key", "k").mode("append").save(store)
+    other = spark.createDataFrame([(1, "x")], "k long, other string")
+    with pytest.raises(Exception, match="does not match the.*stored schema|stored schema"):
+        other.write.format("docstore").option("key", "k").mode("append").save(store)
+    # overwrite replaces the schema legitimately
+    other.write.format("docstore").option("key", "k").mode("overwrite").save(store)
+    assert spark.read.format("docstore").load(store).columns == ["k", "other"]
+
+
+def test_stream_sink_appends_batches(spark, store, tmp_path):
+    src = str(tmp_path / "src")
+    _gold(spark, 40).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(_gold(spark, 1).schema).parquet(src)
+    q = (
+        stream.writeStream.format("docstore")
+        .option("path", store)
+        .option("key", "k")
+        .option("appId", "test-stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.format("docstore").load(store)
+    assert back.count() == 40
+    manifest = json.loads((pathlib.Path(store) / "manifest.json").read_text())
+    assert manifest["txns"].get("test-stream")  # epoch tags recorded
+
+
+def test_stream_sink_replayed_epoch_is_skipped(spark, store):
+    """Crash-replay simulation: the same (appId, batchId) committed twice
+    must publish once — the second commit drops its staged shards."""
+    from pyspark.sql import types as T
+
+    from big_data_elt_pipeline_spark.sources.docstore import DocStoreStreamWriter
+
+    schema = T.StructType().add("k", T.LongType()).add("v", T.DoubleType())
+    w = DocStoreStreamWriter({"path": store, "key": "k", "appid": "app1"}, schema)
+    m1 = w.write(iter([(1, 1.0), (2, 2.0)]))
+    w.commit([m1], batchId=0)
+    m2 = w.write(iter([(1, 1.0), (2, 2.0)]))  # engine re-delivers epoch 0
+    w.commit([m2], batchId=0)
+    DS.register(spark)
+    assert spark.read.format("docstore").load(store).count() == 2  # not 4
+    m3 = w.write(iter([(3, 3.0)]))
+    w.commit([m3], batchId=1)  # the NEXT epoch still lands
+    assert spark.read.format("docstore").load(store).count() == 3
