@@ -421,3 +421,27 @@ def test_table_changes_append_fast_path_and_overwrite_diff(spark, tmp_path):
 
     # empty range: no changes
     assert lh.table_changes(spark, path, v2, v2).count() == 0
+
+
+def test_zorder_key_interleave_decodes_exactly(spark):
+    """The Morton key must be the exact bit interleave of the scaled
+    cells: decode it back per row and compare against a direct numpy
+    interleave of the same affine grid mapping."""
+    import numpy as np
+
+    df = spark.range(0, 512).select(
+        (F.col("id") % 31).cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("y"),
+    )
+    rows = lh.zorder_key(df, ["x", "y"], bits=8).collect()
+    for r in rows:
+        cx = int(round(r.x / 30.0 * 255))
+        cy = int(round(r.y / 16.0 * 255))
+        # floor((v-lo)/(hi-lo)*255) in doubles
+        cx = min(int(np.floor(r.x / 30.0 * 255.0)), 255)
+        cy = min(int(np.floor(r.y / 16.0 * 255.0)), 255)
+        expect = 0
+        for b in range(8):
+            expect |= ((cx >> b) & 1) << (2 * b)
+            expect |= ((cy >> b) & 1) << (2 * b + 1)
+        assert r["__zkey"] == expect, (r.x, r.y, r["__zkey"], expect)
