@@ -435,9 +435,7 @@ def test_zorder_key_interleave_decodes_exactly(spark):
     )
     rows = lh.zorder_key(df, ["x", "y"], bits=8).collect()
     for r in rows:
-        cx = int(round(r.x / 30.0 * 255))
-        cy = int(round(r.y / 16.0 * 255))
-        # floor((v-lo)/(hi-lo)*255) in doubles
+        # mirror of the engine mapping: floor((v-lo)/(hi-lo)*255) in doubles
         cx = min(int(np.floor(r.x / 30.0 * 255.0)), 255)
         cy = min(int(np.floor(r.y / 16.0 * 255.0)), 255)
         expect = 0
