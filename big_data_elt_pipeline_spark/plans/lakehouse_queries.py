@@ -194,3 +194,43 @@ def q_incremental_ca_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = _fact(spark, sf_dir)
     tmp = staging_dir("incr_country_gate", sf_dir)
     return incremental_ca_country(spark, fact, f"{tmp}/src", f"{tmp}/state", chunks=3)
+
+
+# --------------------------------------------------------------------------
+# Python DataSource round trip: the serving store under the value-hash gate
+# --------------------------------------------------------------------------
+
+@register("docstore_roundtrip", _D + """
+SELECT strftime(date_achat, '%Y-%m') AS mois,
+       CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS ca,
+       count(*) AS n
+FROM fact GROUP BY 1 ORDER BY mois
+""")
+def q_docstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monthly gold rollup PUBLISHED to a docstore collection and read
+    BACK through the Python DataSource — oracle equality then proves the
+    custom format preserves every value bit-for-bit (JSON float repr
+    round-trips IEEE doubles exactly), i.e. the Mongo-parity serving edge
+    is engine-grade, not a lossy export."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.core import money_sum
+    from big_data_elt_pipeline_spark.sources import docstore
+
+    docstore.register(spark)
+    gold = (
+        _fact(spark, sf_dir)
+        .groupBy("mois")
+        .agg(money_sum("montant", "ca"), F.count(F.lit(1)).alias("n"))
+        .orderBy("mois")
+    )
+    path = tempfile.mkdtemp(prefix="docstore_gate_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    gold.write.format(docstore.FORMAT_NAME).option("key", "mois").mode(
+        "overwrite"
+    ).save(path)
+    return spark.read.format(docstore.FORMAT_NAME).load(path)

@@ -801,7 +801,11 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # else covers) for OUT ``dedup_exact`` (its fingerprint logic is a strict
 # subset of the gated ``dedup_incremental``; r04 row + sweep) and
 # ``serving_daily`` (A4 keeps serving_weekly's r03 row and daily's r04
-# row).
+# row). Final round-5 seat: IN ``docstore_roundtrip`` (the Python
+# DataSource serving format under the value-hash gate — write + read back
+# must be bit-exact) for OUT ``silver_clients`` (r04 row; P1/P3/P6 stay
+# covered by the r02-green dirty-variant rows, silver_achats, and
+# test_silver).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -817,9 +821,9 @@ _GATE_ORDER = [
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
-    "lakehouse_pruned_read",
+    "lakehouse_pruned_read", "docstore_roundtrip",
     # reference pipeline: silver
-    "silver_achats", "silver_clients",
+    "silver_achats",
     # reference pipeline: gold + serving
     "ca_monthly", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
