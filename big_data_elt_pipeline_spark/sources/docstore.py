@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -209,7 +210,10 @@ class DocStoreWriter(DataSourceWriter):
         # different shape corrupts every older shard's decode
         if not overwrite and _manifest_path(self.path).exists():
             stored = T.StructType.fromJson(_read_manifest(self.path)["schema"])
-            if stored != schema:
+            # names + types only: nullability/metadata differences are not
+            # a decode hazard and legitimately vary between writers
+            shape = lambda s: [(f.name, f.dataType) for f in s.fields]
+            if shape(stored) != shape(schema):
                 raise ValueError(
                     f"append schema {schema.simpleString()} does not match the "
                     f"stored schema {stored.simpleString()}; use overwrite to "
@@ -331,6 +335,65 @@ class DocStoreStreamWriter(DataSourceStreamWriter):
         DocStoreWriter.abort(self, messages)
 
 
+class DocStoreStreamReader(SimpleDataSourceStreamReader):
+    """Streaming SOURCE: tail an append-only collection by manifest
+    offset — the change-data-capture read of the serving store. The
+    offset is the committed shard count; each micro-batch serves exactly
+    the shards appended since the last offset, and ``readBetweenOffsets``
+    replays a closed range deterministically after restart (shard names
+    are never reordered: commits only append).
+
+    Append-only is the contract: an overwrite rewrites history, so a
+    shard list that no longer extends the offset's prefix raises instead
+    of silently re-serving rewritten data (the reader cannot know which
+    rows the checkpoint already emitted)."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.path = options["path"]
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"shards": 0}
+
+    def _shards(self) -> list[str]:
+        return _read_manifest(self.path)["shards"]
+
+    def _emit(self, shards: list[str]) -> Iterator[tuple]:
+        # materialized, not a generator: the engine caches and COPIES the
+        # returned iterator for partition planning (copy.copy fails on
+        # generators); a micro-batch is a handful of shards, driver-sized
+        fields = self.schema.fields
+        out = []
+        for s in shards:
+            with open(os.path.join(self.path, "shards", s)) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    out.append(tuple(
+                        _decode_value(rec.get(fld.name), fld.dataType) for fld in fields
+                    ))
+        return iter(out)
+
+    def read(self, start: dict):
+        shards = self._shards()
+        k = int(start["shards"])
+        if k > len(shards):
+            raise ValueError(
+                f"offset {k} beyond manifest ({len(shards)} shards): the "
+                "collection was overwritten — CDC tailing needs append-only"
+            )
+        return self._emit(shards[k:]), {"shards": len(shards)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        shards = self._shards()
+        a, b = int(start["shards"]), int(end["shards"])
+        if b > len(shards):
+            raise ValueError("replay range beyond manifest: collection was overwritten")
+        return self._emit(shards[a:b])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: shards are immutable
+
+
 class DocStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -347,6 +410,9 @@ class DocStoreDataSource(DataSource):
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> DocStoreStreamWriter:
         return DocStoreStreamWriter(self.options, schema)
+
+    def simpleStreamReader(self, schema: T.StructType) -> DocStoreStreamReader:
+        return DocStoreStreamReader(self.options, schema)
 
 
 def register(spark: SparkSession) -> None:

@@ -165,3 +165,62 @@ def test_stream_sink_replayed_epoch_is_skipped(spark, store):
     m3 = w.write(iter([(3, 3.0)]))
     w.commit([m3], batchId=1)  # the NEXT epoch still lands
     assert spark.read.format("docstore").load(store).count() == 3
+
+
+def test_stream_source_tails_appends(spark, store, tmp_path):
+    """CDC tailing: a readStream over the collection emits exactly the
+    appended rows batch over batch, and an overwrite mid-stream raises
+    instead of silently replaying rewritten history."""
+    _gold(spark, 10).write.format("docstore").option("key", "k").mode("append").save(store)
+    q = (
+        spark.readStream.format("docstore")
+        .schema(_gold(spark, 1).schema)
+        .load(store)
+        .writeStream.format("memory")
+        .queryName("docstore_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("docstore_tail").count() == 10
+        # append a second wave: the running stream must pick up ONLY it
+        extra = spark.createDataFrame(
+            [(1000, 0.0, "late", True)], "k long, v double, name string, active boolean"
+        )
+        extra.write.format("docstore").option("key", "k").mode("append").save(store)
+        q.processAllAvailable()
+        assert spark.table("docstore_tail").count() == 11
+        assert spark.table("docstore_tail").filter(F.col("k") == 1000).count() == 1
+    finally:
+        q.stop()
+
+
+def test_stream_source_rejects_overwritten_history(spark, store, tmp_path):
+    """Resuming a tail after the collection was overwritten must FAIL:
+    the checkpointed offset indexes shards that no longer exist, and
+    silently re-serving rewritten history would duplicate or lose rows."""
+    _gold(spark, 10).write.format("docstore").option("key", "k").mode("append").save(store)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    def start():
+        return (
+            spark.readStream.format("docstore")
+            .schema(_gold(spark, 1).schema)
+            .load(store)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _gold(spark, 3).write.format("docstore").option("key", "k").mode("overwrite").save(store)
+    q2 = start()
+    try:
+        with pytest.raises(Exception, match="overwritten|append-only"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
