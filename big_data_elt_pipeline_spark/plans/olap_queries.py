@@ -310,6 +310,42 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("client_quartiles", _D + """,
+per_client AS (
+    SELECT id_client, pays,
+           CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM fact GROUP BY id_client, pays
+)
+SELECT id_client, pays, total,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM per_client
+WINDOW w AS (PARTITION BY pays ORDER BY total, id_client)
+""")
+def q_client_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family (ntile / percent_rank / cume_dist) — the
+    distribution-rank trio no other query covers, PARTITIONED by country
+    (a global ntile would be the single-partition anti-pattern; per-group
+    ranking is both the realistic ask and the scale-safe plan). Total
+    order inside each partition is (total, id_client) so ntile boundaries
+    are deterministic under ties."""
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    per_client = (
+        _fact(spark, sf_dir)
+        .groupBy("id_client", "pays")
+        .agg(money_sum("montant", "total"))
+    )
+    w = Window.partitionBy("pays").orderBy("total", "id_client")
+    return per_client.select(
+        "id_client", "pays", "total",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 _UNPIVOT_BRANCHES = "\nUNION ALL\n".join(
     f"SELECT day, '{t}' AS event_type, {t} AS n FROM wide" for t in EVENT_TYPES
 )

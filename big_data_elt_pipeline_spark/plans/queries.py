@@ -805,17 +805,23 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # DataSource serving format under the value-hash gate — write + read back
 # must be bit-exact) for OUT ``silver_clients`` (r04 row; P1/P3/P6 stay
 # covered by the r02-green dirty-variant rows, silver_achats, and
-# test_silver).
+# test_silver). Plus IN ``client_quartiles`` (ranking-window trio:
+# ntile/percent_rank/cume_dist, partitioned) and ``embedding_stats``
+# (higher-order array functions with a sequential-fold-exact oracle) for
+# OUT ``contamination_check`` (subsumed by the gated ``training_mixture``
+# composite's decontamination stage, same reasoning as mixture_sample;
+# r04 row) and ``doc_keywords`` (text family keeps
+# doc_stats/corpus_curation/vocab_topk; r04 row + plan-shape test).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
 
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
-    "doc_stats", "doc_keywords", "corpus_curation",
-    "pii_scrub", "doc_repetition", "contamination_check",
+    "doc_stats", "corpus_curation",
+    "pii_scrub", "doc_repetition",
     "training_mixture", "lang_label_audit",
-    "vocab_topk", "doc_chunking",
+    "vocab_topk", "doc_chunking", "embedding_stats",
     "dedup_minhash", "dedup_clusters", "dedup_winnow",
     "dedup_incremental", "dedup_incremental_minhash",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
@@ -833,7 +839,7 @@ _GATE_ORDER = [
     "events_tumbling", "events_sessionize", "events_enriched",
     # OLAP / join zoo
     "asof_event_purchase",
-    "cumulative_monthly_revenue",
+    "cumulative_monthly_revenue", "client_quartiles",
     "rollup_sales_monthly", "tpch_q18", "tpch_q16",
     "tpch_q13", "tpch_q17", "tpch_q22", "tpch_q5",
     "events_unpivot",

@@ -422,6 +422,53 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Higher-order array functions over the embedding column
+# --------------------------------------------------------------------------
+
+_EMB_STATS_SQL = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(v) AS INTEGER) AS dim,
+       list_reduce(v, (a, b) -> a + b) AS sum_v,
+       list_reduce(v, (a, b) -> a + b) / len(v) AS mean_v,
+       sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS l2_norm,
+       list_min(v) AS min_v,
+       list_max(v) AS max_v,
+       CAST(len(list_filter(v, x -> x > 0.0)) AS BIGINT) AS n_positive
+FROM e
+"""
+
+
+@register("embedding_stats", _EMB_STATS_SQL)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class engine surface:
+    transform / aggregate(fold) / filter / array_min / array_max over the
+    embedding column, all inside codegen — no explode, no shuffle, no
+    Python. Exactness note: the fold is SEQUENTIAL in both engines
+    (F.aggregate and DuckDB list_reduce walk the list left-to-right), so
+    double addition happens in the same order and the sums are
+    bit-identical — an unnest+SUM oracle would NOT be (unordered
+    aggregation)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+    sum_v = fold(v)
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        sum_v.alias("sum_v"),
+        (sum_v / F.size(v)).alias("mean_v"),
+        F.sqrt(fold(F.transform(v, lambda x: x * x))).alias("l2_norm"),
+        F.array_min(v).alias("min_v"),
+        F.array_max(v).alias("max_v"),
+        F.size(F.filter(v, lambda x: x > 0.0)).cast("long").alias("n_positive"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Winnowing fingerprints (MOSS) near-dup
 # --------------------------------------------------------------------------
 
