@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "tpch_q22",
     "tpch_q5",
     "events_unpivot",
+    "client_quartiles",
+    "embedding_stats",
     "dedup_clusters",
     "dedup_winnow",
     "dedup_incremental",
