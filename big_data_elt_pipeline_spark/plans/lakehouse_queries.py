@@ -21,7 +21,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 
 from big_data_elt_pipeline_spark.operators.scd import scd2_init, scd2_merge
-from big_data_elt_pipeline_spark.plans.queries import _D, _fact, register
+from big_data_elt_pipeline_spark.plans.queries import _D, _fact, _silver_frames, register
 
 # --------------------------------------------------------------------------
 # SCD2 fixture: snapshot + two update waves
@@ -234,3 +234,63 @@ def q_docstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).save(path)
     return spark.read.format(docstore.FORMAT_NAME).load(path)
+
+
+# --------------------------------------------------------------------------
+# Declarative expectations: one-pass rule audit over planted-dirt achats
+# --------------------------------------------------------------------------
+
+@register("expectations_audit", _D + """,
+dirty AS (
+    SELECT * FROM achats
+    UNION ALL
+    SELECT * FROM (VALUES
+        (1, NULL, TIMESTAMP '2000-01-01 00:00:00', 50.0, 'Brand#1'),
+        (2, 999999999, TIMESTAMP '2000-01-01 00:00:00', 50.0, 'Brand#1'),
+        (3, 1, TIMESTAMP '2000-01-01 00:00:00', -5.0, 'Brand#1'),
+        (4, 1, NULL, 50.0, 'Brand#1')
+    ) AS t(id_achat, id_client, date_achat, montant, produit)
+)
+SELECT 'not_null_id_client' AS rule,
+       CAST(sum(CASE WHEN id_client IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS n_rows FROM dirty
+UNION ALL
+SELECT 'not_null_date_achat',
+       CAST(sum(CASE WHEN date_achat IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM dirty
+UNION ALL
+SELECT 'in_range_montant',
+       CAST(sum(CASE WHEN coalesce(montant >= 0.0 AND montant <= 1000000.0, FALSE)
+                     THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM dirty
+UNION ALL
+SELECT 'refers_to_id_client',
+       CAST(sum(CASE WHEN coalesce(id_client IN (SELECT id_client FROM clients), FALSE)
+                     THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM dirty
+""")
+def q_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules audited in ONE fused aggregate pass
+    (`operators/expectations.py`) over achats with planted dirt covering
+    every rule class: NULL key, orphan key, out-of-range amount, NULL
+    date. The referential rule is a broadcast join flag, not a per-rule
+    scan; the oracle recomputes identical counts (NULL predicate =
+    violation, both sides)."""
+    from big_data_elt_pipeline_spark.operators import expectations as EX
+
+    clients, achats = _silver_frames(spark, sf_dir)
+    bad = [
+        (1, None, dt.datetime(2000, 1, 1), 50.0, "Brand#1"),
+        (2, 999999999, dt.datetime(2000, 1, 1), 50.0, "Brand#1"),
+        (3, 1, dt.datetime(2000, 1, 1), -5.0, "Brand#1"),
+        (4, 1, None, 50.0, "Brand#1"),
+    ]
+    dirty = achats.unionByName(spark.createDataFrame(bad, achats.schema))
+    annotated, ref_rule = EX.refers_to(dirty, "id_client", clients, "id_client")
+    rules = [
+        EX.not_null("id_client"),
+        EX.not_null("date_achat"),
+        EX.in_range("montant", 0.0, 1000000.0),
+        ref_rule,
+    ]
+    return EX.audit(annotated, rules)

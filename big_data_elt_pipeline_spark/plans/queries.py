@@ -812,6 +812,10 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # composite's decontamination stage, same reasoning as mixture_sample;
 # r04 row) and ``doc_keywords`` (text family keeps
 # doc_stats/corpus_curation/vocab_topk; r04 row + plan-shape test).
+# And IN ``expectations_audit`` (declarative data-quality rules: fused
+# one-pass audit with planted dirt over every rule class) for OUT
+# ``pii_scrub`` (its redaction stage is the gated ``training_mixture``
+# composite's FIRST stage — same subsumption; r04 row + test_curation).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -819,7 +823,7 @@ GATE_LIMIT = 50
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
-    "pii_scrub", "doc_repetition",
+    "doc_repetition", "expectations_audit",
     "training_mixture", "lang_label_audit",
     "vocab_topk", "doc_chunking", "embedding_stats",
     "dedup_minhash", "dedup_clusters", "dedup_winnow",
