@@ -816,18 +816,51 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # one-pass audit with planted dirt over every rule class) for OUT
 # ``pii_scrub`` (its redaction stage is the gated ``training_mixture``
 # composite's FIRST stage — same subsumption; r04 row + test_curation).
+# Round-6 rotation (r5 verdict prescription 5): the seven queries that are
+# rows-only BY DOCUMENTED CONTRACT (iterative k-means quantizer, binary
+# codecs, engine-defined sketch values, true streaming) had sat past slot
+# 50 since registration and never produced ANY driver row. They now hold
+# the tail of the window as an explicit ROWS-ONLY ANNEX — the driver
+# records their rows-only result, making "it actually ran under the
+# driver" part of the record; their value-level semantics stay pinned by
+# the pytest contracts (equals-batch, recall-vs-brute-force, bit-identical
+# sketch merge, closed-form codec assertions). IN — ``ann_ivf_topk``,
+# ``audio_features``, ``image_features``, ``hll_monthly_distinct``,
+# ``stream_attribution``, ``stream_dedup``, ``stream_enrich`` (each drives
+# its stream to completion via processAllAvailable and returns a batch
+# DataFrame, so the driver can execute it like any other query). OUT —
+# seven green members with retained family coverage: ``vocab_topk`` (text
+# keeps doc_stats/doc_chunking/corpus_curation; r04+r05 rows),
+# ``dedup_incremental`` (exact-dedup logic is a strict subset of the gated
+# ``dedup_incremental_minhash``; r05 row), ``events_tumbling`` (events
+# keep sessionize/enriched/unpivot, and the annex adds the true-streaming
+# twins; r05 row), ``tpch_q13`` (TPC-H keeps q18/q16/q17/q22/q5; r05 row),
+# ``cumulative_monthly_revenue`` (frame-spec family keeps
+# client_quartiles + rollup_sales_monthly; r05 row), ``monthly_growth``
+# (W1 lag r05 row; serving keeps distribution/kpis/top_clients) and
+# ``cohort_first_purchase`` (J5/A6 r05 row; join family keeps
+# fact/dim/features).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
+
+# Queries whose results are rows-only by documented contract (no SQL
+# oracle can exist); allowed in the gate window so the driver executes
+# them. Anything else rows-only in the window is still an error.
+ROWS_ONLY_ANNEX = frozenset({
+    "ann_ivf_topk", "audio_features", "image_features",
+    "hll_monthly_distinct", "stream_attribution", "stream_dedup",
+    "stream_enrich",
+})
 
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
     "doc_repetition", "expectations_audit",
     "training_mixture", "lang_label_audit",
-    "vocab_topk", "doc_chunking", "embedding_stats",
+    "doc_chunking", "embedding_stats",
     "dedup_minhash", "dedup_clusters", "dedup_winnow",
-    "dedup_incremental", "dedup_incremental_minhash",
+    "dedup_incremental_minhash",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
     "scd2_merge", "salted_ca_country", "incremental_ca_country",
@@ -837,19 +870,24 @@ _GATE_ORDER = [
     # reference pipeline: gold + serving
     "ca_monthly", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
-    "cohort_first_purchase", "serving_distribution",
-    "monthly_growth", "kpis", "top_clients",
+    "serving_distribution",
+    "kpis", "top_clients",
     # events / streaming twins
-    "events_tumbling", "events_sessionize", "events_enriched",
+    "events_sessionize", "events_enriched",
     # OLAP / join zoo
     "asof_event_purchase",
-    "cumulative_monthly_revenue", "client_quartiles",
+    "client_quartiles",
     "rollup_sales_monthly", "tpch_q18", "tpch_q16",
-    "tpch_q13", "tpch_q17", "tpch_q22", "tpch_q5",
+    "tpch_q17", "tpch_q22", "tpch_q5",
     "events_unpivot",
     # ML / multimodal / profiling
     "grouped_center",
     "profile_documents",
+    # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
+    # for a rows-only record; value semantics pinned by pytest contracts
+    "ann_ivf_topk", "audio_features", "image_features",
+    "hll_monthly_distinct",
+    "stream_attribution", "stream_dedup", "stream_enrich",
 ]
 
 
@@ -866,11 +904,16 @@ def _reorder_registry() -> None:
             f"got {len(_GATE_ORDER)} ({len(set(_GATE_ORDER))} unique)"
         )
     gated = {n: _REGISTRY[n] for n in _GATE_ORDER}
-    # gated queries must all be oracle-backed — a rows-only query in the
-    # window would burn a slot on the weaker check
-    rows_only = [n for n, (_, sql) in gated.items() if sql is None]
-    if rows_only:
-        raise RuntimeError(f"rows-only queries inside the gate window: {rows_only}")
+    # gated queries must be oracle-backed unless they sit in the documented
+    # rows-only annex — an UNdocumented rows-only query in the window would
+    # silently burn a slot on the weaker check
+    rows_only = {n for n, (_, sql) in gated.items() if sql is None}
+    if rows_only != set(ROWS_ONLY_ANNEX):
+        raise RuntimeError(
+            "rows-only queries inside the gate window must equal the "
+            f"documented annex: unexpected={sorted(rows_only - ROWS_ONLY_ANNEX)} "
+            f"missing={sorted(ROWS_ONLY_ANNEX - rows_only)}"
+        )
     demoted = {n: v for n, v in _REGISTRY.items() if n not in gated}
     _REGISTRY.clear()
     _REGISTRY.update(gated)
