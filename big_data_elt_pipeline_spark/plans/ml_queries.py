@@ -741,3 +741,562 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(synth, schema="media_id long, payload binary")
     media = MM.to_media_table(payloads, "media_id", "payload", mime="audio/wav")
     return MM.extract_audio_features(media).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Round-6 TPC-H plan families. Each query adds a plan SHAPE no other gated
+# query exercises; columns are adapted to this corpus where the classic
+# column is absent (noted per query). Decimal-snapped sums keep the DuckDB
+# comparison bit-exact (functions/core.py rationale).
+# --------------------------------------------------------------------------
+
+_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           l_extendedprice * (1.0 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7", _TPCH_Q7)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the SYMMETRIC nation-pair disjunction —
+    both endpoint dimensions join broadcast, then one residual OR filter
+    over the pair, a shape (disjunction across two different join branches)
+    nothing else covers.
+
+    Scale shape: nation is broadcast into supplier and customer (both
+    dimension-sized, themselves broadcast into the facts), so the only
+    shuffles are lineitem<->orders on orderkey and orders<->customer on
+    custkey; the pair predicate runs map-side after both endpoints are
+    attached. Restricting nation to the two named ones BEFORE the joins
+    shrinks supplier/customer to ~2/25ths so even those broadcasts are
+    minimal."""
+    pair = ("NATION_1", "NATION_2")
+    nat = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_TPCH_Q8 = """
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 AS DECIMAL(18,4))
+            / CAST(sum(volume) AS DECIMAL(18,4)) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           l_extendedprice * (1.0 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+      AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("tpch_q8", _TPCH_Q8)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the RATIO-OF-CONDITIONAL-SUMS
+    aggregate (share of one nation inside a regional total) on top of the
+    deepest snowflake in the registry — part, supplier-nation, and
+    customer-nation-region all feeding one fact.
+
+    Scale shape: every non-fact input is filtered to dimension size and
+    broadcast (type-filtered part, region-restricted customer, supplier
+    with its nation name attached); lineitem<->orders on orderkey is the
+    single big shuffle, and the final agg has |years| groups. The
+    numerator/denominator pair computes in ONE pass via conditional
+    aggregation — not two plans joined."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    asia_keys = (
+        read_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(asia_keys),
+                    nation.n_regionkey == asia_keys.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp"),
+        )
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_7", vol).otherwise(F.lit(0.0))
+                ).cast("decimal(18,4)")
+                / F.sum(vol).cast("decimal(18,4)")
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10", _TPCH_Q10)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): fact-filter -> 3-way enrich ->
+    wide GROUP BY carrying descriptive payload columns -> top-20. The wide
+    grouping key (4 payload columns ride the aggregation) is the shape
+    delta vs Q3's narrow key.
+
+    Scale shape: the returnflag + date predicates prune lineitem/orders at
+    the scan; customer+nation broadcast; one orderkey shuffle, one
+    custkey-grouped agg sized |customers with returns|, then top-20."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_TPCH_Q14 = """
+SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1.0 - l_discount)
+                                   ELSE 0 END) AS DECIMAL(18,4))
+            / CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(18,4))
+            AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("tpch_q14", _TPCH_Q14)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): GLOBAL scalar ratio over a broadcast
+    dimension join — conditional numerator and unconditional denominator
+    in one ungrouped aggregate (Q8 does it per-group; the degenerate
+    no-key form plans differently: partial_agg -> single-partition final,
+    no exchange-by-key at all).
+
+    Scale shape: month predicate prunes the scan; part broadcasts;
+    map-side partial aggregation collapses every partition to one row
+    before the single-row final — the whole query moves |partitions|
+    rows."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+                ).cast("decimal(18,4)")
+                / F.sum(vol).cast("decimal(18,4)")
+            ).cast("double").alias("promo_revenue")
+        )
+    )
+
+
+_TPCH_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("tpch_q15", _TPCH_Q15)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a reused VIEW consumed twice — once for
+    the max scalar, once for the equality filter — the
+    scalar-subquery-against-own-aggregate shape. The revenue rollup is
+    computed ONCE (cached) rather than re-planned per consumer; equality
+    on the decimal-snapped double is exact, so the tie semantics (all
+    suppliers at the max) survive the engine boundary.
+
+    Scale shape: the rollup is one suppkey-grouped shuffle of the pruned
+    scan; the max is a single-row broadcast joined map-side; supplier is
+    dimension-sized and broadcast."""
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_TPCH_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register("tpch_q19", _TPCH_Q19)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the DISJUNCTIVE join predicate —
+    three OR'd conjunct groups mixing columns from BOTH sides. The
+    derivable prefix (brand/size disjunction over part alone, quantity
+    envelope over lineitem alone) is applied pre-join so each side's scan
+    prunes; the cross-side residual runs inside the broadcast join.
+    Catalyst does extract such single-side disjuncts itself (CNF
+    conversion is in the optimizer), but stating them explicitly keeps
+    the pushdown visible and scan-level regardless of optimizer
+    thresholds.
+
+    Scale shape: part shrinks to the 3-brand union and broadcasts; the
+    quantity envelope [1, 40] prunes lineitem at the scan; no shuffle at
+    all — broadcast join then single-row agg."""
+    cases = [
+        ("Brand#12", 15, 1.0, 21.0),
+        ("Brand#23", 25, 10.0, 30.0),
+        ("Brand#3", 35, 20.0, 40.0),
+    ]
+    part_pred = None
+    for brand, size_hi, _, _ in cases:
+        c = (F.col("p_brand") == brand) & F.col("p_size").between(1, size_hi)
+        part_pred = c if part_pred is None else (part_pred | c)
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(part_pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qty_lo = min(c[2] for c in cases)
+    qty_hi = max(c[3] for c in cases)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    residual = None
+    for brand, size_hi, lo, hi in cases:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        residual = c if residual is None else (residual | c)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(residual)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("tpch_q4", _TPCH_Q4)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS against the fact
+    = LEFT SEMI join from orders INTO lineitem — the semi-into-bigger-table
+    direction (tpch_q18's semi goes the other way, qualifier into fact).
+    Classic Q4 tests l_commitdate < l_receiptdate; this corpus ships
+    neither column, so the existence predicate is adapted to
+    ``l_returnflag = 'R'`` — the PLAN (date-pruned scan -> semi join ->
+    tiny priority rollup) is the point.
+
+    Scale shape: the returnflag filter prunes lineitem before the semi
+    join; semi-join payload is orderkey alone (no lineitem columns
+    survive), one orderkey shuffle; final agg has 5 groups."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_TPCH_Q11 = """
+WITH value_by_part AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) AS part_value
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM value_by_part
+WHERE part_value > (
+    SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) * 0.0006
+    FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("tpch_q11", _TPCH_Q11)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): HAVING against a FRACTION-OF-
+    GLOBAL-TOTAL scalar subquery — the grouped rollup filtered by an
+    aggregate of the SAME source at a different grain. Classic Q11 uses
+    partsupp (absent here); the value concentration runs over lineitem
+    (part_value = extendedprice x quantity), keeping the identical plan:
+    one grouped agg + one global agg, threshold joined as a broadcast
+    scalar.
+
+    Scale shape: both aggregates are map-side-partial over one scan
+    lineage; the global total is a single-row broadcast; no driver
+    round-trip (the threshold never leaves the JVM)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    )
+    by_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("part_value")
+    )
+    threshold = li.agg(
+        (F.sum(F.col("v").cast("decimal(18,4)")).cast("double") * F.lit(0.0006))
+        .alias("thr")
+    )
+    return (
+        by_part.join(F.broadcast(threshold), by_part.part_value > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("tpch_q12", _TPCH_Q12)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / late lines): a CROSS-TABLE theta
+    residual on an equi-join (l_shipdate >= o_orderdate + 60 days — the
+    late-shipment predicate can only evaluate AFTER the join) feeding a
+    two-counter conditional aggregation. Classic Q12 compares
+    commit/receipt dates and groups by shipmode; absent here, the lateness
+    predicate is shipdate-vs-orderdate and the group key l_linestatus —
+    same plan: equi-join with non-equi residual, CASE-sum pivot.
+
+    Scale shape: the equi key (orderkey) drives the one shuffle; the
+    residual runs inside the join; the year predicate prunes the lineitem
+    scan; 2-3 result groups."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
