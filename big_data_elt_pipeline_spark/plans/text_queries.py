@@ -1073,3 +1073,84 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_in_shard.alias("bin_in_shard"),
         (F.col("shard").cast("long") * 1_000_000 + bin_in_shard).alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: BM25 ranked retrieval (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    ("q_join", "shuffle join broadcast table"),
+    ("q_scan", "parquet scan filter pushdown"),
+    ("q_window", "window partition order row"),
+]
+
+_BM25_SQL = """
+WITH q(query_id, query_text) AS (VALUES
+    ('q_join', 'shuffle join broadcast table'),
+    ('q_scan', 'parquet scan filter pushdown'),
+    ('q_window', 'window partition order row')
+),
+tokens AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+    WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT avg(dl) FROM dl) AS avgdl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (
+    SELECT DISTINCT query_id, t.term
+    FROM q, unnest(string_split_regex(lower(query_text), '[^a-z]+')) AS t(term)
+    WHERE t.term <> ''
+),
+idf_tbl AS (
+    SELECT term,
+           round(ln(CAST(1.0 AS DOUBLE)
+                    + (n_docs - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))), 6) AS idf,
+           avgdl
+    FROM dfreq, corpus
+    WHERE term IN (SELECT term FROM qterms)
+),
+scored AS (
+    SELECT qterms.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+               idf * (tf * CAST(2.2 AS DOUBLE))
+                   / (tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)), 6)
+               AS DECIMAL(25,6))) AS DOUBLE) AS score
+    FROM tf
+    JOIN qterms USING (term)
+    JOIN idf_tbl USING (term)
+    JOIN dl USING (doc_id)
+    GROUP BY qterms.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("bm25_topk", _BM25_SQL)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per probe query over ``documents`` (k1=1.2, b=0.75).
+    Lexical ranked retrieval for curation pulls / contamination probes;
+    plan shape and the quantized-decimal determinism contract documented
+    in ``operators/retrieval.py``."""
+    from big_data_elt_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
+    return bm25_topk(docs, queries, k=10)
