@@ -234,3 +234,43 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a twice-delivered source); equals batch dropDuplicates — asserted in
     tests/test_streaming.py."""
     return EV.stream_deduped_events(spark, sf_dir)
+
+
+@register("event_funnel", _E + """,
+s0 AS (
+    SELECT user_id AS usr, min(ts) AS reach_ts FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+    SELECT e.user_id AS usr, min(e.ts) AS reach_ts
+    FROM ev e JOIN s0 ON e.user_id = s0.usr
+    WHERE e.event_type = 'click' AND e.ts > s0.reach_ts
+    GROUP BY e.user_id
+),
+s2 AS (
+    SELECT e.user_id AS usr, min(e.ts) AS reach_ts
+    FROM ev e JOIN s1 ON e.user_id = s1.usr
+    WHERE e.event_type = 'purchase' AND e.ts > s1.reach_ts
+    GROUP BY e.user_id
+),
+counts AS (
+          SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+    UNION ALL
+          SELECT 1, 'click', count(*) FROM s1
+    UNION ALL
+          SELECT 2, 'purchase', count(*) FROM s2
+)
+SELECT stage_idx, stage, n_users,
+       CASE WHEN stage_idx = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE n_users / lag(n_users) OVER (ORDER BY stage_idx)
+       END AS conversion
+FROM counts ORDER BY stage_idx
+""")
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: per-stage reach counts under
+    the STRICT sequence constraint (stage k's event must follow the user's
+    stage-(k-1) reach time). Plan shape in ``operators/funnel.py`` — the
+    chained min-join, every exchange keyed on user_id."""
+    from big_data_elt_pipeline_spark.operators.funnel import funnel
+
+    return funnel(events_df(spark, sf_dir), ["view", "click", "purchase"])

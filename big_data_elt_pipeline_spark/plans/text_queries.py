@@ -1154,3 +1154,39 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, query_text string")
     return bm25_topk(docs, queries, k=10)
+
+
+_BLOCK_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lst
+    FROM documents
+),
+blocks AS (
+    SELECT doc_id, k.blk AS block_idx,
+           md5(array_to_string(lst[blk*32+1 : least((blk+1)*32, len(lst))], ' ')) AS h
+    FROM toks,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(len(lst)/32.0) AS BIGINT))) AS blk) k
+),
+ranked AS (
+    SELECT doc_id, block_idx, h,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, block_idx) AS rn
+    FROM blocks
+)
+SELECT doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS retained_ratio
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_blocks", _BLOCK_SQL)
+def q_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup audit (C4/CCNet line dedup; paragraphs
+    = tumbling 32-token blocks on this newline-free corpus): per-doc
+    retained ratio after removing every corpus-wide repeated block, min
+    (doc_id, block_idx) survivor. Map-only block formation — plan notes in
+    ``operators/dedup.block_dedup``."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.block_dedup(docs)
