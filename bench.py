@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "training_mixture",
     "lang_label_audit",
     "ann_ivf_recall",
+    # round 6
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19",
+    "bm25_topk", "dedup_blocks", "event_funnel",
 ]
 
 
@@ -175,8 +179,8 @@ def main() -> None:
             SE.stream_tumbling_revenue(spark, sf_dir).count()
             dt_s = time.perf_counter() - t0
             best = dt_s if best is None or dt_s < best else best
-        stream["tumbling_sec"] = round(best, 2)
-        stream["tumbling_rps"] = round(n_events / best)
+        stream["tumb_s"] = round(best, 2)
+        stream["tumb_rps"] = round(n_events / best)
         _progress("stream_tumbling_sec", best)
 
         achats = tpch.achats_df(spark, sf_dir)
@@ -192,8 +196,8 @@ def main() -> None:
             ).count()
             dt_s = time.perf_counter() - t0
             best = dt_s if best is None or dt_s < best else best
-        stream["incremental_gold_sec"] = round(best, 2)
-        stream["incremental_gold_rps"] = round(n_achats / best)
+        stream["incr_s"] = round(best, 2)
+        stream["incr_rps"] = round(n_achats / best)
         _progress("stream_incremental_gold_sec", best)
         extras["stream"] = stream
 
@@ -207,18 +211,20 @@ def main() -> None:
         from big_data_elt_pipeline_spark.plans.scale_bench import run_scaled
 
         x64 = (64,) if os.environ.get("SPARK_GRAFT_SCALE_X64", "1") != "0" else ()
+        factors = (1, 4, 16) + x64
         scale_full = run_scaled(spark, sf_dir, (1, 4, 16), single_shot=x64,
                                 progress=_progress)
-        # extras line carries the nested seconds; row counts live in
-        # BENCH_LOCAL.json (they double the key bytes and never change
-        # round-over-round for a fixed corpus)
-        nested: dict[str, dict[str, float]] = {}
-        for key, val in scale_full.items():
-            if key.endswith("_rows"):
-                continue
-            op, factor = key[len("scale_"):].rsplit("_x", 1)
-            nested.setdefault(op, {})[factor] = round(val, 2)
-        extras["scale"] = nested
+        # extras line carries factor-ORDERED second arrays under short op
+        # aliases; full names + row counts live in BENCH_LOCAL.json (the
+        # verbose form blows the 2000-char tail window)
+        alias = {"dedup_minhash": "minhash", "dedup_ngram_jaccard": "ngram",
+                 "dedup_winnow": "winnow", "dedup_clusters": "clusters",
+                 "ann_lsh_topk": "lsh", "training_mixture": "mixture"}
+        extras["factors"] = list(factors)
+        extras["scale"] = {
+            short: [round(scale_full[f"scale_{op}_x{f}"], 2) for f in factors]
+            for op, short in alias.items()
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline = {
@@ -236,12 +242,11 @@ def main() -> None:
     # last two stdout lines, compact, together < the driver's 2000-char
     # tail window: extras first, headline LAST (it must parse even if the
     # extras line loses its head)
-    extras_line = json.dumps({"metric": "bench_extras", **extras},
-                             separators=(",", ":"))
+    extras_line = json.dumps({"m": "extras", **extras}, separators=(",", ":"))
     headline_line = json.dumps(headline, separators=(",", ":"))
     if len(extras_line) + len(headline_line) + 2 > 1950:
         extras_line = json.dumps(
-            {"metric": "bench_extras", "note": "full set in BENCH_LOCAL.json",
+            {"m": "extras", "note": "full set in BENCH_LOCAL.json",
              "stream": extras.get("stream", {})},
             separators=(",", ":"))
     print(extras_line, flush=True)

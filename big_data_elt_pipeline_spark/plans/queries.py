@@ -840,6 +840,22 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # (W1 lag r05 row; serving keeps distribution/kpis/top_clients) and
 # ``cohort_first_purchase`` (J5/A6 r05 row; join family keeps
 # fact/dim/features).
+# Round-6 second pass — every oracle-backed query NEW this round earns a slot:
+# IN the nine TPC-H plan families ``tpch_q4/q7/q8/q10/q11/q12/q14/q15/
+# q19``, ``bm25_topk`` (ranked retrieval), ``dedup_blocks``
+# (paragraph-level dedup) and ``event_funnel`` (strict-order funnel); OUT
+# twelve r05-green members with retained family coverage: the five r05
+# TPC-H rows ``tpch_q18/q16/q17/q22/q5`` (the nine new shapes keep the
+# family's breadth; the old five keep r05 rows + the local sweep),
+# ``doc_chunking`` (text keeps doc_stats/corpus_curation + bm25/blocks),
+# ``embedding_stats`` (similarity keeps ann_topk/ann_lsh/ann_ivf_recall),
+# ``events_sessionize`` (events keep enriched + funnel + unpivot + the
+# stream annex), ``rollup_sales_monthly`` (OLAP keeps client_quartiles),
+# ``asof_event_purchase`` (join zoo passes to the TPC-H nine + the
+# funnel's chained min-joins), ``dedup_winnow`` (dedup keeps
+# minhash/clusters/incremental_minhash + new blocks) and
+# ``grouped_center`` (pandas-exchange family keeps profile_documents +
+# the annex codecs).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -858,8 +874,8 @@ _GATE_ORDER = [
     "doc_stats", "corpus_curation",
     "doc_repetition", "expectations_audit",
     "training_mixture", "lang_label_audit",
-    "doc_chunking", "embedding_stats",
-    "dedup_minhash", "dedup_clusters", "dedup_winnow",
+    "bm25_topk",
+    "dedup_minhash", "dedup_clusters", "dedup_blocks",
     "dedup_incremental_minhash",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
@@ -873,15 +889,13 @@ _GATE_ORDER = [
     "serving_distribution",
     "kpis", "top_clients",
     # events / streaming twins
-    "events_sessionize", "events_enriched",
+    "events_enriched", "event_funnel",
     # OLAP / join zoo
-    "asof_event_purchase",
     "client_quartiles",
-    "rollup_sales_monthly", "tpch_q18", "tpch_q16",
-    "tpch_q17", "tpch_q22", "tpch_q5",
+    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19",
     "events_unpivot",
     # ML / multimodal / profiling
-    "grouped_center",
     "profile_documents",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
     # for a rows-only record; value semantics pinned by pytest contracts
