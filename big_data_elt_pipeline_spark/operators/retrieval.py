@@ -64,7 +64,9 @@ def bm25_topk(
     """
     tokens = tokenize(docs, "doc_id", "text")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl and df both derive from tf, not from the raw token relation: the
+    # rollups shuffle |doc x distinct-term| rows instead of every token
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
