@@ -86,7 +86,7 @@ BENCH_QUERIES = [
     # round 6
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19",
-    "bm25_topk", "dedup_blocks", "event_funnel",
+    "bm25_topk", "dedup_blocks", "event_funnel", "semantic_dedup",
 ]
 
 

@@ -1300,3 +1300,115 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+_TPCH_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6", _TPCH_Q6)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the PURE-SCAN aggregate —
+    no join at all; the query IS its pushdown. Every predicate (date
+    range, discount band, quantity cap) must reach the parquet scan and
+    the plan must collapse to scan -> partial agg -> single-row final;
+    the plan test pins all three PushedFilters.
+
+    Scale shape: at 100 TB this is the min-round-trip query — zero
+    exchanges beyond the single-row final; with a date-partitioned or
+    shipdate-clustered layout the scan prunes to 1/7 of the files before
+    a row is read."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                  .cast("decimal(18,4)")).cast("double").alias("revenue")
+        )
+    )
+
+
+_TPCH_Q21 = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("tpch_q21", _TPCH_Q21)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    SEMI-PLUS-ANTI pair against the SAME relation with an INEQUALITY in
+    each correlation — l1 must have a co-supplier on the order (semi,
+    suppkey <>) and must be the ONLY late one (anti on the late set,
+    suppkey <>). No other query combines existential and negated-
+    existential self-correlation. Classic Q21's lateness is
+    receiptdate > commitdate (columns absent); adapted to
+    l_shipdate >= o_orderdate + 60 days on finished ('F') orders.
+
+    Scale shape: the late set derives from one orderkey equi-join; both
+    the semi and the anti are orderkey equi-joins with the suppkey
+    inequality as residual (never a cross product); supplier broadcasts
+    into the final 100-group rollup."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    other_sup = li.select("l_orderkey", "l_suppkey").alias("l2")
+    has_other = l1.join(
+        other_sup,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    only_late = has_other.alias("l1").join(
+        late.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

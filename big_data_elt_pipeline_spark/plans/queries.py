@@ -855,7 +855,15 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # funnel's chained min-joins), ``dedup_winnow`` (dedup keeps
 # minhash/clusters/incremental_minhash + new blocks) and
 # ``grouped_center`` (pandas-exchange family keeps profile_documents +
-# the annex codecs).
+# the annex codecs). Round-6 third pass: IN ``tpch_q6`` (the pure-scan
+# no-join aggregate — the query IS its pushdown), ``tpch_q21``
+# (semi-plus-anti self-correlation with inequality residuals) and
+# ``semantic_dedup`` (SemDeDup-style embedding-cluster keep/drop
+# composite); OUT r05-green ``events_unpivot`` (MELT keeps its r05 row;
+# events keep enriched + funnel), ``scd2_merge`` (lakehouse family keeps
+# pruned_read/docstore_roundtrip/incremental_ca_country; r05 row) and
+# ``serving_distribution`` (A9 keeps its r05 row + the Hypothesis
+# property test; serving keeps kpis/top_clients).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -876,25 +884,23 @@ _GATE_ORDER = [
     "training_mixture", "lang_label_audit",
     "bm25_topk",
     "dedup_minhash", "dedup_clusters", "dedup_blocks",
-    "dedup_incremental_minhash",
+    "dedup_incremental_minhash", "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
-    # lakehouse patterns: SCD2, skew-safe agg, incremental maintenance
-    "scd2_merge", "salted_ca_country", "incremental_ca_country",
+    # lakehouse patterns: skew-safe agg, incremental maintenance
+    "salted_ca_country", "incremental_ca_country",
     "lakehouse_pruned_read", "docstore_roundtrip",
     # reference pipeline: silver
     "silver_achats",
     # reference pipeline: gold + serving
     "ca_monthly", "fact_achats", "dim_clients",
     "client_features", "client_scores", "segment_summary",
-    "serving_distribution",
     "kpis", "top_clients",
     # events / streaming twins
     "events_enriched", "event_funnel",
     # OLAP / join zoo
     "client_quartiles",
-    "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19",
-    "events_unpivot",
+    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q21",
     # ML / multimodal / profiling
     "profile_documents",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these

@@ -1190,3 +1190,59 @@ def q_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.block_dedup``."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.block_dedup(docs)
+
+
+# --------------------------------------------------------------------------
+# Round 6: semantic dedup composite (SemDeDup-style) — embedding-cosine
+# near-dup pairs resolved to connected components, one keep/drop row per
+# clustered vector. The lexical dedup family decides on surface text;
+# this is the embedding-space twin that catches paraphrases and
+# translations lexical fingerprints miss.
+# --------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_EMB2_SQL.strip()},
+b AS (SELECT vec_id, embedding, {_sign_bucket_sql("embedding", 10)} AS bucket FROM emb2),
+pairs AS (
+    SELECT l.vec_id AS id1, r.vec_id AS id2
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE {_cos("l.embedding", "r.embedding")} >= 0.99
+),
+edges AS (
+    SELECT id1 AS u, id2 AS v FROM pairs
+    UNION
+    SELECT id2 AS u, id1 AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labels
+"""
+
+
+@register("semantic_dedup", _SEMANTIC_DEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end-to-end: sign-LSH bucketed cosine pairs
+    (>= 0.99 over the perturbed twin corpus, same fixture as
+    ``embedding_neardup``) -> connected components -> (doc_id, cluster_id,
+    cluster_size, is_canonical). Survivors = canonical rows; everything
+    else is a semantic duplicate of a kept vector. Reuses
+    ``similarity.embedding_neardup`` for candidates and
+    ``dedup.neardup_clusters`` for resolution — one composite plan, no new
+    shuffle classes."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: (x * F.lit(1.001)).cast("float")).alias("embedding"),
+    )
+    emb2 = emb.unionByName(perturbed)
+    pairs = SIM.embedding_neardup(emb2, threshold=0.99, n_bits=10).select("id1", "id2")
+    return DD.neardup_clusters(pairs)
