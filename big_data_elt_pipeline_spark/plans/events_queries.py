@@ -274,3 +274,81 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.operators.funnel import funnel
 
     return funnel(events_df(spark, sf_dir), ["view", "click", "purchase"])
+
+
+@register("events_resample", _E + """,
+h AS (
+    SELECT user_id, epoch_us(ts) // 3600000000 AS hour_idx, value FROM ev
+),
+hourly AS (
+    SELECT user_id, hour_idx, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS hourly_value
+    FROM h GROUP BY 1, 2
+),
+bounds AS (
+    SELECT user_id, min(hour_idx) AS hmin, max(hour_idx) AS hmax FROM h GROUP BY 1
+),
+grid AS (
+    SELECT user_id, unnest(range(hmin, hmax + 1)) AS hour_idx FROM bounds
+),
+j AS (
+    SELECT g.user_id, g.hour_idx,
+           coalesce(n_events, 0) AS n_events, hourly_value
+    FROM grid g LEFT JOIN hourly USING (user_id, hour_idx)
+)
+SELECT user_id, hour_idx, n_events,
+       last_value(hourly_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ffill,
+       hourly_value IS NULL AS was_gap
+FROM j ORDER BY user_id, hour_idx
+""")
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE to a dense per-user hourly grid with forward
+    fill: gap hours materialize as rows (``was_gap``) carrying the last
+    observed hourly revenue — the pandas ``resample('1h').ffill()`` idiom,
+    distributed. The grid comes from ``sequence`` + ``explode`` between
+    each user's min/max hour (integer epoch-hours via ``div`` so both
+    engines bound the grid identically); the fill is
+    ``last(ignorenulls)`` over an unbounded-preceding ROWS frame.
+
+    Scale shape: two groupBy(user[, hour]) passes over the events, the
+    grid explode is map-side from the bounds relation (one row per user
+    in, hours-spanned rows out), one user-keyed left join + one window
+    pass; everything is keyed on user_id, nothing global."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.core import money_sum
+
+    ev = events_df(spark, sf_dir)
+    h = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        "value",
+    )
+    hourly = h.groupBy("user_id", "hour_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value", "hourly_value"),
+    )
+    bounds = h.groupBy("user_id").agg(
+        F.min("hour_idx").alias("hmin"), F.max("hour_idx").alias("hmax")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("hmin", "hmax")).alias("hour_idx")
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour_idx"], "left")
+        .select(
+            "user_id", "hour_idx",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("hourly_value", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("hourly_value").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "hour_idx")
+    )

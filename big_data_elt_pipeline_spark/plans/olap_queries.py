@@ -409,3 +409,118 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(produit) AS INT) AS g_produit
         FROM __fact_gs GROUP BY GROUPING SETS ((pays), (produit), ())
     """)
+
+
+# --------------------------------------------------------------------------
+# Round 6: interval range frames + robust outlier detection
+# --------------------------------------------------------------------------
+
+@register("rolling_7day_revenue", _D + """,
+daily AS (
+    SELECT id_client,
+           strftime(date_achat, '%Y-%m-%d') AS jour,
+           date_diff('day', DATE '1970-01-01', CAST(date_achat AS DATE)) AS day_num,
+           CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS ca_day
+    FROM fact GROUP BY 1, 2, 3
+)
+SELECT id_client, jour, CAST(ca_day AS DOUBLE) AS ca_day,
+       CAST(sum(ca_day) OVER (
+           PARTITION BY id_client ORDER BY day_num
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS ca_7d
+FROM daily ORDER BY id_client, jour
+""")
+def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client 7-day rolling revenue: a RANGE frame over day numbers —
+    a VALUE-based window frame (days with no purchase still age out of the
+    window), unlike the ROWS frames elsewhere in the registry. The frame
+    key is the integer epoch-day so both engines bound the window
+    identically; sums stay decimal inside the frame.
+
+    Scale shape: one shuffle to (client, day) daily grains, one window
+    pass partitioned by client — the frame never rescans (Spark maintains
+    a sliding aggregate over the sorted partition)."""
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, sf_dir)
+    daily = (
+        fact.groupBy(
+            "id_client",
+            F.date_format("date_achat", "yyyy-MM-dd").alias("jour"),
+            F.datediff(F.to_date("date_achat"), F.lit("1970-01-01")).alias("day_num"),
+        )
+        .agg(F.sum(F.col("montant").cast("decimal(18,4)"))
+             .cast("decimal(18,4)").alias("ca_day"))
+    )
+    w = (
+        Window.partitionBy("id_client").orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "id_client", "jour",
+            F.col("ca_day").cast("double").alias("ca_day"),
+            F.sum("ca_day").over(w).cast("double").alias("ca_7d"),
+        )
+        .orderBy("id_client", "jour")
+    )
+
+
+@register("amount_outliers", _D + """,
+stats AS (
+    SELECT pays,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS s1,
+           CAST(CAST(sum(CAST(montant * montant AS DECIMAL(30,8))) AS DECIMAL(30,8)) AS DOUBLE) AS s2
+    FROM fact GROUP BY pays
+),
+scored AS (
+    SELECT f.id_achat, f.pays, f.montant,
+           round((f.montant - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+    FROM fact f JOIN stats USING (pays)
+    WHERE n > 1
+)
+SELECT id_achat, pays, montant, z FROM scored
+WHERE abs(z) > 1.8
+ORDER BY pays, id_achat
+""")
+def q_amount_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-country z-score outliers (|z| > 1.8 — the corpus montant is bounded-uniform, so the classic 3-sigma cut would be vacuous; the cut sits at the ~99.5th percentile of this distribution): anomaly detection with the
+    variance computed FROM EXACT DECIMAL SUMS (n, Σx, Σx²) rather than a
+    streaming stddev — Welford/merge orderings differ between engines and
+    across partitionings, exact sums do not; the double math downstream of
+    the snapped sums is order-free and bit-identical.
+
+    Scale shape: one groupBy(pays) over the fact (map-side partial — the
+    three moments are plain sums), stats broadcast back onto the fact,
+    map-only scoring; no window, no second shuffle."""
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, sf_dir)
+    stats = fact.groupBy("pays").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("montant").cast("decimal(18,4)"))
+        .cast("decimal(18,4)").cast("double").alias("s1"),
+        F.sum((F.col("montant") * F.col("montant")).cast("decimal(30,8)"))
+        .cast("decimal(30,8)").cast("double").alias("s2"),
+    )
+    # z is ROUNDED to 6 decimals: the decimal->double conversion of the
+    # 20-digit second moment is correctly-rounded in the JVM but not
+    # bit-identical in every engine (measured 1-ulp drift vs DuckDB);
+    # quantizing the score absorbs the ulp and loses nothing an outlier
+    # consumer cares about
+    z = F.round(
+        (F.col("montant") - F.col("s1") / F.col("n"))
+        / F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+        ),
+        6,
+    )
+    return (
+        fact.join(F.broadcast(stats), "pays")
+        .filter(F.col("n") > 1)
+        .select("id_achat", "pays", "montant", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.8)
+        .orderBy("pays", "id_achat")
+    )

@@ -864,6 +864,16 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # pruned_read/docstore_roundtrip/incremental_ca_country; r05 row) and
 # ``serving_distribution`` (A9 keeps its r05 row + the Hypothesis
 # property test; serving keeps kpis/top_clients).
+# Round-6 fourth pass: IN ``rolling_7day_revenue`` (the registry's first
+# VALUE-based RANGE frame — empty days age out of the window),
+# ``events_resample`` (dense time-grid + forward fill, the distributed
+# resample().ffill() idiom) and ``amount_outliers`` (z-score anomaly
+# detection from exact decimal moments); OUT r05-green
+# ``salted_ca_country`` (skew family keeps incremental_ca_country + the
+# salted-equals-unsalted pytest), ``events_enriched`` (events keep
+# funnel + resample + the annex stream twins; the stream_enrich equality
+# pytest still pins it) and ``segment_summary`` (gold keeps
+# client_scores/dim_clients/kpis; exact-median A5 keeps its r05 row).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -887,18 +897,18 @@ _GATE_ORDER = [
     "dedup_incremental_minhash", "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: skew-safe agg, incremental maintenance
-    "salted_ca_country", "incremental_ca_country",
+    "incremental_ca_country",
     "lakehouse_pruned_read", "docstore_roundtrip",
     # reference pipeline: silver
     "silver_achats",
     # reference pipeline: gold + serving
     "ca_monthly", "fact_achats", "dim_clients",
-    "client_features", "client_scores", "segment_summary",
+    "client_features", "client_scores",
     "kpis", "top_clients",
     # events / streaming twins
-    "events_enriched", "event_funnel",
+    "event_funnel", "events_resample",
     # OLAP / join zoo
-    "client_quartiles",
+    "client_quartiles", "rolling_7day_revenue", "amount_outliers",
     "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q21",
     # ML / multimodal / profiling

@@ -246,3 +246,36 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_tpch_q6_pure_scan_pushdown(spark):
+    """Q6's contract: no join, every predicate pushed to the parquet scan,
+    and no shuffle beyond the single-row final aggregate."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q6"](spark, SF_SMOKE)
+    # executedPlan().toString() truncates long pushed-filter lists; the
+    # formatted explain prints the full PushedFilters block
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # one exchange only: the partial->final single-row agg
+    assert plan.count("Exchange") <= 2, plan[:1500]
+
+
+def test_tpch_q21_semi_and_anti_join(spark):
+    """Q21's plan carries BOTH a left-semi (co-supplier exists) and a
+    left-anti (no other late supplier) with the inequality as a join
+    residual — never a cartesian expansion."""
+    from big_data_elt_pipeline_spark.plans import queries as Q
+
+    df = Q.spark_queries()["tpch_q21"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
