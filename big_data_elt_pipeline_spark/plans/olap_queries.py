@@ -524,3 +524,57 @@ def q_amount_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 1.8)
         .orderBy("pays", "id_achat")
     )
+
+
+@register("purchase_chain_recursive", _D + """
+SELECT id_achat, id_client,
+       CAST(row_number() OVER (
+           PARTITION BY id_client ORDER BY date_achat, id_achat
+       ) AS BIGINT) AS seq
+FROM achats ORDER BY id_client, seq
+""")
+def q_purchase_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 native WITH RECURSIVE: walk each client's purchase chain
+    (a linked list built with one ``lead`` window) from its head,
+    assigning sequence numbers by traversal — verified against the
+    closed-form ``row_number`` oracle, so the recursion provably visits
+    every node exactly once in order.
+
+    Engine-capability note (probed, not assumed): Spark's recursive CTE
+    supports UNION ALL only — set-semantics UNION inside the recursive
+    term raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE. That makes CYCLIC
+    closures (the near-dup component graph) non-terminating here, which
+    is exactly why ``dedup.neardup_clusters`` keeps its O(log d)
+    pointer-jumping loop with per-round dedup; the recursive form is the
+    right tool for ACYCLIC walks like this one. Recursion depth = the
+    longest chain, bounded by raising spark.sql.cteRecursionLevelLimit.
+
+    Scale shape: each recursion round is one equi-join of the frontier
+    (|clients| rows) against the lead-linked relation — the frontier
+    never grows past one row per client, so total work is O(rows) spread
+    over max-chain-length rounds."""
+    achats = tpch.achats_df(spark, sf_dir)
+    limit = achats.groupBy("id_client").count().agg(F.max("count")).first()[0] + 10
+    old = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(limit))
+    try:
+        achats.createOrReplaceTempView("achats_chain_src")
+        return spark.sql("""
+WITH RECURSIVE
+ordered AS (
+    SELECT id_achat, id_client,
+           lag(id_achat) OVER (PARTITION BY id_client ORDER BY date_achat, id_achat) AS prev_id,
+           lead(id_achat) OVER (PARTITION BY id_client ORDER BY date_achat, id_achat) AS next_id
+    FROM achats_chain_src
+),
+chain(id_achat, id_client, next_id, seq) AS (
+    SELECT id_achat, id_client, next_id, CAST(1 AS BIGINT) FROM ordered WHERE prev_id IS NULL
+    UNION ALL
+    SELECT o.id_achat, o.id_client, o.next_id, c.seq + 1
+    FROM chain c JOIN ordered o ON o.id_achat = c.next_id
+)
+SELECT id_achat, id_client, seq FROM chain ORDER BY id_client, seq
+""")
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", old)

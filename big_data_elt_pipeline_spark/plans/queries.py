@@ -874,6 +874,19 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # funnel + resample + the annex stream twins; the stream_enrich equality
 # pytest still pins it) and ``segment_summary`` (gold keeps
 # client_scores/dim_clients/kpis; exact-median A5 keeps its r05 row).
+# Round-6 fifth pass: IN ``purchase_chain_recursive`` (Spark 4.1 native
+# WITH RECURSIVE walking the lead-linked purchase list, proven against
+# the row_number closed form — and the probe that found recursive UNION
+# unsupported, which is why the CC loop stays pointer-jumping) and
+# ``events_props_variant`` (Spark 4 VARIANT shredding: parse_json once,
+# typed variant_get extraction); OUT r05-green ``lang_label_audit`` (the
+# gated ``training_mixture`` composite CONTAINS the lang-ID stage; text
+# keeps doc_stats/corpus_curation/bm25/blocks) and ``grouped_center``
+# (pass-2 intended this rotation — the pandas-exchange family keeps
+# profile_documents plus the annex codec queries; r05 row), plus
+# ``incremental_ca_country`` (r05 row; the foreachBatch-equals-batch
+# pytest and the gated streaming annex keep incremental maintenance
+# covered).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -891,13 +904,12 @@ _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
     "doc_repetition", "expectations_audit",
-    "training_mixture", "lang_label_audit",
+    "training_mixture",
     "bm25_topk",
     "dedup_minhash", "dedup_clusters", "dedup_blocks",
     "dedup_incremental_minhash", "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
-    # lakehouse patterns: skew-safe agg, incremental maintenance
-    "incremental_ca_country",
+    # lakehouse patterns: data skipping, serving store
     "lakehouse_pruned_read", "docstore_roundtrip",
     # reference pipeline: silver
     "silver_achats",
@@ -906,13 +918,13 @@ _GATE_ORDER = [
     "client_features", "client_scores",
     "kpis", "top_clients",
     # events / streaming twins
-    "event_funnel", "events_resample",
+    "event_funnel", "events_resample", "events_props_variant",
     # OLAP / join zoo
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
     "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q21",
     # ML / multimodal / profiling
-    "profile_documents",
+    "profile_documents", "purchase_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
     # for a rows-only record; value semantics pinned by pytest contracts
     "ann_ivf_topk", "audio_features", "image_features",
