@@ -526,55 +526,73 @@ def q_amount_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("purchase_chain_recursive", _D + """
-SELECT id_achat, id_client,
-       CAST(row_number() OVER (
-           PARTITION BY id_client ORDER BY date_achat, id_achat
-       ) AS BIGINT) AS seq
-FROM achats ORDER BY id_client, seq
+@register("revenue_chain_recursive", _D + """,
+yearly AS (
+    SELECT id_client, CAST(year(date_achat) AS INTEGER) AS annee,
+           CAST(sum(CAST(montant AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS ca
+    FROM fact GROUP BY 1, 2
+)
+SELECT id_client, annee,
+       CAST(ca AS DOUBLE) AS ca,
+       CAST(row_number() OVER (PARTITION BY id_client ORDER BY annee) AS BIGINT) AS seq,
+       CAST(CAST(sum(ca) OVER (
+           PARTITION BY id_client ORDER BY annee ROWS UNBOUNDED PRECEDING
+       ) AS DECIMAL(18,4)) AS DOUBLE) AS ca_cum
+FROM yearly ORDER BY id_client, annee
 """)
-def q_purchase_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4.1 native WITH RECURSIVE: walk each client's purchase chain
-    (a linked list built with one ``lead`` window) from its head,
-    assigning sequence numbers by traversal — verified against the
-    closed-form ``row_number`` oracle, so the recursion provably visits
-    every node exactly once in order.
+def q_revenue_chain_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 native WITH RECURSIVE: walk each client's yearly-revenue
+    chain (a linked list built with one ``lead`` window) from its first
+    active year, accumulating sequence number AND running revenue by
+    traversal — verified against the closed-form row_number + running-sum
+    window oracle, so the recursion provably visits every node once, in
+    order, carrying exact decimal state.
 
-    Engine-capability note (probed, not assumed): Spark's recursive CTE
-    supports UNION ALL only — set-semantics UNION inside the recursive
-    term raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE. That makes CYCLIC
-    closures (the near-dup component graph) non-terminating here, which
-    is exactly why ``dedup.neardup_clusters`` keeps its O(log d)
-    pointer-jumping loop with per-round dedup; the recursive form is the
-    right tool for ACYCLIC walks like this one. Recursion depth = the
-    longest chain, bounded by raising spark.sql.cteRecursionLevelLimit.
+    Engine-capability notes (probed, not assumed):
+    - recursive UNION (set semantics) raises
+      UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — only UNION ALL exists, so
+      CYCLIC closures (the near-dup component graph) would not terminate;
+      ``dedup.neardup_clusters`` keeps its O(log d) pointer-jumping loop
+      for exactly that reason, and the recursive form is reserved for
+      ACYCLIC walks like this one;
+    - each recursion round is a full Spark job (~0.5-1 s of fixed cost
+      regardless of data size), so recursion DEPTH is the budget: this
+      walk is keyed on (client, year) — depth = active years (≤ 7 on this
+      corpus), NOT purchases (~80), which a first cut measured at 78 s
+      for the same corpus. Depth-bounds-first is the design rule for
+      recursive SQL on any engine that runs a round per iteration.
 
-    Scale shape: each recursion round is one equi-join of the frontier
-    (|clients| rows) against the lead-linked relation — the frontier
-    never grows past one row per client, so total work is O(rows) spread
-    over max-chain-length rounds."""
+    Scale shape: one (client, year) rollup shuffle + one window to build
+    the links; every round then equi-joins the one-row-per-client
+    frontier against the link table — O(rows) total work across ≤ 7
+    rounds."""
     achats = tpch.achats_df(spark, sf_dir)
-    limit = achats.groupBy("id_client").count().agg(F.max("count")).first()[0] + 10
-    old = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", str(limit))
-    try:
-        achats.createOrReplaceTempView("achats_chain_src")
-        return spark.sql("""
+    yearly = (
+        achats.groupBy(
+            "id_client", F.year("date_achat").cast("int").alias("annee")
+        )
+        .agg(F.sum(F.col("montant").cast("decimal(18,4)"))
+             .cast("decimal(18,4)").alias("ca"))
+    )
+    yearly.createOrReplaceTempView("yearly_chain_src")
+    return spark.sql("""
 WITH RECURSIVE
 ordered AS (
-    SELECT id_achat, id_client,
-           lag(id_achat) OVER (PARTITION BY id_client ORDER BY date_achat, id_achat) AS prev_id,
-           lead(id_achat) OVER (PARTITION BY id_client ORDER BY date_achat, id_achat) AS next_id
-    FROM achats_chain_src
+    SELECT id_client, annee, ca,
+           lag(annee) OVER (PARTITION BY id_client ORDER BY annee) AS prev_annee,
+           lead(annee) OVER (PARTITION BY id_client ORDER BY annee) AS next_annee
+    FROM yearly_chain_src
 ),
-chain(id_achat, id_client, next_id, seq) AS (
-    SELECT id_achat, id_client, next_id, CAST(1 AS BIGINT) FROM ordered WHERE prev_id IS NULL
+chain(id_client, annee, ca, next_annee, seq, ca_cum) AS (
+    SELECT id_client, annee, ca, next_annee, CAST(1 AS BIGINT), ca
+    FROM ordered WHERE prev_annee IS NULL
     UNION ALL
-    SELECT o.id_achat, o.id_client, o.next_id, c.seq + 1
-    FROM chain c JOIN ordered o ON o.id_achat = c.next_id
+    SELECT o.id_client, o.annee, o.ca, o.next_annee, c.seq + 1,
+           CAST(c.ca_cum + o.ca AS DECIMAL(18,4))
+    FROM chain c JOIN ordered o
+      ON o.id_client = c.id_client AND o.annee = c.next_annee
 )
-SELECT id_achat, id_client, seq FROM chain ORDER BY id_client, seq
+SELECT id_client, annee, CAST(ca AS DOUBLE) AS ca, seq,
+       CAST(ca_cum AS DOUBLE) AS ca_cum
+FROM chain ORDER BY id_client, annee
 """)
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.cteRecursionLevelLimit", old)

@@ -874,9 +874,11 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # funnel + resample + the annex stream twins; the stream_enrich equality
 # pytest still pins it) and ``segment_summary`` (gold keeps
 # client_scores/dim_clients/kpis; exact-median A5 keeps its r05 row).
-# Round-6 fifth pass: IN ``purchase_chain_recursive`` (Spark 4.1 native
-# WITH RECURSIVE walking the lead-linked purchase list, proven against
-# the row_number closed form — and the probe that found recursive UNION
+# Round-6 fifth pass: IN ``revenue_chain_recursive`` (Spark 4.1 native
+# WITH RECURSIVE walking each client's lead-linked YEARLY chain with a
+# running-sum payload, proven against the row_number + window-sum closed
+# form; depth-bounded at ~7 rounds — the purchase-grain walk measured
+# 78 s because every recursion round is a full Spark job — and the probe that found recursive UNION
 # unsupported, which is why the CC loop stays pointer-jumping) and
 # ``events_props_variant`` (Spark 4 VARIANT shredding: parse_json once,
 # typed variant_get extraction); OUT r05-green ``lang_label_audit`` (the
@@ -924,7 +926,7 @@ _GATE_ORDER = [
     "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q21",
     # ML / multimodal / profiling
-    "profile_documents", "purchase_chain_recursive",
+    "profile_documents", "revenue_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
     # for a rows-only record; value semantics pinned by pytest contracts
     "ann_ivf_topk", "audio_features", "image_features",
