@@ -204,11 +204,20 @@ def main() -> None:
     # scaled-corpus dedup/ANN: deterministic x4/x16 corpora min-of-2 plus a
     # single-shot x64 pin (see plans/scale_bench.py) — the empirical
     # near-linear-scaling evidence for the beyond-reference surface.
-    # Disable with SPARK_GRAFT_SCALE=0; skip the x64 pin with
-    # SPARK_GRAFT_SCALE_X64=0.
+    # Measured on a FRESH SparkSession: after the 65-query suite the
+    # shared session's accumulated block-manager/JVM state inflated these
+    # points 2-3x run-to-run (ngram x16 measured 22.7 s isolated vs 58.8 s
+    # in-suite on identical data) — the suite/pipeline numbers above keep
+    # the realistic warm shared session; the scaling TREND needs
+    # reproducible points. Disable with SPARK_GRAFT_SCALE=0; skip the x64
+    # pin with SPARK_GRAFT_SCALE_X64=0.
     scale_full: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         from big_data_elt_pipeline_spark.plans.scale_bench import run_scaled
+        from big_data_elt_pipeline_spark.session import get_spark as _gs
+
+        spark.stop()
+        spark = _gs("bench_scale")
 
         x64 = (64,) if os.environ.get("SPARK_GRAFT_SCALE_X64", "1") != "0" else ()
         factors = (1, 4, 16) + x64
