@@ -107,12 +107,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    jsc = spark.sparkContext._jsc
     for name in BENCH_QUERIES:
         fn = registry.get(name)
         if fn is None:
             continue
         # min of 2 runs: steady-state throughput, robust to the host's
         # noisy-neighbor I/O stalls (observed 2x swings on single shots)
+        pinned_before = set(jsc.getPersistentRDDs().keySet().toArray())
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -120,6 +122,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()  # full execution
             dt_s = time.perf_counter() - t0
             best = dt_s if best is None or dt_s < best else best
+        # free whatever the query pinned (cluster-resolution checkpoints,
+        # q15-style persists) — leaked blocks measurably slowed later
+        # suite entries in long sessions
+        reg = jsc.getPersistentRDDs()
+        for rid in set(reg.keySet().toArray()) - pinned_before:
+            rdd = reg.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+        spark.catalog.clearCache()
         timings[name] = round(best, 4)
         _progress(name, best)
         total += best

@@ -152,7 +152,17 @@ def run_scaled(
             "ann_lsh_topk": lambda: S.lsh_topk(emb, queries, k=5, n_bits=8),
             "training_mixture": lambda: governance_mixture(docs),
         }
+        # every run frees whatever checkpoint blocks it pinned once its
+        # count is materialized (the cluster-resolution runs keep their
+        # final labels checkpoint alive otherwise — across the ~40 runs of
+        # this exhibit the accumulation measurably slowed later factors)
+        jsc = spark.sparkContext._jsc
+
+        def _pinned() -> set:
+            return set(jsc.getPersistentRDDs().keySet().toArray())
+
         for name, fn in runs.items():
+            base_ids = _pinned()
             if i == 0:
                 fn().count()  # untimed warm-up: codegen + footers off the clock
             best, n = None, 0
@@ -161,6 +171,11 @@ def run_scaled(
                 n = fn().count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None or dt < best else best
+            reg = jsc.getPersistentRDDs()
+            for rid in _pinned() - base_ids:
+                rdd = reg.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
             out[f"scale_{name}_x{factor}"] = round(best, 4)
             out[f"scale_{name}_x{factor}_rows"] = float(n)
             if progress is not None:
