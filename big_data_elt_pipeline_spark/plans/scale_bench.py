@@ -130,11 +130,27 @@ def run_scaled(
     min-of-2 — they exist to bound the curve, not to be quotable to 2
     decimals, and a second ~3-minute pass would double the bench tail for
     no trend information."""
+    import shutil
+    import tempfile
+
     out: dict[str, float] = {}
+    stage_root = tempfile.mkdtemp(prefix="scale_corpus_")
     for i, factor in enumerate(tuple(factors) + tuple(single_shot)):
         one_shot = factor in single_shot
-        docs = scaled_docs(spark, sf_dir, factor)
-        emb = scaled_embeddings(spark, sf_dir, factor)
+        # MATERIALIZE the xK corpus once per factor (setup, untimed): the
+        # derived form re-ran the per-copy salting inside every consumer
+        # pass of every operator — multi-pass operators (the governance
+        # composite re-reads the corpus ~6x) were charged Kx corpus
+        # construction instead of their own work, and the charge grew
+        # superlinearly with K (column-replacement regexp is ~3x a literal
+        # one). A stored corpus is also the realistic shape: real dedup
+        # reads parquet, it does not re-synthesize its input per stage.
+        scaled_docs(spark, sf_dir, factor).write.mode("overwrite").parquet(
+            f"{stage_root}/docs_x{factor}")
+        scaled_embeddings(spark, sf_dir, factor).write.mode("overwrite").parquet(
+            f"{stage_root}/emb_x{factor}")
+        docs = spark.read.parquet(f"{stage_root}/docs_x{factor}")
+        emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
         queries = emb.filter(F.col("vec_id") < 64)  # base copy only: fixed probes
         from big_data_elt_pipeline_spark.plans.curation_queries import (
             governance_mixture,
@@ -180,4 +196,7 @@ def run_scaled(
             out[f"scale_{name}_x{factor}_rows"] = float(n)
             if progress is not None:
                 progress(f"scale_{name}_x{factor}", out[f"scale_{name}_x{factor}"])
+        shutil.rmtree(f"{stage_root}/docs_x{factor}", ignore_errors=True)
+        shutil.rmtree(f"{stage_root}/emb_x{factor}", ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
     return out
