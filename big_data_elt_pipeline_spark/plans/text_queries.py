@@ -576,7 +576,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_JACCARD_SQL = f"""
 WITH {_DOCS2_SQL.strip()},
 sh AS (
-    SELECT DISTINCT doc_id, shingle FROM (
+    -- 60-bit portable shingle hash, identical to Spark's functions.text
+    -- .hash60 — joins move longs, not strings (see ngram_jaccard_dedup)
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+    FROM (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle
         FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM docs2)
     )
