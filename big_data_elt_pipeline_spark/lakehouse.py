@@ -404,6 +404,13 @@ def merge_table(
     key ranges overlap the source — exactly what the per-file min/max
     stats in this manifest enable as a future optimization). The anti-join
     shuffles on the merge key; a small source broadcasts under AQE.
+
+    Each call reads the CURRENT committed version and writes one new
+    commit, so chained merges are naturally materialized between waves —
+    unlike plan-stacking on a lazy DataFrame (see ``operators/scd.py``),
+    merge #k+1 never re-executes merge #k's joins. A source built by
+    transforming this table's own read should be checkpointed first if
+    its lineage is expensive.
     """
     if not key_cols:
         raise ValueError("merge_table needs at least one key column")

@@ -60,12 +60,15 @@ def funnel(
     out = reduce(lambda a, b: a.unionByName(b), counted)
     # |stages| rows total — the single-partition lag window is free
     prev = F.lag("n_users").over(Window.orderBy("stage_idx"))
+    # Zero-guard: once a stage reaches 0 users, later conversions are 0/0 —
+    # NULL under non-ANSI Spark but an ERROR under spark.sql.ansi.enabled
+    # and engine-dependent in oracles. Pin the semantics to explicit NULL.
     return (
         out.withColumn(
             "conversion",
-            F.when(F.col("stage_idx") == 0, F.lit(1.0)).otherwise(
-                F.col("n_users") / prev
-            ),
+            F.when(F.col("stage_idx") == 0, F.lit(1.0))
+            .when(prev > 0, F.col("n_users") / prev)
+            .otherwise(F.lit(None).cast("double")),
         )
         .orderBy("stage_idx")
     )

@@ -39,7 +39,17 @@ def scd2_merge(
     tracked: list[str],
     effective_ts: dt.datetime,
 ) -> DataFrame:
-    """Fold one update wave into the history (see module docstring)."""
+    """Fold one update wave into the history (see module docstring).
+
+    Cost note for multi-wave callers: each call builds its plan ON TOP of
+    the previous history's plan, so folding N waves in one unbroken
+    lineage pays every wave's joins again at the final action (the
+    ``scd2_merge`` bench exhibit does exactly this over an inline VALUES
+    fixture — its 79-exchange audit is N commits' worth of plans, not one
+    merge's). Production callers should materialize between waves: write
+    the history to a table (or ``localCheckpoint``) after each merge and
+    read it back, so wave k+1 starts from a scan, not a k-deep plan.
+    """
     open_rows = history.filter(F.col("is_current"))
     closed_rows = history.filter(~F.col("is_current"))
 

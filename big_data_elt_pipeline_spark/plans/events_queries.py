@@ -262,7 +262,9 @@ counts AS (
 )
 SELECT stage_idx, stage, n_users,
        CASE WHEN stage_idx = 0 THEN CAST(1.0 AS DOUBLE)
-            ELSE n_users / lag(n_users) OVER (ORDER BY stage_idx)
+            WHEN lag(n_users) OVER (ORDER BY stage_idx) > 0
+            THEN n_users / lag(n_users) OVER (ORDER BY stage_idx)
+            ELSE CAST(NULL AS DOUBLE)
        END AS conversion
 FROM counts ORDER BY stage_idx
 """)

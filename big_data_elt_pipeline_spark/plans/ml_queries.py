@@ -1065,7 +1065,13 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the rollup is one suppkey-grouped shuffle of the pruned
     scan; the max is a single-row broadcast joined map-side; supplier is
-    dimension-sized and broadcast."""
+    dimension-sized and broadcast.
+
+    Cache lifecycle: the rollup cache is owned by THIS function — the
+    final few-row result is eagerly localCheckpoint'ed and the rollup
+    unpersisted before returning, so repeated invocations leak nothing
+    (the checkpoint block is result-sized: the suppliers tied at max,
+    typically 1 row)."""
     rev = (
         read_table(spark, sf_dir, "lineitem")
         .filter(
@@ -1083,12 +1089,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
+    out = (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
         .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+        .localCheckpoint(eager=True)
     )
+    rev.unpersist()
+    return out
 
 
 _TPCH_Q19 = """

@@ -64,3 +64,26 @@ def test_block_dedup_short_doc_single_block(spark):
     out = {r.doc_id: r for r in block_dedup(docs, block_tokens=32).collect()}
     assert out[1].n_blocks == 1 and out[1].kept_blocks == 1
     assert out[2].kept_blocks == 0
+
+
+def test_block_dedup_empty_doc_emits_no_row(spark):
+    # sequence(0, -1) steps DOWNWARD in Spark — an unguarded plan would
+    # fabricate two md5("") phantom blocks per empty doc; the SQL oracle's
+    # range(0, 0) emits none. Empty/whitespace-only docs must vanish.
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in block_dedup(docs, block_tokens=32).collect()}
+    assert set(out) == {3}
+    assert out[3].n_blocks == 1 and out[3].kept_blocks == 1
+
+
+def test_funnel_zero_stage_conversion_is_null(spark):
+    # once a stage hits 0 users, later conversions are 0/0 — pinned to
+    # NULL (not a non-ANSI silent null, not an ANSI error)
+    rows = [(1, _ts(0), "view"), (2, _ts(1), "view")]
+    ev0 = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.stage: r for r in funnel(ev0, ["view", "click", "purchase"]).collect()}
+    assert out["view"].n_users == 2 and out["view"].conversion == 1.0
+    assert out["click"].n_users == 0 and out["click"].conversion == 0.0
+    assert out["purchase"].n_users == 0 and out["purchase"].conversion is None
