@@ -105,35 +105,42 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     registry["kpis"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
+    # TWO INTERLEAVED END-TO-END PASSES (r6 verdict #1): pass A runs every
+    # query once, then pass B repeats the whole suite; per-query value =
+    # min across passes, and BOTH raw pass values are committed to
+    # BENCH_LOCAL.json. Rationale: this host exhibits sustained multi-
+    # minute I/O-stall windows (r06 driver run: suite positions 31-39 ran
+    # 2-10x slow, +47 s phantom on identical code). Back-to-back min-of-2
+    # sits entirely INSIDE such a window; with interleaving, a stall must
+    # recur at the same suite offset ~40 minutes apart to corrupt a min,
+    # and the raw per-pass values expose any residual outlier from the
+    # artifact alone.
+    raw: dict[str, list[float]] = {}
     jsc = spark.sparkContext._jsc
-    for name in BENCH_QUERIES:
-        fn = registry.get(name)
-        if fn is None:
-            continue
-        # min of 2 runs: steady-state throughput, robust to the host's
-        # noisy-neighbor I/O stalls (observed 2x swings on single shots)
-        pinned_before = set(jsc.getPersistentRDDs().keySet().toArray())
-        best = None
-        for _ in range(2):
+    suite = [n for n in BENCH_QUERIES if n in registry]
+    for pass_idx in range(2):
+        for name in suite:
+            fn = registry[name]
+            pinned_before = set(jsc.getPersistentRDDs().keySet().toArray())
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # full execution
             dt_s = time.perf_counter() - t0
-            best = dt_s if best is None or dt_s < best else best
-        # free whatever the query pinned (cluster-resolution checkpoints,
-        # q15-style persists) — leaked blocks measurably slowed later
-        # suite entries in long sessions
-        reg = jsc.getPersistentRDDs()
-        for rid in set(reg.keySet().toArray()) - pinned_before:
-            rdd = reg.get(rid)
-            if rdd is not None:
-                rdd.unpersist(False)
-        spark.catalog.clearCache()
-        timings[name] = round(best, 4)
-        _progress(name, best)
-        total += best
+            # free whatever the query pinned (cluster-resolution
+            # checkpoints, q15-style persists) — leaked blocks measurably
+            # slowed later suite entries in long sessions
+            reg = jsc.getPersistentRDDs()
+            for rid in set(reg.keySet().toArray()) - pinned_before:
+                rdd = reg.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
+            spark.catalog.clearCache()
+            raw.setdefault(name, []).append(round(dt_s, 4))
+            _progress(f"{name}#p{pass_idx}", dt_s)
+    timings: dict[str, float] = {n: min(v) for n, v in raw.items()}
+    total = sum(timings.values())
+    for name in suite:
+        _progress(name, timings[name])
 
     # full medallion pipeline (bronze CSV → silver → gold+serving parquet),
     # the BASELINE.md-comparable number: one session, persisted fact/features.
@@ -162,6 +169,7 @@ def main() -> None:
                 min_date="1990-01-01", max_amount=1e9, count_rows=False,
             )
             for stage, sec in result["seconds"].items():
+                raw.setdefault(f"pipeline_{stage}", []).append(round(sec, 4))
                 if stage not in stage_best or sec < stage_best[stage]:
                     stage_best[stage] = sec
         for stage, sec in stage_best.items():
@@ -257,8 +265,8 @@ def main() -> None:
     # full fidelity to disk for the judge / round-over-round diffs
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
-        json.dump({**headline, "queries": timings, "extras": extras,
-                   "scale_points": scale_full}, fh, indent=1)
+        json.dump({**headline, "queries": timings, "raw_passes": raw,
+                   "extras": extras, "scale_points": scale_full}, fh, indent=1)
     # last two stdout lines, compact, together < the driver's 2000-char
     # tail window: extras first, headline LAST (it must parse even if the
     # extras line loses its head)
