@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19",
     "bm25_topk", "dedup_blocks", "event_funnel", "semantic_dedup",
+    # round 7
+    "tpch_q2", "tpch_q9", "tpch_q20", "dedup_substrings",
 ]
 
 
@@ -246,7 +248,8 @@ def main() -> None:
         # aliases; full names + row counts live in BENCH_LOCAL.json (the
         # verbose form blows the 2000-char tail window)
         alias = {"dedup_minhash": "minhash", "dedup_ngram_jaccard": "ngram",
-                 "dedup_winnow": "winnow", "dedup_clusters": "clusters",
+                 "dedup_winnow": "winnow", "dedup_substrings": "substr",
+                 "dedup_clusters": "clusters",
                  "ann_lsh_topk": "lsh", "training_mixture": "mixture"}
         extras["factors"] = list(factors)
         extras["scale"] = {

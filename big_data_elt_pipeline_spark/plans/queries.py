@@ -889,6 +889,21 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # ``incremental_ca_country`` (r05 row; the foreachBatch-equals-batch
 # pytest and the gated streaming annex keep incremental maintenance
 # covered).
+# Round-7 rotation — every oracle-backed query NEW this round seats in its
+# debut round (the r6 discipline): IN ``tpch_q2`` (correlated scalar-min
+# decorrelation — the one shape the family lacked), ``tpch_q9``
+# (LIKE-filtered profit rollup with the window-min partsupp proxy),
+# ``tpch_q20`` (nested semi-join with a per-(part,supplier) scalar
+# threshold) — completing all 22 TPC-H plan families — and
+# ``dedup_substrings`` (exact substring dedup at arbitrary offsets, the
+# Lee et al. 2022 class; r6 verdict #3). OUT four r06-green members with
+# retained family coverage: ``tpch_q15`` (its scalar-vs-own-aggregate
+# decorrelation is the global-max cousin of new q2's per-group min; r06
+# row + the local sweep), ``tpch_q14`` (conditional-ratio kept by the
+# gated q8; r06 row), ``tpch_q10`` (join+rollup+topk kept by top_clients
+# and the remaining ten gated TPC-H rows; r06 row) and
+# ``expectations_audit`` (governance keeps corpus_curation +
+# training_mixture; r04/r06 rows + the quarantine pytest contract).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -905,10 +920,10 @@ ROWS_ONLY_ANNEX = frozenset({
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
-    "doc_repetition", "expectations_audit",
+    "doc_repetition",
     "training_mixture",
     "bm25_topk",
-    "dedup_minhash", "dedup_clusters", "dedup_blocks",
+    "dedup_minhash", "dedup_clusters", "dedup_blocks", "dedup_substrings",
     "dedup_incremental_minhash", "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: data skipping, serving store
@@ -923,8 +938,8 @@ _GATE_ORDER = [
     "event_funnel", "events_resample", "events_props_variant",
     # OLAP / join zoo
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
-    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19", "tpch_q21",
+    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q19", "tpch_q20", "tpch_q21",
     # ML / multimodal / profiling
     "profile_documents", "revenue_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these

@@ -160,6 +160,9 @@ def run_scaled(
             "dedup_minhash": lambda: D.minhash_dedup(docs),
             "dedup_ngram_jaccard": lambda: D.ngram_jaccard_dedup(docs),
             "dedup_winnow": lambda: D.winnow_neardup(docs, threshold=0.4),
+            # per-copy word salt => no window ever matches across copies:
+            # repeated spans (and the window shuffle) grow exactly xK
+            "dedup_substrings": lambda: D.substring_dedup(docs),
             # pairs -> components: the salted copies keep each base pair
             # inside its copy, so cluster count grows ~linearly too
             "dedup_clusters": lambda: D.neardup_clusters(

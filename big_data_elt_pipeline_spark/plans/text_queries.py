@@ -1250,3 +1250,48 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb2 = emb.unionByName(perturbed)
     pairs = SIM.embedding_neardup(emb2, threshold=0.99, n_bits=10).select("id1", "id2")
     return DD.neardup_clusters(pairs)
+
+
+_SUBSTR_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lst
+    FROM documents
+),
+win AS (
+    SELECT doc_id, t.o AS off,
+           md5(array_to_string(lst[o+1 : o+16], ' ')) AS h
+    FROM toks,
+         LATERAL (SELECT unnest(range(0, greatest(len(lst) - 16 + 1, 0))) AS o) t
+),
+rep AS (
+    SELECT doc_id, off FROM (
+        SELECT doc_id, off,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, off) AS rn
+        FROM win
+    ) WHERE rn > 1
+),
+isl AS (
+    SELECT doc_id, off,
+           off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+    FROM rep
+)
+SELECT doc_id,
+       min(off) AS span_start,
+       max(off) + 16 AS span_end,
+       max(off) + 16 - min(off) AS span_tokens
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+@register("dedup_substrings", _SUBSTR_SQL)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at ARBITRARY offsets (Lee et al. 2022 class;
+    r6 verdict #3): every maximal token span repeated anywhere in the
+    corpus, via stride-1 sliding 16-token windows — first (doc, offset)
+    occurrence survives, repeated-window runs merge to maximal spans.
+    Catches what ``dedup_blocks``'s tumbling grid misses (repeats not
+    aligned to block boundaries). Guarantee + plan notes in
+    ``operators/dedup.substring_dedup``."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.substring_dedup(docs, window_tokens=16, stride=1)
