@@ -112,3 +112,82 @@ def stratified_sample(
         )
         .orderBy("stratum")
     )
+
+
+DSIR_BUCKETS = 1024
+
+
+def _hashed_feats(df: DataFrame, id_col: str, text_col: str,
+                  n: int, buckets: int) -> DataFrame:
+    """(id, bucket) hashed n-gram feature occurrences — RAW counts (no
+    within-doc dedup; DSIR features are frequencies, not sets). Map-only:
+    shingle + hash + mod inside the row, explode is a generator."""
+    from big_data_elt_pipeline_spark.functions.text import hash60, word_shingles
+
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).select(id_col, F.pmod(hash60(F.col("sh")), F.lit(buckets)).alias("b"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much its hashed n-gram feature distribution resembles a TARGET
+    domain corpus. Returns (doc_id, n_feats, weight) with weight =
+    sum over the doc's feature occurrences of the per-bucket log-ratio
+    lambda_b = ln( p_target(b) / p_raw(b) ) under add-one smoothing —
+    positive = target-like. Selection composes downstream (top-k, or
+    ``sample_flag`` with a weight-derived rate); the operator's output is
+    the full auditable weight table.
+
+    Determinism contract (the BM25 idiom): each lambda_b is quantized to
+    1e-6 (absorbing the JVM-vs-DuckDB 1-ulp ``ln`` divergence) and the
+    per-doc sum runs as exact DECIMAL — weights are bit-stable under any
+    partitioning and engine.
+
+    Scale shape: two bucket-count aggregations (map-side partial, output
+    bounded by ``buckets`` rows each); corpus totals ride a single-row
+    broadcast crossJoin (never ``.collect()``); the lambda table is at
+    most ``buckets`` rows and broadcasts into the per-doc rollup — the
+    only corpus-sized shuffle is the final groupBy(doc). The feature
+    relation is recomputed per consumer rather than cached (the
+    ``shingle_table`` trade, measured there).
+    """
+    feats = _hashed_feats(docs, id_col, text_col, n, buckets)
+    tfeats = _hashed_feats(target, id_col, text_col, n, buckets)
+    rc = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tc = tfeats.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_t"))
+    tots = feats.agg(F.count(F.lit(1)).alias("tot_r")).crossJoin(
+        tfeats.agg(F.count(F.lit(1)).alias("tot_t"))
+    )
+    lam = F.round(
+        F.log(
+            ((F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(1)).cast("double")
+             * (F.col("tot_r") + F.lit(buckets)).cast("double"))
+            / ((F.col("cnt_r") + F.lit(1)).cast("double")
+               * (F.col("tot_t") + F.lit(buckets)).cast("double"))
+        ),
+        6,
+    )
+    lam_tbl = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("b", lam.alias("lam"))
+    )
+    return (
+        feats.join(F.broadcast(lam_tbl), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("lam").cast("decimal(25,6)")).cast("double").alias("weight"),
+        )
+        .orderBy(id_col)
+    )

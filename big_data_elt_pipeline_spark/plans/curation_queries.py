@@ -642,3 +642,54 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = agg.orderBy(F.desc("tf"), F.asc("term")).limit(100)
     w = Window.orderBy(F.desc("tf"), F.asc("term"))
     return head.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# dsir_weights: DSIR-style importance weights (hashed-bigram log-ratio of
+# target-domain vs raw feature distributions) — round 7.
+# --------------------------------------------------------------------------
+
+_DSIR_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang, {_TOK.format(c='text')} AS tok FROM documents
+),
+feats AS (
+    SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1024 AS b
+    FROM (SELECT doc_id, unnest({_shingle_sql(2)}) AS sh FROM base)
+),
+tfeats AS (
+    SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1024 AS b
+    FROM (SELECT doc_id, unnest({_shingle_sql(2)}) AS sh FROM base
+          WHERE lang = 'en')
+),
+rc AS (SELECT b, count(*) AS cnt_r FROM feats GROUP BY b),
+tc AS (SELECT b, count(*) AS cnt_t FROM tfeats GROUP BY b),
+tots AS (SELECT (SELECT count(*) FROM feats) AS tot_r,
+                (SELECT count(*) FROM tfeats) AS tot_t),
+lam AS (
+    SELECT rc.b,
+           round(ln( (CAST(coalesce(cnt_t, 0) + 1 AS DOUBLE)
+                      * CAST(tot_r + 1024 AS DOUBLE))
+                   / (CAST(cnt_r + 1 AS DOUBLE)
+                      * CAST(tot_t + 1024 AS DOUBLE)) ), 6) AS lam
+    FROM rc LEFT JOIN tc ON rc.b = tc.b, tots
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(CAST(lam AS DECIMAL(25,6))) AS DOUBLE) AS weight
+FROM feats JOIN lam USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dsir_weights", _DSIR_SQL)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document by
+    the hashed-bigram log-likelihood ratio of the English-labelled slice
+    (the target domain) vs the whole corpus. Positive weight =
+    target-like; selection composes downstream (top-k or a weight-derived
+    ``sample_flag`` rate). Determinism + scale shape documented in
+    ``operators/sampling.dsir_weights`` (the BM25 quantized-decimal
+    idiom)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return SMP.dsir_weights(docs.select("doc_id", "text"), target)

@@ -904,6 +904,12 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # and the remaining ten gated TPC-H rows; r06 row) and
 # ``expectations_audit`` (governance keeps corpus_curation +
 # training_mixture; r04/r06 rows + the quarantine pytest contract).
+# Round-7 second pass: IN ``dsir_weights`` (DSIR importance resampling —
+# hashed-bigram target-vs-raw log-ratio weights, the quantized-decimal
+# determinism idiom); OUT r06-green ``doc_repetition`` (the Gopher
+# repetition metrics keep their r04/r06 driver rows plus the local sweep
+# and a map-only plan nothing else shares a failure mode with; the text
+# family stays covered by doc_stats/corpus_curation/bm25/blocks/substr).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -920,7 +926,7 @@ ROWS_ONLY_ANNEX = frozenset({
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
-    "doc_repetition",
+    "dsir_weights",
     "training_mixture",
     "bm25_topk",
     "dedup_minhash", "dedup_clusters", "dedup_blocks", "dedup_substrings",

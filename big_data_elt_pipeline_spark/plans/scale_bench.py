@@ -158,7 +158,13 @@ def run_scaled(
 
         runs = {
             "dedup_minhash": lambda: D.minhash_dedup(docs),
-            "dedup_ngram_jaccard": lambda: D.ngram_jaccard_dedup(docs),
+            # x64 runs the range-partitioned candidate passes (R=4): the
+            # unsplit join is allocator-bound at 27M shingles in one JVM
+            # (measured 205 s -> 155 s; R=8 and a checkpointed prefix both
+            # measured WORSE — numbers in the operator's comment)
+            "dedup_ngram_jaccard": lambda: D.ngram_jaccard_dedup(
+                docs, candidate_passes=4 if factor >= 64 else 1
+            ),
             "dedup_winnow": lambda: D.winnow_neardup(docs, threshold=0.4),
             # per-copy word salt => no window ever matches across copies:
             # repeated spans (and the window shuffle) grow exactly xK
