@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q19",
     "bm25_topk", "dedup_blocks", "event_funnel", "semantic_dedup",
     # round 7
-    "tpch_q2", "tpch_q9", "tpch_q20", "dedup_substrings",
+    "tpch_q2", "tpch_q9", "tpch_q20", "dedup_substrings", "dsir_weights",
 ]
 
 
