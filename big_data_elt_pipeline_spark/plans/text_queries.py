@@ -1260,7 +1260,7 @@ WITH toks AS (
 ),
 win AS (
     SELECT doc_id, t.o AS off,
-           md5(array_to_string(lst[o+1 : o+16], ' ')) AS h
+           ('0x' || substr(md5(array_to_string(lst[o+1 : o+16], ' ')), 1, 15))::BIGINT AS h
     FROM toks,
          LATERAL (SELECT unnest(range(0, greatest(len(lst) - 16 + 1, 0))) AS o) t
 ),
