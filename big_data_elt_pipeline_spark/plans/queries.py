@@ -910,6 +910,12 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # repetition metrics keep their r04/r06 driver rows plus the local sweep
 # and a map-only plan nothing else shares a failure mode with; the text
 # family stays covered by doc_stats/corpus_curation/bm25/blocks/substr).
+# Round-7 third pass: IN ``dedup_incremental_substrings`` (per-ingest
+# substring spans probed against the corpus window index — the
+# operational form of the new substring operator); OUT r06-green
+# ``tpch_q12`` (its two-way conditional-count rollup is the
+# single-fact cousin of gated q8's conditional-sum ratio; r06 row + the
+# local sweep keep it pinned, and TPC-H retains ten gated rows).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -930,7 +936,8 @@ _GATE_ORDER = [
     "training_mixture",
     "bm25_topk",
     "dedup_minhash", "dedup_clusters", "dedup_blocks", "dedup_substrings",
-    "dedup_incremental_minhash", "semantic_dedup",
+    "dedup_incremental_minhash", "dedup_incremental_substrings",
+    "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: data skipping, serving store
     "lakehouse_pruned_read", "docstore_roundtrip",
@@ -945,7 +952,7 @@ _GATE_ORDER = [
     # OLAP / join zoo
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
     "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q11", "tpch_q19", "tpch_q20", "tpch_q21",
     # ML / multimodal / profiling
     "profile_documents", "revenue_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these

@@ -1295,3 +1295,84 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.substring_dedup``."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.substring_dedup(docs, window_tokens=16, stride=1)
+
+
+_INCR_SUBSTR_SQL = """
+WITH index_docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\\S+\\s+', '') AS text
+    FROM index_docs WHERE doc_id % 97 = 1
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM index_docs WHERE doc_id % 49 = 0
+),
+toks_i AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lst
+    FROM index_docs
+),
+toks_b AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lst
+    FROM batch
+),
+win_i AS (
+    SELECT doc_id, t.o AS off,
+           ('0x' || substr(md5(array_to_string(lst[o+1 : o+16], ' ')), 1, 15))::BIGINT AS h
+    FROM toks_i,
+         LATERAL (SELECT unnest(range(0, greatest(len(lst) - 16 + 1, 0))) AS o) t
+),
+win_b AS (
+    SELECT doc_id, t.o AS off,
+           ('0x' || substr(md5(array_to_string(lst[o+1 : o+16], ' ')), 1, 15))::BIGINT AS h
+    FROM toks_b,
+         LATERAL (SELECT unnest(range(0, greatest(len(lst) - 16 + 1, 0))) AS o) t
+),
+rep AS (
+    SELECT DISTINCT doc_id, off FROM (
+        SELECT b.doc_id, b.off,
+               EXISTS (SELECT 1 FROM win_i i WHERE i.h = b.h) AS in_corpus,
+               row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id, b.off) AS rn
+        FROM win_b b
+    ) WHERE in_corpus OR rn > 1
+),
+isl AS (
+    SELECT doc_id, off,
+           off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+    FROM rep
+)
+SELECT doc_id,
+       min(off) AS span_start,
+       max(off) + 16 AS span_end,
+       max(off) + 16 - min(off) AS span_tokens
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+@register("dedup_incremental_substrings", _INCR_SUBSTR_SQL)
+def q_dedup_incremental_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest exact-substring spans against the corpus window index
+    (the substring twin of ``dedup_incremental_minhash``): spans for
+    BATCH docs only, the corpus never rescanned for its own repeats. The
+    batch plants dropped-first-token copies (misaligned repeats — what
+    the tumbling block grid misses and the slider catches) and exact
+    copies of index docs. Scale shape in
+    ``operators/dedup.incremental_substring_dedup``."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_docs = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            index_docs.filter(F.col("doc_id") % 97 == 1).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+            )
+        )
+        .unionByName(
+            index_docs.filter(F.col("doc_id") % 49 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return DD.incremental_substring_dedup(index_docs, batch)

@@ -95,3 +95,45 @@ def test_stride_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         substring_dedup(df, stride=0)
+
+
+def _incr(spark, index_rows, batch_rows, **kw):
+    from big_data_elt_pipeline_spark.operators.dedup import (
+        incremental_substring_dedup,
+    )
+
+    idf = spark.createDataFrame(index_rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = incremental_substring_dedup(
+        idf, bdf, window_tokens=kw.pop("w", W), **kw
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    return by_doc
+
+
+def test_incremental_batch_vs_corpus_span(spark):
+    phrase = [f"p{i}" for i in range(10)]
+    corpus = [(1, " ".join([f"a{i}" for i in range(4)] + phrase))]
+    batch = [(100, " ".join([f"b{i}" for i in range(7)] + phrase))]
+    spans = _incr(spark, corpus, batch)
+    # only BATCH docs appear, and the misaligned copy is fully covered
+    assert set(spans) == {100}
+    assert _covered(spans[100], 7, 17)
+
+
+def test_incremental_within_batch_survivor(spark):
+    phrase = [f"q{i}" for i in range(W)]
+    corpus = [(1, " ".join(f"c{i}" for i in range(20)))]
+    batch = [(100, " ".join(phrase)), (101, " ".join(phrase))]
+    spans = _incr(spark, corpus, batch)
+    # first batch occurrence survives; the second is the repeat
+    assert set(spans) == {101}
+    assert _covered(spans[101], 0, W)
+
+
+def test_incremental_unique_batch_emits_nothing(spark):
+    corpus = [(1, " ".join(f"c{i}" for i in range(20)))]
+    batch = [(100, " ".join(f"u{i}" for i in range(20)))]
+    assert _incr(spark, corpus, batch) == {}
