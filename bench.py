@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "bm25_topk", "dedup_blocks", "event_funnel", "semantic_dedup",
     # round 7
     "tpch_q2", "tpch_q9", "tpch_q20", "dedup_substrings", "dsir_weights",
+    "dedup_incremental_substrings",
 ]
 
 
@@ -273,13 +274,22 @@ def main() -> None:
     # last two stdout lines, compact, together < the driver's 2000-char
     # tail window: extras first, headline LAST (it must parse even if the
     # extras line loses its head)
-    extras_line = json.dumps({"m": "extras", **extras}, separators=(",", ":"))
     headline_line = json.dumps(headline, separators=(",", ":"))
-    if len(extras_line) + len(headline_line) + 2 > 1950:
-        extras_line = json.dumps(
-            {"m": "extras", "note": "full set in BENCH_LOCAL.json",
-             "stream": extras.get("stream", {})},
-            separators=(",", ":"))
+    # tiered extras fallback: full → compact (1-dp scale arrays, factors
+    # implied [1,4,16,64]) → stream-only note; first tier that fits the
+    # driver's 2000-char tail window wins
+    tiers = [
+        {"m": "extras", **extras},
+        {"m": "extras", "stream": extras.get("stream", {}),
+         "scale1dp": {k: [round(x, 1) for x in v]
+                      for k, v in extras.get("scale", {}).items()}},
+        {"m": "extras", "note": "full set in BENCH_LOCAL.json",
+         "stream": extras.get("stream", {})},
+    ]
+    for tier in tiers:
+        extras_line = json.dumps(tier, separators=(",", ":"))
+        if len(extras_line) + len(headline_line) + 2 <= 1950:
+            break
     print(extras_line, flush=True)
     print(headline_line, flush=True)
 
