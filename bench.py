@@ -243,8 +243,12 @@ def main() -> None:
 
         x64 = (64,) if os.environ.get("SPARK_GRAFT_SCALE_X64", "1") != "0" else ()
         factors = (1, 4, 16) + x64
+        # single-shot factors get a fresh session: the shared scale
+        # session's accumulated state swings the x64 single shots 2-4x
+        # (measured — see run_scaled's docstring)
         scale_full = run_scaled(spark, sf_dir, (1, 4, 16), single_shot=x64,
-                                progress=_progress)
+                                progress=_progress,
+                                session_factory=lambda: _gs("bench_scale_x64"))
         # extras line carries factor-ORDERED second arrays under short op
         # aliases; full names + row counts live in BENCH_LOCAL.json (the
         # verbose form blows the 2000-char tail window)

@@ -111,6 +111,7 @@ def run_scaled(
     spark: SparkSession, sf_dir: str, factors: tuple[int, ...] = (1, 4, 16),
     single_shot: tuple[int, ...] = (),
     progress=None,
+    session_factory=None,
 ) -> dict[str, float]:
     """Time dedup_minhash / dedup_ngram_jaccard / dedup_winnow /
     dedup_clusters / ann_lsh_topk / training_mixture at each
@@ -129,7 +130,16 @@ def run_scaled(
     ``single_shot`` factors (the x64 extrapolation pin) run once, no
     min-of-2 — they exist to bound the curve, not to be quotable to 2
     decimals, and a second ~3-minute pass would double the bench tail for
-    no trend information."""
+    no trend information.
+
+    ``session_factory`` (no-arg -> SparkSession): when provided, each
+    single-shot factor gets a FRESH session. Measured necessity: by x64
+    the scale session has executed ~28 prior runs and its accumulated
+    JVM/block-manager state swings the single-shot 2-4x run-to-run —
+    identical ngram-x64 code measured 293 / 374 / 669 s across three
+    in-suite bench runs vs 155 s reproducible on a dedicated session.
+    The x1-x16 min-of-2 points stay on the shared session (they damp
+    noise by repetition and their state burden is small)."""
     import shutil
     import tempfile
 
@@ -137,6 +147,9 @@ def run_scaled(
     stage_root = tempfile.mkdtemp(prefix="scale_corpus_")
     for i, factor in enumerate(tuple(factors) + tuple(single_shot)):
         one_shot = factor in single_shot
+        if one_shot and session_factory is not None:
+            spark.stop()
+            spark = session_factory()
         # MATERIALIZE the xK corpus once per factor (setup, untimed): the
         # derived form re-ran the per-copy salting inside every consumer
         # pass of every operator — multi-pass operators (the governance
