@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "bm25_topk", "dedup_blocks", "event_funnel", "semantic_dedup",
     # round 7
     "tpch_q2", "tpch_q9", "tpch_q20", "dedup_substrings", "dsir_weights",
-    "dedup_incremental_substrings",
+    "dedup_incremental_substrings", "dedup_span_removal",
 ]
 
 

@@ -916,6 +916,10 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # ``tpch_q12`` (its two-way conditional-count rollup is the
 # single-fact cousin of gated q8's conditional-sum ratio; r06 row + the
 # local sweep keep it pinned, and TPC-H retains ten gated rows).
+# Round-7 fourth pass: IN ``dedup_span_removal`` (the cleaned-corpus
+# materialization — detect AND remove, closing the Lee et al. loop); OUT
+# r06-green ``events_resample`` (its r06 row + the local sweep stand;
+# events keep funnel + props_variant + the streaming annex).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -936,6 +940,7 @@ _GATE_ORDER = [
     "training_mixture",
     "bm25_topk",
     "dedup_minhash", "dedup_clusters", "dedup_blocks", "dedup_substrings",
+    "dedup_span_removal",
     "dedup_incremental_minhash", "dedup_incremental_substrings",
     "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
@@ -948,7 +953,7 @@ _GATE_ORDER = [
     "client_features", "client_scores",
     "kpis", "top_clients",
     # events / streaming twins
-    "event_funnel", "events_resample", "events_props_variant",
+    "event_funnel", "events_props_variant",
     # OLAP / join zoo
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
     "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",

@@ -1376,3 +1376,70 @@ def q_dedup_incremental_substrings(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return DD.incremental_substring_dedup(index_docs, batch)
+
+
+_SPAN_REMOVAL_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lst
+    FROM documents
+),
+win AS (
+    SELECT doc_id, t.o AS off,
+           ('0x' || substr(md5(array_to_string(lst[o+1 : o+16], ' ')), 1, 15))::BIGINT AS h
+    FROM toks,
+         LATERAL (SELECT unnest(range(0, greatest(len(lst) - 16 + 1, 0))) AS o) t
+),
+rep AS (
+    SELECT doc_id, off FROM (
+        SELECT doc_id, off,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, off) AS rn
+        FROM win
+    ) WHERE rn > 1
+),
+isl AS (
+    SELECT doc_id, off,
+           off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+    FROM rep
+),
+spans AS (
+    SELECT doc_id, min(off) AS s, max(off) + 16 AS e
+    FROM isl GROUP BY doc_id, grp
+),
+sarr AS (
+    SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+    FROM spans GROUP BY doc_id
+),
+cut AS (
+    SELECT t.doc_id, t.lst,
+           list_filter(
+               list_transform(range(0, len(t.lst)),
+                   i -> CASE WHEN len(list_filter(a.spans,
+                                 sp -> i >= sp.s AND i < sp.e)) > 0
+                        THEN NULL ELSE t.lst[i+1] END),
+               x -> x IS NOT NULL) AS kept
+    FROM toks t JOIN sarr a ON t.doc_id = a.doc_id
+    UNION ALL
+    SELECT t.doc_id, t.lst, t.lst AS kept
+    FROM toks t ANTI JOIN sarr a ON t.doc_id = a.doc_id
+)
+SELECT doc_id,
+       CAST(len(lst) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       CAST(len(lst) - len(kept) AS BIGINT) AS removed_tokens,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fp,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned
+FROM cut ORDER BY doc_id
+"""
+
+
+@register("dedup_span_removal", _SPAN_REMOVAL_SQL)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the substring-deduplicated corpus: every repeated span
+    found by ``dedup_substrings`` is CUT from its document's token
+    stream; output is the per-doc audit plus the cleaned text (detect AND
+    remove — the Lee et al. 2022 end state). Map-only positional filter
+    against the per-doc span array; plan notes in
+    ``operators/dedup.remove_repeated_spans``."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return DD.remove_repeated_spans(docs)

@@ -137,3 +137,24 @@ def test_incremental_unique_batch_emits_nothing(spark):
     corpus = [(1, " ".join(f"c{i}" for i in range(20)))]
     batch = [(100, " ".join(f"u{i}" for i in range(20)))]
     assert _incr(spark, corpus, batch) == {}
+
+
+def test_remove_repeated_spans_cleans_text(spark):
+    from big_data_elt_pipeline_spark.operators.dedup import remove_repeated_spans
+
+    phrase = [f"p{i}" for i in range(10)]
+    d1 = phrase + ["tail1"]
+    d2 = [f"x{i}" for i in range(3)] + phrase + ["tail2"]   # repeat at offset 3
+    d3 = phrase                                              # exact dup, fully cut
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, window_tokens=W).collect()}
+    # doc 1 holds all the survivors — untouched
+    assert out[1].removed_tokens == 0 and out[1].cleaned == " ".join(d1)
+    # doc 2 loses exactly the 10-token phrase, keeps its unique tokens
+    assert out[2].cleaned == "x0 x1 x2 tail2"
+    assert out[2].n_tokens == 14 and out[2].kept_tokens == 4
+    # doc 3 is entirely a repeated span — empty after cleaning
+    assert out[3].kept_tokens == 0 and out[3].cleaned == ""
