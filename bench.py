@@ -90,11 +90,33 @@ BENCH_QUERIES = [
     # round 7
     "tpch_q2", "tpch_q9", "tpch_q20", "dedup_substrings", "dsir_weights",
     "dedup_incremental_substrings", "dedup_span_removal",
+    # round 8
+    "dsir_select", "dedup_incremental_span_removal",
 ]
 
 
 def _progress(name: str, sec: float) -> None:
     print(json.dumps({"q": name, "sec": round(sec, 4)}), flush=True)
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _host_snapshot() -> tuple[float, float]:
+    """(loadavg-1min, cumulative iowait seconds) — the r7 verdict #3
+    telemetry: driver runs have shown uniform 1.4x whole-run drift vs
+    committed same-code runs; with a load/iowait snapshot attached to
+    every timing, host contention is attributable from the artifact
+    alone, no re-run needed."""
+    try:
+        with open("/proc/loadavg") as fh:
+            load1 = float(fh.read().split()[0])
+        with open("/proc/stat") as fh:
+            cpu = fh.readline().split()
+        iowait_s = int(cpu[5]) / _CLK_TCK
+        return load1, iowait_s
+    except (OSError, IndexError, ValueError):
+        return -1.0, -1.0
 
 
 def main() -> None:
@@ -119,16 +141,23 @@ def main() -> None:
     # and the raw per-pass values expose any residual outlier from the
     # artifact alone.
     raw: dict[str, list[float]] = {}
+    host_load: dict[str, list[list[float]]] = {}
     jsc = spark.sparkContext._jsc
     suite = [n for n in BENCH_QUERIES if n in registry]
     for pass_idx in range(2):
         for name in suite:
             fn = registry[name]
             pinned_before = set(jsc.getPersistentRDDs().keySet().toArray())
+            load_before, iow_before = _host_snapshot()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # full execution
             dt_s = time.perf_counter() - t0
+            load_after, iow_after = _host_snapshot()
+            # [loadavg at start, iowait seconds accumulated DURING the run]
+            host_load.setdefault(name, []).append(
+                [load_before, round(iow_after - iow_before, 2)]
+            )
             # free whatever the query pinned (cluster-resolution
             # checkpoints, q15-style persists) — leaked blocks measurably
             # slowed later suite entries in long sessions
@@ -167,9 +196,14 @@ def main() -> None:
          .csv(f"{tmp}/sources/achats.csv"))
         stage_best: dict[str, float] = {}
         for run in range(3):
+            load_before, iow_before = _host_snapshot()
             result = P.run_medallion(
                 spark, f"{tmp}/sources", f"{tmp}/lake{run}",
                 min_date="1990-01-01", max_amount=1e9, count_rows=False,
+            )
+            _, iow_after = _host_snapshot()
+            host_load.setdefault("pipeline_total", []).append(
+                [load_before, round(iow_after - iow_before, 2)]
             )
             for stage, sec in result["seconds"].items():
                 raw.setdefault(f"pipeline_{stage}", []).append(round(sec, 4))
@@ -235,7 +269,10 @@ def main() -> None:
     # pin with SPARK_GRAFT_SCALE_X64=0.
     scale_full: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
-        from big_data_elt_pipeline_spark.plans.scale_bench import run_scaled
+        from big_data_elt_pipeline_spark.plans.scale_bench import (
+            hotkey_survivor_exhibit,
+            run_scaled,
+        )
         from big_data_elt_pipeline_spark.session import get_spark as _gs
 
         spark.stop()
@@ -245,10 +282,20 @@ def main() -> None:
         factors = (1, 4, 16) + x64
         # single-shot factors get a fresh session: the shared scale
         # session's accumulated state swings the x64 single shots 2-4x
-        # (measured — see run_scaled's docstring)
-        scale_full = run_scaled(spark, sf_dir, (1, 4, 16), single_shot=x64,
-                                progress=_progress,
-                                session_factory=lambda: _gs("bench_scale_x64"))
+        # (measured — see run_scaled's docstring). run_scaled OWNS the
+        # passed session once session_factory is set — rebind to the
+        # returned (possibly swapped) one.
+        scale_full, spark = run_scaled(
+            spark, sf_dir, (1, 4, 16), single_shot=x64,
+            progress=_progress,
+            session_factory=lambda: _gs("bench_scale_x64"))
+        # hot-key survivor-selection exhibit (r7 verdict #1): wall-clock +
+        # sampled task concurrency of the shipped min-struct agg form vs
+        # the rejected rank-1 window form on a 99.9%-one-hash corpus
+        hot = hotkey_survivor_exhibit(spark)
+        scale_full.update(hot)
+        for k in ("hotkey_agg_s", "hotkey_window_s"):
+            _progress(k, hot[k])
         # extras line carries factor-ORDERED second arrays under short op
         # aliases; full names + row counts live in BENCH_LOCAL.json (the
         # verbose form blows the 2000-char tail window)
@@ -261,6 +308,12 @@ def main() -> None:
             short: [round(scale_full[f"scale_{op}_x{f}"], 2) for f in factors]
             for op, short in alias.items()
         }
+        # [wall s, seconds with <=2 active tasks, mean active tasks]
+        extras["hotkey"] = {
+            k: [hot[f"hotkey_{k}_s"], hot[f"hotkey_{k}_serialized_s"],
+                hot[f"hotkey_{k}_avg_active_tasks"]]
+            for k in ("agg", "window")
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline = {
@@ -270,31 +323,62 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf),
     }
-    # full fidelity to disk for the judge / round-over-round diffs
+    load_end, iow_end = _host_snapshot()
+    extras["host"] = {"load_end": load_end, "iowait_total_s": round(iow_end, 1)}
+    # full fidelity to disk for the judge / round-over-round diffs;
+    # host_load carries [loadavg-at-start, iowait-delta-seconds] per pass
+    # per query (r7 verdict #3 — drift attributable from the artifact)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump({**headline, "queries": timings, "raw_passes": raw,
+                   "host_load": host_load,
                    "extras": extras, "scale_points": scale_full}, fh, indent=1)
     # last two stdout lines, compact, together < the driver's 2000-char
     # tail window: extras first, headline LAST (it must parse even if the
     # extras line loses its head)
     headline_line = json.dumps(headline, separators=(",", ":"))
-    # tiered extras fallback: full → compact (1-dp scale arrays, factors
-    # implied [1,4,16,64]) → stream-only note; first tier that fits the
-    # driver's 2000-char tail window wins
-    tiers = [
-        {"m": "extras", **extras},
-        {"m": "extras", "stream": extras.get("stream", {}),
-         "scale1dp": {k: [round(x, 1) for x in v]
-                      for k, v in extras.get("scale", {}).items()}},
-        {"m": "extras", "note": "full set in BENCH_LOCAL.json",
-         "stream": extras.get("stream", {})},
+    # greedy extras assembly (r7 verdict #2: degrade by dropping the
+    # LEAST informative pieces one at a time — never the whole scale
+    # block). Components are added in priority order while the combined
+    # two-line tail stays under the driver's 2000-char window; the scale
+    # block degrades full-2dp → 1dp ("s1", factors implied [1,4,16,64])
+    # → longest 1dp PREFIX of the keep-priority list ("dr" counts the
+    # dropped trailing arrays; full set always in BENCH_LOCAL.json).
+    budget = 1950 - len(headline_line) - 2
+
+    def _fits(obj) -> bool:
+        return len(json.dumps(obj, separators=(",", ":"))) <= budget
+
+    one_dp = {k: [round(x, 1) for x in v]
+              for k, v in extras.get("scale", {}).items()}
+    scale_alts = []
+    if one_dp:
+        scale_alts.append({"factors": extras.get("factors", []),
+                           "scale": extras["scale"]})
+        scale_alts.append({"s1": one_dp})
+        # keep-priority: ngram (the x64 headline) first, governance last
+        keep = [k for k in ("ngram", "substr", "minhash", "clusters",
+                            "lsh", "winnow", "mixture") if k in one_dp]
+        for ndrop in range(1, len(keep)):
+            scale_alts.append({"s1": {k: one_dp[k] for k in keep[:-ndrop]},
+                               "dr": ndrop})
+    hk = extras.get("hotkey")
+    components = [
+        ("stream", extras.get("stream")),
+        ("hk", {"a": hk["agg"], "w": hk["window"]} if hk else None),
+        ("__scale__", scale_alts),
+        ("host", extras.get("host")),
     ]
-    for tier in tiers:
-        extras_line = json.dumps(tier, separators=(",", ":"))
-        if len(extras_line) + len(headline_line) + 2 <= 1950:
-            break
-    print(extras_line, flush=True)
+    obj = {"m": "extras"}
+    for key, val in components:
+        if key == "__scale__":
+            for alt in val:
+                if _fits({**obj, **alt}):
+                    obj = {**obj, **alt}
+                    break
+        elif val is not None and _fits({**obj, key: val}):
+            obj = {**obj, key: val}
+    print(json.dumps(obj, separators=(",", ":")), flush=True)
     print(headline_line, flush=True)
 
 

@@ -191,3 +191,40 @@ def dsir_weights(
         )
         .orderBy(id_col)
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR SELECTION (the resampling step of Xie et al. 2023, closing the
+    loop ``dsir_weights`` opens): keep the ``k`` most target-like
+    documents by importance weight, in the deterministic exact-top-k form.
+    Returns the selected-corpus audit (doc_id, n_feats, weight, rank) —
+    rank 1 = most target-like; the order (weight DESC, doc_id ASC) is
+    TOTAL, so the selection boundary is deterministic under weight ties
+    (quantized lambdas make exact ties realistic) and invariant under any
+    input partitioning — weights themselves are bit-stable by the decimal
+    sum contract upstream.
+
+    Scale shape: everything up to the weight table is ``dsir_weights``'
+    plan (two bucket-bounded aggs, broadcast lambda join, one corpus-sized
+    groupBy). Selection is ``orderBy(...).limit(k)`` — Spark executes
+    TakeOrderedAndProject: each partition keeps its local top-k and only
+    k-row heaps merge at the driver, NO global sort of the corpus. The
+    rank window then runs on the k surviving rows only (the vocab_topk
+    idiom). For budget-FRACTION selection at 100 TB (k itself
+    corpus-sized), compose ``sample_flag`` with a weight-derived rate
+    instead — ``stratified_sample`` shows the flag discipline.
+    """
+    from pyspark.sql import Window
+
+    w = dsir_weights(docs, target, id_col, text_col, n, buckets)
+    head = w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)
+    win = Window.orderBy(F.desc("weight"), F.asc(id_col))
+    return head.withColumn("rank", F.row_number().over(win).cast("int"))

@@ -649,7 +649,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # target-domain vs raw feature distributions) — round 7.
 # --------------------------------------------------------------------------
 
-_DSIR_SQL = f"""
+_DSIR_CTES = f"""
 WITH base AS (
     SELECT doc_id, lang, {_TOK.format(c='text')} AS tok FROM documents
 ),
@@ -673,11 +673,24 @@ lam AS (
                    / (CAST(cnt_r + 1 AS DOUBLE)
                       * CAST(tot_t + 1024 AS DOUBLE)) ), 6) AS lam
     FROM rc LEFT JOIN tc ON rc.b = tc.b, tots
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-       CAST(sum(CAST(lam AS DECIMAL(25,6))) AS DOUBLE) AS weight
-FROM feats JOIN lam USING (b)
-GROUP BY doc_id ORDER BY doc_id
+),
+w AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(CAST(lam AS DECIMAL(25,6))) AS DOUBLE) AS weight
+    FROM feats JOIN lam USING (b)
+    GROUP BY doc_id
+)"""
+
+_DSIR_SQL = _DSIR_CTES + """
+SELECT doc_id, n_feats, weight FROM w ORDER BY doc_id
+"""
+
+_DSIR_SELECT_SQL = _DSIR_CTES + """
+SELECT doc_id, n_feats, weight, rank FROM (
+    SELECT doc_id, n_feats, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank
+    FROM w
+) WHERE rank <= 200
 """
 
 
@@ -693,3 +706,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
     return SMP.dsir_weights(docs.select("doc_id", "text"), target)
+
+
+@register("dsir_select", _DSIR_SELECT_SQL)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection composite (r7 verdict #4, closing the resampling
+    loop): the 200 most target-like documents by importance weight, with
+    deterministic rank under the total (weight DESC, doc_id) order —
+    weights from the same English-slice target as ``dsir_weights``.
+    Selection runs as TakeOrderedAndProject (per-partition top-k, no
+    global sort); contract + scale notes in
+    ``operators/sampling.dsir_select``."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return SMP.dsir_select(docs.select("doc_id", "text"), target, k=200)

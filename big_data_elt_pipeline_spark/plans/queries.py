@@ -920,6 +920,18 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # materialization — detect AND remove, closing the Lee et al. loop); OUT
 # r06-green ``events_resample`` (its r06 row + the local sweep stand;
 # events keep funnel + props_variant + the streaming annex).
+# Round-8 rotation — debut-round seating for both new oracle-backed
+# queries: IN ``dsir_select`` (the DSIR resampling composite — weights ->
+# deterministic exact top-k selection audit; r7 verdict #4) and
+# ``dedup_incremental_span_removal`` (the per-ingest write path — batch
+# spans vs the corpus index MATERIALIZED as cleaned batch text; r7
+# verdict #5). OUT two r07-green TPC-H members with retained family
+# coverage: ``tpch_q4`` (its exists-semi-join conditional count is kept
+# by gated q21's richer semi+anti composition and new-in-r7 q20's nested
+# semi-join; r07 row + the local sweep) and ``tpch_q7`` (its two-nation
+# equi-join rollup is the narrower cousin of gated q8's and q9's
+# snowflake rollups; r07 row + the local sweep). TPC-H keeps 8 gated
+# rows spanning every distinct plan family in the 22.
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -936,12 +948,13 @@ ROWS_ONLY_ANNEX = frozenset({
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
-    "dsir_weights",
+    "dsir_weights", "dsir_select",
     "training_mixture",
     "bm25_topk",
     "dedup_minhash", "dedup_clusters", "dedup_blocks", "dedup_substrings",
     "dedup_span_removal",
     "dedup_incremental_minhash", "dedup_incremental_substrings",
+    "dedup_incremental_span_removal",
     "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
     # lakehouse patterns: data skipping, serving store
@@ -956,7 +969,7 @@ _GATE_ORDER = [
     "event_funnel", "events_props_variant",
     # OLAP / join zoo
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
-    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q2", "tpch_q6", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q19", "tpch_q20", "tpch_q21",
     # ML / multimodal / profiling
     "profile_documents", "revenue_chain_recursive",

@@ -107,12 +107,99 @@ def scaled_embeddings(spark: SparkSession, sf_dir: str, factor: int, dim: int = 
     )
 
 
+def hotkey_survivor_exhibit(spark: SparkSession, n_rows: int = 32_000_000,
+                            hot_every: int = 1000) -> dict[str, float]:
+    """Skew exhibit for the r8 survivor-selection fix (r7 verdict #1): a
+    synthetic window relation where ONE hash carries 99.9% of the rows
+    (~32M at the defaults — the web-boilerplate shape) amid a small
+    unique-hash background, run through BOTH survivor-selection forms on
+    the identical input (equivalence is pytest-pinned in
+    test_dedup_skew.py). The background is deliberately small in DISTINCT
+    count: a large unique background makes the final aggregate itself an
+    AQE-coalesced narrow stage (small-data coalescing, not hot-key skew)
+    and muddies the signal being exhibited.
+
+    The claim under test is STRUCTURAL — "the hot-key corpus no longer
+    serializes into one task" — so alongside wall-clock the exhibit
+    SAMPLES the status tracker's active-task count during each run and
+    reports the run's mean concurrency. The rejected rank-1 window form
+    must sort every occurrence of the hot hash inside one unsplittable
+    task (mean concurrency collapses toward 1 — on a 1000-executor
+    cluster that task IS the job's wall-clock and its memory ceiling);
+    the shipped min-struct aggregate form collapses the hot key map-side
+    via partial aggregation and joins survivors back (broadcast here,
+    AQE-skew-splittable SMJ at cluster scale), keeping every stage wide.
+    Wall-clock on local[32] under-sells the gap — a single in-memory
+    sort of the hot partition is cheap when the whole corpus fits in one
+    JVM — which is exactly why the concurrency signal is recorded.
+    min-of-2 after an untimed warm-up, like every other scale point."""
+    import threading
+
+    from big_data_elt_pipeline_spark.operators import dedup as DD
+
+    wins = spark.range(n_rows).select(
+        F.floor(F.col("id") / F.lit(100)).cast("long").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(100)).cast("long").alias("off"),
+        F.when(F.pmod(F.col("id"), F.lit(hot_every)) != 0, F.lit(42))
+        .otherwise(F.col("id") + F.lit(1000))
+        .cast("long")
+        .alias("h"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def _sampled_run(fn) -> tuple[float, int, float]:
+        samples: list[int] = []
+        stop = threading.Event()
+
+        def _sampler() -> None:
+            while not stop.is_set():
+                active = 0
+                for sid in tracker.getActiveStageIds():
+                    info = tracker.getStageInfo(sid)
+                    if info is not None:
+                        active += info.numActiveTasks
+                samples.append(active)
+                time.sleep(0.05)
+
+        th = threading.Thread(target=_sampler, daemon=True)
+        th.start()
+        t0 = time.perf_counter()
+        n = fn(wins).count()
+        dt = time.perf_counter() - t0
+        stop.set()
+        th.join()
+        busy = [x for x in samples if x > 0]
+        mean = (sum(busy) / len(busy)) if busy else 0.0
+        # dwell time with <=2 running tasks: the straggler signature —
+        # a wide plan only touches it at stage boundaries
+        serialized = 0.05 * sum(1 for x in busy if x <= 2)
+        return dt, n, mean, serialized
+
+    out: dict[str, float] = {}
+    forms = (
+        ("agg", DD._non_survivor_windows),
+        ("window", DD._non_survivor_windows_window_form),
+    )
+    for key, fn in forms:
+        fn(wins).count()  # untimed warm-up: codegen off the clock
+        best, n, conc, ser = None, 0, 0.0, 0.0
+        for _ in range(2):
+            dt, n, c, sz = _sampled_run(fn)
+            if best is None or dt < best:
+                best, conc, ser = dt, c, sz
+        out[f"hotkey_{key}_s"] = round(best, 4)
+        out[f"hotkey_{key}_rows"] = float(n)
+        out[f"hotkey_{key}_avg_active_tasks"] = round(conc, 1)
+        out[f"hotkey_{key}_serialized_s"] = round(ser, 2)
+    return out
+
+
 def run_scaled(
     spark: SparkSession, sf_dir: str, factors: tuple[int, ...] = (1, 4, 16),
     single_shot: tuple[int, ...] = (),
     progress=None,
     session_factory=None,
-) -> dict[str, float]:
+) -> tuple[dict[str, float], SparkSession]:
     """Time dedup_minhash / dedup_ngram_jaccard / dedup_winnow /
     dedup_clusters / ann_lsh_topk / training_mixture at each
     corpus factor, min-of-2 per point — single shots on this host showed
@@ -139,7 +226,16 @@ def run_scaled(
     identical ngram-x64 code measured 293 / 374 / 669 s across three
     in-suite bench runs vs 155 s reproducible on a dedicated session.
     The x1-x16 min-of-2 points stay on the shared session (they damp
-    noise by repetition and their state burden is small)."""
+    noise by repetition and their state burden is small). Each swapped-in
+    session gets an untimed corpus-count warm-up before its timed shot
+    (codegen + parquet footers off the clock — the same cold-session
+    artifact the i==0 warm-up removes from the x1 column).
+
+    OWNERSHIP: when ``session_factory`` fires, the caller's session is
+    STOPPED and replaced; the active session is therefore RETURNED
+    alongside the timings — callers must rebind
+    (``out, spark = run_scaled(spark, ...)``), never keep using the
+    session they passed in."""
     import shutil
     import tempfile
 
@@ -147,7 +243,8 @@ def run_scaled(
     stage_root = tempfile.mkdtemp(prefix="scale_corpus_")
     for i, factor in enumerate(tuple(factors) + tuple(single_shot)):
         one_shot = factor in single_shot
-        if one_shot and session_factory is not None:
+        fresh_session = one_shot and session_factory is not None
+        if fresh_session:
             spark.stop()
             spark = session_factory()
         # MATERIALIZE the xK corpus once per factor (setup, untimed): the
@@ -165,6 +262,13 @@ def run_scaled(
         docs = spark.read.parquet(f"{stage_root}/docs_x{factor}")
         emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
         queries = emb.filter(F.col("vec_id") < 64)  # base copy only: fixed probes
+        if fresh_session:
+            # untimed warm-up on the swapped-in session: without it the
+            # single-shot is measured fully cold (session startup, codegen
+            # compilation, parquet footers) — the exact artifact that
+            # inverted the r05 x1 points
+            docs.count()
+            emb.count()
         from big_data_elt_pipeline_spark.plans.curation_queries import (
             governance_mixture,
         )
@@ -221,4 +325,4 @@ def run_scaled(
         shutil.rmtree(f"{stage_root}/docs_x{factor}", ignore_errors=True)
         shutil.rmtree(f"{stage_root}/emb_x{factor}", ignore_errors=True)
     shutil.rmtree(stage_root, ignore_errors=True)
-    return out
+    return out, spark

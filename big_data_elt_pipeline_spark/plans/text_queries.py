@@ -1297,7 +1297,7 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.substring_dedup(docs, window_tokens=16, stride=1)
 
 
-_INCR_SUBSTR_SQL = """
+_INCR_SUBSTR_CTES = """
 WITH index_docs AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
 ),
@@ -1341,7 +1341,9 @@ isl AS (
     SELECT doc_id, off,
            off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
     FROM rep
-)
+)"""
+
+_INCR_SUBSTR_SQL = _INCR_SUBSTR_CTES + """
 SELECT doc_id,
        min(off) AS span_start,
        max(off) + 16 AS span_end,
@@ -1349,16 +1351,45 @@ SELECT doc_id,
 FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
 """
 
+_INCR_SPAN_REMOVAL_SQL = _INCR_SUBSTR_CTES + """,
+spans AS (
+    SELECT doc_id, min(off) AS s, max(off) + 16 AS e
+    FROM isl GROUP BY doc_id, grp
+),
+sarr AS (
+    SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+    FROM spans GROUP BY doc_id
+),
+cut AS (
+    SELECT t.doc_id, t.lst,
+           list_filter(
+               list_transform(range(0, len(t.lst)),
+                   i -> CASE WHEN len(list_filter(a.spans,
+                                 sp -> i >= sp.s AND i < sp.e)) > 0
+                        THEN NULL ELSE t.lst[i+1] END),
+               x -> x IS NOT NULL) AS kept
+    FROM toks_b t JOIN sarr a ON t.doc_id = a.doc_id
+    UNION ALL
+    SELECT t.doc_id, t.lst, t.lst AS kept
+    FROM toks_b t ANTI JOIN sarr a ON t.doc_id = a.doc_id
+)
+SELECT doc_id,
+       CAST(len(lst) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       CAST(len(lst) - len(kept) AS BIGINT) AS removed_tokens,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_fp,
+       coalesce(array_to_string(kept, ' '), '') AS cleaned
+FROM cut ORDER BY doc_id
+"""
 
-@register("dedup_incremental_substrings", _INCR_SUBSTR_SQL)
-def q_dedup_incremental_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-ingest exact-substring spans against the corpus window index
-    (the substring twin of ``dedup_incremental_minhash``): spans for
-    BATCH docs only, the corpus never rescanned for its own repeats. The
-    batch plants dropped-first-token copies (misaligned repeats — what
-    the tumbling block grid misses and the slider catches) and exact
-    copies of index docs. Scale shape in
-    ``operators/dedup.incremental_substring_dedup``."""
+
+def _incr_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The incremental-dedup fixture split (shared by the spans and
+    span-removal gates; mirrors the index_docs/batch CTEs of both
+    oracles): corpus = doc_id % 5 != 0; batch = the % 5 == 0 slice plus
+    planted dropped-first-token copies (misaligned repeats — what the
+    tumbling block grid misses and the slider catches) and exact copies
+    of index docs."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     index_docs = docs.filter(F.col("doc_id") % 5 != 0)
     batch = (
@@ -1375,7 +1406,30 @@ def q_dedup_incremental_substrings(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
     )
+    return index_docs, batch
+
+
+@register("dedup_incremental_substrings", _INCR_SUBSTR_SQL)
+def q_dedup_incremental_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest exact-substring spans against the corpus window index
+    (the substring twin of ``dedup_incremental_minhash``): spans for
+    BATCH docs only, the corpus never rescanned for its own repeats.
+    Fixture split in ``_incr_split``; scale shape in
+    ``operators/dedup.incremental_substring_dedup``."""
+    index_docs, batch = _incr_split(spark, sf_dir)
     return DD.incremental_substring_dedup(index_docs, batch)
+
+
+@register("dedup_incremental_span_removal", _INCR_SPAN_REMOVAL_SQL)
+def q_dedup_incremental_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-ingest WRITE PATH (r7 verdict #5): the same batch as
+    ``dedup_incremental_substrings``, but MATERIALIZED — every span of an
+    incoming doc that repeats corpus (or earlier-batch) text is cut
+    before the batch lands, emitting the per-batch-doc audit + cleaned
+    text. Composition notes in
+    ``operators/dedup.remove_repeated_spans_incremental``."""
+    index_docs, batch = _incr_split(spark, sf_dir)
+    return DD.remove_repeated_spans_incremental(index_docs, batch)
 
 
 _SPAN_REMOVAL_SQL = """

@@ -81,3 +81,26 @@ def test_dsir_target_docs_outscore_off_target(spark):
     xx_ids = range(len(EN), len(EN) + len(XX))
     assert min(w[i] for i in en_ids) > max(w[i] for i in xx_ids)
     assert all(w[i] > 0 for i in en_ids) and all(w[i] < 0 for i in xx_ids)
+
+
+def test_dsir_select_subset_rank_and_determinism(spark):
+    from big_data_elt_pipeline_spark.operators.sampling import dsir_select
+
+    docs, target = _rows()
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    sel = dsir_select(sdf, tdf, k=3).collect()
+    # selected docs are a subset of the corpus, ranked 1..k with weights
+    # descending under the total (weight DESC, doc_id) order
+    assert [r.rank for r in sorted(sel, key=lambda r: r.rank)] == [1, 2, 3]
+    assert {r.doc_id for r in sel} <= {i for i, _ in docs}
+    ordered = sorted(sel, key=lambda r: r.rank)
+    assert all(
+        (a.weight, -a.doc_id) >= (b.weight, -b.doc_id)
+        for a, b in zip(ordered, ordered[1:])
+    )
+    # the EN (target-like) docs outrank the off-target ones
+    assert {r.doc_id for r in sel} == set(range(len(EN)))
+    # deterministic under any input partitioning
+    again = dsir_select(sdf.repartition(7), tdf.repartition(3), k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, sel))

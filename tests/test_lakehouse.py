@@ -8,6 +8,29 @@ from big_data_elt_pipeline_spark import io as eio
 from big_data_elt_pipeline_spark import lakehouse as lh
 
 
+@pytest.fixture(autouse=True)
+def _exact_range_boundaries(spark):
+    """Pin clustered-write layout determinism for these tests:
+    ``repartitionByRange`` draws its range boundaries from a reservoir
+    sample seeded by the underlying RDD id, so the file layout of a
+    clustered write depends on how many RDDs the shared session created
+    BEFORE the test — the z-order pruning assertions flaked once per
+    ~full-suite run on boundary wobble. A sample size >= the rows per
+    input partition keeps every row, making boundaries exact population
+    quantiles (deterministic) regardless of session history. Test-only:
+    engine defaults stay untouched — at 100 TB sampled boundaries are the
+    correct (and only affordable) behavior, and the operator contract
+    nowhere promises a byte-stable layout."""
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "8192")
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
 def _df(spark, lo, hi):
     return spark.range(lo, hi).select(
         F.col("id"), (F.col("id") * 2).alias("val")

@@ -158,3 +158,36 @@ def test_remove_repeated_spans_cleans_text(spark):
     assert out[2].n_tokens == 14 and out[2].kept_tokens == 4
     # doc 3 is entirely a repeated span — empty after cleaning
     assert out[3].kept_tokens == 0 and out[3].cleaned == ""
+
+
+def test_incremental_span_removal_trims_overlap(spark):
+    from big_data_elt_pipeline_spark.operators.dedup import (
+        remove_repeated_spans_incremental,
+    )
+
+    phrase = [f"p{i}" for i in range(10)]
+    corpus = [(1, " ".join([f"a{i}" for i in range(4)] + phrase))]
+    batch = [
+        # partially overlaps corpus text: the misaligned phrase copy must
+        # be cut, the unique prefix kept
+        (100, " ".join([f"b{i}" for i in range(7)] + phrase)),
+        # unique batch doc: untouched
+        (101, " ".join(f"u{i}" for i in range(20))),
+        # exact dup of an earlier-batch doc: fully cut
+        (102, " ".join(f"u{i}" for i in range(20))),
+    ]
+    idf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans_incremental(
+            idf, bdf, window_tokens=W
+        ).collect()
+    }
+    # one row per BATCH doc only; the corpus is never rewritten
+    assert set(out) == {100, 101, 102}
+    assert out[100].cleaned == " ".join(f"b{i}" for i in range(7))
+    assert out[100].n_tokens == 17 and out[100].removed_tokens == 10
+    assert out[101].removed_tokens == 0
+    assert out[101].cleaned == " ".join(f"u{i}" for i in range(20))
+    assert out[102].kept_tokens == 0 and out[102].cleaned == ""
