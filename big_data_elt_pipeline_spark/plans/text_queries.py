@@ -889,10 +889,14 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce bit-identical doubles; a log idf differs in the last
     ulp between libm implementations and would break the hash gate).
 
-    Scale shape: one explode + one groupBy(doc, term), document frequency
-    as a window over the (doc, term) relation (one shuffle on term), the
-    corpus size N broadcast from a 1-row aggregate, and a per-doc top-k
-    window — no all-pairs term joins anywhere.
+    Scale shape: one explode + one groupBy(doc, term); document frequency
+    via a SKEW-SAFE groupBy(term) aggregate joined back (the r8 survivor-
+    selection discipline — a stopword like "the" appears in every doc, so
+    the previous count-over-Window.partitionBy(term) serialized the
+    hottest term into one unsplittable task, while the partial aggregate
+    collapses it map-side and the vocabulary-sized df table broadcasts or
+    SMJ-splits); the corpus size N broadcast from a 1-row aggregate, and
+    a per-doc top-k window — no all-pairs term joins anywhere.
     """
     from pyspark.sql import Window
 
@@ -900,8 +904,9 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     terms = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(df_tbl, "term")
         .join(F.broadcast(n_docs))
         .withColumn("score", (F.col("tf") * F.col("__n")).cast("double") / F.col("df").cast("double"))
     )
