@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "dedup_incremental_substrings", "dedup_span_removal",
     # round 8
     "dsir_select", "dedup_incremental_span_removal",
+    "ann_quantized_topk", "hybrid_rrf_topk",
+    "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
 ]
 
 

@@ -64,3 +64,91 @@ def merge_sketches(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(agg)
     return sketches.agg(agg)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# sketch — est(key) = min over d hash rows of the (row, bucket) counter,
+# always >= the true count (overestimates come only from collisions).
+# --------------------------------------------------------------------------
+
+# depth x width = 4 x 1024 counters (32 kB of bigints): error <= e*N/width
+# with prob 1 - exp(-depth) over the hash draw. Width is a power of two so
+# bucketing is exact bigint math end to end.
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 10
+_CMS_M = 1 << 20
+# distinct multiplicative-hash rows (odd constants, decorrelated)
+CMS_PERMS = (
+    (2654435761, 17),
+    (2246822519, 257),
+    (3266489917, 4099),
+    (668265263, 65537),
+)
+
+
+def cms_bucket(hash_col: Column, j: int) -> Column:
+    """Bucket of hash row ``j`` for a 32-bit key hash: pre-modded
+    multiplicative hash into ``CMS_WIDTH`` buckets (products stay < 2^52 —
+    no bigint overflow at any key cardinality)."""
+    a, c = CMS_PERMS[j]
+    return (
+        (hash_col % F.lit(_CMS_M) * F.lit(a) + F.lit(c)) % F.lit(_CMS_M)
+    ) % F.lit(CMS_WIDTH)
+
+
+def cms_build(
+    rel: DataFrame, hash_col: str = "h", cnt_col: str = "cnt"
+) -> DataFrame:
+    """Counter table (j, bucket, c) from a (key_hash, count) relation.
+
+    One generator explode (×depth, map-only) + one groupBy(j, bucket) —
+    partial aggregation collapses every counter map-side, so the exchange
+    is ≤ depth × width rows per partition regardless of input size. The
+    counter table is mergeable by construction: summing counters of two
+    corpora IS the sketch of their union (pinned in tests).
+    """
+    rows = rel.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_bucket(F.col(hash_col), j).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+        F.col(cnt_col),
+    )
+    return (
+        rows.groupBy(F.col("rb.j").alias("j"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum(cnt_col).cast("long").alias("c"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, counters: DataFrame, hash_col: str = "h"
+) -> DataFrame:
+    """Point estimates for a key relation: join each key's ``depth``
+    buckets against the broadcast counter table (≤ depth × width rows —
+    kilobytes), take the row-wise min. Missing counters count as 0 (keys
+    never inserted). Appends an ``est`` column; input columns pass
+    through."""
+    est = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cms_bucket(F.col(hash_col), j).alias("bucket"))
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    probes = keys.select("*", F.explode(est).alias("rb"))
+    return (
+        probes.join(
+            F.broadcast(counters),
+            (F.col("rb.j") == F.col("j")) & (F.col("rb.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est"))
+    )

@@ -111,3 +111,46 @@ def bm25_topk(
         .select("query_id", "rank", "doc_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_cols: tuple[str, str] = ("lex_rank", "vec_rank"),
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009):
+    ``rrf = Σ 1/(c + rank)`` over the lists an id appears in, top-``k`` per
+    query by (rrf desc, id asc).
+
+    ``lex`` and ``vec`` are (query_id, id, rank) relations — e.g. BM25 and
+    embedding-cosine retrieval depths. A full outer join on (query, id)
+    keeps ids present in only one list (the other contributes 0); the two
+    reciprocal terms are exact IEEE divisions summed in a fixed order, so
+    fusion scores are bit-identical across engines.
+
+    Scale shape: both inputs are |queries| × depth rows (bounded, tiny
+    next to any corpus); the join and the top-k window both key on
+    query_id — one bounded exchange end to end.
+    """
+    lr, vr = rank_cols
+    left = lex.select(query_id_col, id_col, F.col("rank").alias(lr))
+    right = vec.select(query_id_col, id_col, F.col("rank").alias(vr))
+    fused = (
+        left.join(right, [query_id_col, id_col], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(lr)), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col(vr)), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, lr, vr, "rrf_score", "rank")
+        .orderBy(query_id_col, "rank")
+    )

@@ -228,3 +228,244 @@ def dsir_select(
     head = w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)
     win = Window.orderBy(F.desc("weight"), F.asc(id_col))
     return head.withColumn("rank", F.row_number().over(win).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# UniMax-style epoch-capped budget allocation (Chung et al. 2023)
+# --------------------------------------------------------------------------
+
+def unimax_allocation(
+    per_source: DataFrame,
+    budget_num: int = 6,
+    budget_den: int = 10,
+    epoch_cap: int = 2,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget waterfilling: split a total token budget as uniformly
+    as possible across sources, capping each source at ``epoch_cap``
+    epochs of its own data (small sources are fully consumed at the cap,
+    the remainder is shared equally by the rest).
+
+    ``per_source``: (source, n_tokens) — the per-source rollup, i.e. the
+    ONLY corpus-sized aggregation, done by the caller. The budget is
+    ``floor(total * budget_num / budget_den)`` in pure bigint math so both
+    engines derive the identical budget from data.
+
+    Closed form instead of the paper's iterative loop: sort sources
+    ascending by their cap ``c_i = epoch_cap * n_i``; source i is capped
+    iff ``c_i * (m - i + 1) <= B - Σ_{j<i} c_j`` (with caps ascending the
+    capped set is a prefix, so one cumulative-sum window + one scalar
+    aggregate decide every source). Uncapped sources get the equal share
+    ``(B - Σ_capped c_j) / n_uncapped`` — the only non-integer step, one
+    IEEE division.
+
+    Scale shape: |sources| is dimension-sized (tens..thousands), so the
+    windows here are trivially bounded; the output is one row per source:
+    (source, n_tokens, cap_tokens, capped, alloc_tokens, epochs).
+    """
+    from pyspark.sql import Window
+
+    src = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (F.col(tokens_col).cast("long") * F.lit(int(epoch_cap))).alias("cap_tokens"),
+    )
+    tot = F.broadcast(
+        src.agg(
+            F.sum("n_tokens").alias("__total"), F.count(F.lit(1)).alias("m")
+        ).select(
+            # bigint floor-division (DIV), not double division: token totals
+            # at 100 TB exceed 2^53 and would round in double
+            F.expr(f"__total * {int(budget_num)} DIV {int(budget_den)}")
+            .cast("long")
+            .alias("budget"),
+            "m",
+        )
+    )
+    w_ord = Window.orderBy(F.asc("cap_tokens"), F.asc("source"))
+    ranked = (
+        src.crossJoin(tot)
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.col("m") - F.col("i") + 1)
+            <= F.col("budget") - F.col("cum_prev"),
+        )
+    )
+    sums = F.broadcast(
+        ranked.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0).cast("long")
+            ).alias("capped_sum"),
+            F.sum(F.when(~F.col("capped"), 1).otherwise(0)).alias("n_uncapped"),
+        )
+    )
+    return (
+        ranked.crossJoin(sums)
+        .select(
+            "source",
+            "n_tokens",
+            "cap_tokens",
+            "capped",
+            F.when(F.col("capped"), F.col("cap_tokens").cast("double"))
+            .otherwise(
+                (F.col("budget") - F.col("capped_sum")).cast("double")
+                / F.col("n_uncapped").cast("double")
+            )
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs", F.col("alloc_tokens") / F.col("n_tokens").cast("double")
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Priority sampling (Duffield, Lund, Thorup 2007): weighted sampling
+# without replacement with near-optimal subset-sum estimates
+# --------------------------------------------------------------------------
+
+# Distinct multiplicative-hash constants (decorrelated from the sampling
+# coin flip and the centroid sampler).
+PRIO_A = 2246822519
+PRIO_C = 374761393
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Priority sampling: draw ``k`` items with probability ~ weight,
+    without replacement, such that ``sum(weight_est)`` over the sample is
+    an unbiased estimator of the TOTAL weight of any subset.
+
+    Priority ``q_i = w_i / u_i`` with ``u_i`` a deterministic uniform in
+    (0, 1]: here ``u = h/M`` with ``h = ((id % M) * A + C) % M + 1`` — so
+    ``q_i = (w_i * M) / h`` is ONE exact bigint product (< 2^53 for
+    weights < 2^33) and ONE IEEE division, no transcendentals, making the
+    sample and every estimate bit-identical across engines. The k kept
+    items are the top-k priorities; ``tau`` = the (k+1)-th priority;
+    ``weight_est = max(w, tau)`` (Duffield et al.'s estimator — 0 for
+    unsampled items, unbiased for any subset sum).
+
+    Scale shape: the map-only priority column feeds
+    ``orderBy(...).limit(k+1)`` — TakeOrderedAndProject keeps a (k+1)-row
+    heap per partition and merges heaps, never globally sorting the
+    corpus; tau is a 1-row broadcast off those k+1 rows.
+    """
+    from pyspark.sql import Window
+
+    m = SAMPLE_M
+    h = (
+        F.col(id_col).cast("long") % F.lit(m) * F.lit(PRIO_A) + F.lit(PRIO_C)
+    ) % F.lit(m) + F.lit(1)
+    prio = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            ((F.col(weight_col).cast("long") * F.lit(m)).cast("double")
+             / h.cast("double")).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k + 1)
+    )
+    win = Window.orderBy(F.desc("priority"), F.asc(id_col))
+    ranked = prio.withColumn("rank", F.row_number().over(win).cast("int"))
+    # tau = the (k+1)-th priority; NULL (→ 0.0) when the population has
+    # <= k items, in which case everything is kept and weight_est = weight
+    tau = F.broadcast(
+        ranked.agg(
+            F.max(F.when(F.col("rank") == k + 1, F.col("priority"))).alias("tau")
+        )
+    )
+    return (
+        ranked.crossJoin(tau)
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            "rank",
+            F.greatest(
+                F.col("weight").cast("double"), F.coalesce(F.col("tau"), F.lit(0.0))
+            ).alias("weight_est"),
+        )
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified train/val/test split
+# --------------------------------------------------------------------------
+
+SPLIT_A = 2654435769
+SPLIT_C = 97531
+
+
+def split_assign(id_col: F.Column, val_frac: float = 0.05, test_frac: float = 0.05) -> F.Column:
+    """Deterministic split label from a multiplicative hash of the id —
+    decorrelated from the sampling coin flip by distinct constants. Pure
+    bigint + one exact division: the same doc lands in the same split in
+    every engine, every run, every partitioning (the reproducibility
+    contract training pipelines need for held-out splits)."""
+    m = SAMPLE_M
+    u = (
+        (id_col.cast("long") % F.lit(m) * F.lit(SPLIT_A) + F.lit(SPLIT_C)) % F.lit(m)
+    ).cast("double") / F.lit(float(m))
+    return (
+        F.when(u < F.lit(1.0 - val_frac - test_frac), F.lit("train"))
+        .when(u < F.lit(1.0 - test_frac), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def corpus_split_audit(
+    docs: DataFrame,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: F.Column | None = None,
+) -> DataFrame:
+    """Per-(stratum, split) audit of the deterministic corpus split:
+    (stratum, split, n_docs, n_tokens, frac_of_stratum). One map-only
+    label pass + one partial-aggregated groupBy — no other shuffle at any
+    scale; the per-stratum total joins back via a broadcast-sized rollup
+    (strata are dimension-sized)."""
+    toks = tokens_col if tokens_col is not None else F.lit(1).cast("long")
+    labeled = docs.select(
+        F.col(strata_col).alias("stratum"),
+        split_assign(F.col(id_col), val_frac, test_frac).alias("split"),
+        toks.alias("__toks"),
+    )
+    per = labeled.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__toks").cast("long").alias("n_tokens"),
+    )
+    tot = per.groupBy("stratum").agg(F.sum("n_docs").alias("__tot"))
+    return (
+        per.join(F.broadcast(tot), "stratum")
+        .select(
+            "stratum",
+            "split",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs").cast("double") / F.col("__tot").cast("double")).alias(
+                "frac_of_stratum"
+            ),
+        )
+        .orderBy("stratum", "split")
+    )

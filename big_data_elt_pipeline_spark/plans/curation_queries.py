@@ -720,3 +720,231 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
     return SMP.dsir_select(docs.select("doc_id", "text"), target, k=200)
+
+
+# --------------------------------------------------------------------------
+# Round 8: UniMax budget allocation, count-min heavy hitters, priority
+# sampling, deterministic corpus split
+# --------------------------------------------------------------------------
+
+from big_data_elt_pipeline_spark.functions import sketches as SK
+
+_UNIMAX_NUM, _UNIMAX_DEN, _UNIMAX_EPOCHS = 6, 10, 2
+
+_UNIMAX_SQL = f"""
+WITH per AS (
+    SELECT source, CAST(sum(len({_TOK.format(c='text')})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) * {_UNIMAX_NUM} // {_UNIMAX_DEN} AS BIGINT) AS budget,
+           count(*) AS m
+    FROM per
+),
+ranked AS (
+    SELECT source, n_tokens,
+           CAST(n_tokens * {_UNIMAX_EPOCHS} AS BIGINT) AS cap_tokens,
+           budget, m,
+           row_number() OVER (ORDER BY n_tokens * {_UNIMAX_EPOCHS} ASC, source ASC) AS i,
+           CAST(coalesce(sum(n_tokens * {_UNIMAX_EPOCHS}) OVER (
+               ORDER BY n_tokens * {_UNIMAX_EPOCHS} ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_prev
+    FROM per CROSS JOIN tot
+),
+flag AS (
+    SELECT *, cap_tokens * (m - i + 1) <= budget - cum_prev AS capped FROM ranked
+),
+s AS (
+    SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS BIGINT) AS capped_sum,
+           sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS n_uncapped
+    FROM flag
+)
+SELECT source, n_tokens, cap_tokens, capped, alloc_tokens,
+       alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs
+FROM (
+    SELECT f.source, f.n_tokens, f.cap_tokens, f.capped,
+           CASE WHEN f.capped THEN CAST(f.cap_tokens AS DOUBLE)
+                ELSE CAST(f.budget - s.capped_sum AS DOUBLE) / CAST(s.n_uncapped AS DOUBLE)
+           END AS alloc_tokens
+    FROM flag f CROSS JOIN s
+)
+ORDER BY source
+"""
+
+
+@register("unimax_budget", _UNIMAX_SQL)
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) token-budget waterfilling over the
+    per-source rollup: budget = 60% of total tokens, each source capped at
+    2 epochs; small sources saturate at their cap, the remainder is shared
+    equally. Closed-form sort + cumulative-sum windows instead of the
+    paper's loop — contract and scale notes in
+    ``operators/sampling.unimax_allocation``."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", TX.token_count(F.col("text")).alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").cast("long").alias("n_tokens"))
+    )
+    return SMP.unimax_allocation(per, _UNIMAX_NUM, _UNIMAX_DEN, _UNIMAX_EPOCHS)
+
+
+_CMS_TOP = 20
+
+
+def _cms_bucket_sql(j: int) -> str:
+    a, c = SK.CMS_PERMS[j]
+    return f"((h % {SK._CMS_M}) * {a} + {c}) % {SK._CMS_M} % {SK.CMS_WIDTH}"
+
+
+def _cms_sql() -> str:
+    probes = "\nUNION ALL\n".join(
+        f"    SELECT term, exact, h, {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM vocab"
+        for j in range(SK.CMS_DEPTH)
+    )
+    return f"""
+WITH tokens AS (
+    SELECT doc_id, t.term
+    FROM documents,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+    WHERE t.term <> ''
+),
+vocab AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS exact,
+           ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+    FROM tokens GROUP BY term
+),
+probes AS (
+{probes}
+),
+counters AS (
+    SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS c
+    FROM probes GROUP BY j, bucket
+),
+est AS (
+    SELECT p.term, p.exact, min(c.c) AS est
+    FROM probes p JOIN counters c USING (j, bucket)
+    GROUP BY p.term, p.exact
+)
+SELECT term, exact AS exact_count, est AS est_count,
+       est - exact AS overestimate, CAST(rank AS INTEGER) AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY est DESC, term ASC) AS rank FROM est
+) WHERE rank <= {_CMS_TOP}
+ORDER BY rank
+"""
+
+
+@register("cms_heavy_hitters", _cms_sql())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: 4×1024 counter sketch over corpus
+    term frequencies, top-20 terms by sketch ESTIMATE with the exact count
+    and the collision overestimate alongside (est >= exact always — the
+    CMS one-sided error). Sketch build/probe contracts and the
+    partial-aggregation scale shape in ``functions/sketches.cms_build``."""
+    from big_data_elt_pipeline_spark.operators.retrieval import tokenize
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = (
+        tokenize(docs, "doc_id", "text")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .withColumn("h", TX.hash32(F.col("term")))
+    )
+    counters = SK.cms_build(vocab, hash_col="h", cnt_col="exact")
+    est = SK.cms_estimate(vocab, counters, hash_col="h")
+    win = Window.orderBy(F.desc("est"), F.asc("term"))
+    return (
+        est.orderBy(F.desc("est"), F.asc("term"))
+        .limit(_CMS_TOP)
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .select(
+            "term",
+            F.col("exact").alias("exact_count"),
+            F.col("est").alias("est_count"),
+            (F.col("est") - F.col("exact")).alias("overestimate"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+_PRIO_K = 64
+
+_PRIO_SQL = f"""
+WITH prio AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(CAST(n_chars AS BIGINT) * {SMP.SAMPLE_M} AS DOUBLE)
+           / CAST(((doc_id % {SMP.SAMPLE_M}) * {SMP.PRIO_A} + {SMP.PRIO_C})
+                  % {SMP.SAMPLE_M} + 1 AS DOUBLE) AS priority
+    FROM documents
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM prio QUALIFY rank <= {_PRIO_K + 1}
+),
+tau AS (SELECT max(CASE WHEN rank = {_PRIO_K + 1} THEN priority END) AS tau FROM ranked)
+SELECT doc_id, weight, priority, rank,
+       greatest(CAST(weight AS DOUBLE), coalesce(tau, CAST(0.0 AS DOUBLE))) AS weight_est
+FROM ranked CROSS JOIN tau
+WHERE rank <= {_PRIO_K}
+ORDER BY rank
+"""
+
+
+@register("priority_sample", _PRIO_SQL)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): 64 docs drawn with
+    probability ~ n_chars, without replacement, with the max(w, tau)
+    estimator that makes any subset-sum over the sample unbiased. Pure
+    bigint-product + IEEE-division priorities (no transcendentals) keep
+    sample and estimates bit-identical across engines; plan shape in
+    ``operators/sampling.priority_sample``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SMP.priority_sample(docs, k=_PRIO_K, weight_col="n_chars")
+
+
+_SPLIT_SQL = f"""
+WITH labeled AS (
+    SELECT source AS stratum,
+           CASE WHEN u < CAST(0.90 AS DOUBLE) THEN 'train'
+                WHEN u < CAST(0.95 AS DOUBLE) THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(n_chars AS BIGINT) AS toks
+    FROM (
+        SELECT source, n_chars,
+               CAST(((doc_id % {SMP.SAMPLE_M}) * {SMP.SPLIT_A} + {SMP.SPLIT_C})
+                    % {SMP.SAMPLE_M} AS DOUBLE) / {float(SMP.SAMPLE_M)} AS u
+        FROM documents
+    )
+),
+per AS (
+    SELECT stratum, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens
+    FROM labeled GROUP BY stratum, split
+),
+tot AS (SELECT stratum, sum(n_docs) AS tt FROM per GROUP BY stratum)
+SELECT stratum, split, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(tt AS DOUBLE) AS frac_of_stratum
+FROM per JOIN tot USING (stratum)
+ORDER BY stratum, split
+"""
+
+
+@register("corpus_split", _SPLIT_SQL)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split audit (90/5/5 by a
+    doc_id multiplicative hash, decorrelated from the sampling coin):
+    per-(source, split) doc and token counts plus realized fractions —
+    the reproducibility contract for held-out splits. Scale notes in
+    ``operators/sampling.corpus_split_audit``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SMP.corpus_split_audit(
+        docs,
+        val_frac=0.05,
+        test_frac=0.05,
+        strata_col="source",
+        id_col="doc_id",
+        tokens_col=F.col("n_chars").cast("long"),
+    )

@@ -957,20 +957,25 @@ _GATE_ORDER = [
     "dedup_incremental_span_removal",
     "semantic_dedup",
     "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
+    # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
+    "ann_quantized_topk", "hybrid_rrf_topk",
+    "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
     # lakehouse patterns: data skipping, serving store
     "lakehouse_pruned_read", "docstore_roundtrip",
     # reference pipeline: silver
     "silver_achats",
-    # reference pipeline: gold + serving
-    "ca_monthly", "fact_achats", "dim_clients",
+    # reference pipeline: gold + serving (ca_monthly rotated out r8 —
+    # r03-r07 green; retained in the local parity sweep)
+    "fact_achats", "dim_clients",
     "client_features", "client_scores",
     "kpis", "top_clients",
     # events / streaming twins
     "event_funnel", "events_props_variant",
-    # OLAP / join zoo
+    # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round
+    # green; q2/q9/q20 keep the family's gate presence after their r7
+    # debut; all 22 stay in the local parity sweep)
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
-    "tpch_q2", "tpch_q6", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q2", "tpch_q9", "tpch_q20",
     # ML / multimodal / profiling
     "profile_documents", "revenue_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these

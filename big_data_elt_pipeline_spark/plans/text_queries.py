@@ -1094,12 +1094,13 @@ _BM25_QUERIES = [
     ("q_window", "window partition order row"),
 ]
 
-_BM25_SQL = """
-WITH q(query_id, query_text) AS (VALUES
-    ('q_join', 'shuffle join broadcast table'),
-    ('q_scan', 'parquet scan filter pushdown'),
-    ('q_window', 'window partition order row')
-),
+def _bm25_ctes(q_cte: str, depth: int, out: str = "lexr") -> str:
+    """BM25 oracle as a reusable WITH-body fragment: ``q_cte`` supplies the
+    (query_id, query_text) relation, ``out`` is the name of the final
+    ranked CTE (query_id, doc_id, score, rank <= depth). Numerics mirror
+    ``operators/retrieval.bm25_topk`` exactly (round-6 quantized-decimal
+    determinism contract)."""
+    return f"""{q_cte},
 tokens AS (
     SELECT doc_id, t.term
     FROM documents,
@@ -1140,14 +1141,25 @@ scored AS (
     JOIN idf_tbl USING (term)
     JOIN dl USING (doc_id)
     GROUP BY qterms.query_id, tf.doc_id
-)
-SELECT query_id, rank, doc_id, score FROM (
-    SELECT query_id, doc_id, score,
-           CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
-           ) AS INTEGER) AS rank
-    FROM scored
-) WHERE rank <= 10
+),
+{out} AS (
+    SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {depth}
+)"""
+
+
+_BM25_SQL = f"""
+WITH {_bm25_ctes('''q(query_id, query_text) AS (VALUES
+    ('q_join', 'shuffle join broadcast table'),
+    ('q_scan', 'parquet scan filter pushdown'),
+    ('q_window', 'window partition order row')
+)''', 10)}
+SELECT query_id, rank, doc_id, score FROM lexr
 ORDER BY query_id, rank
 """
 
@@ -1502,3 +1514,140 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.remove_repeated_spans``."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return DD.remove_repeated_spans(docs)
+
+
+# --------------------------------------------------------------------------
+# Round 8: scalar-quantized ANN (SQ8 candidates + exact rerank) and
+# hybrid lexical+vector retrieval with reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+# Oracle fixes the embedding dimension (64 in every driver table); the
+# Spark operator is dimension-agnostic (per-element transform lambdas).
+_SQ8_DIM = 64
+_SQ8_K, _SQ8_OVERFETCH = 5, 4
+
+_SQ8_SQL = f"""
+WITH pd AS (
+    SELECT i,
+           min(CAST(embedding[i] AS DOUBLE)) AS mn,
+           max(CAST(embedding[i] AS DOUBLE)) AS mx
+    FROM embeddings CROSS JOIN (SELECT unnest(range(1, {_SQ8_DIM + 1})) AS i) dims
+    GROUP BY i
+),
+stats AS (
+    SELECT list(mn ORDER BY i) AS mns,
+           list(CASE WHEN mx > mn THEN CAST(128.0 AS DOUBLE) / (mx - mn)
+                     ELSE CAST(0.0 AS DOUBLE) END ORDER BY i) AS scs
+    FROM pd
+),
+recon AS (
+    SELECT vec_id,
+           list_transform(range(1, {_SQ8_DIM + 1}), i ->
+               CASE WHEN scs[i] > 0
+                    THEN mns[i]
+                         + (CAST(least(127, greatest(0,
+                               CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * scs[i]) AS BIGINT)
+                           )) AS DOUBLE) + 0.5) / scs[i]
+                    ELSE mns[i] END) AS xhat
+    FROM embeddings CROSS JOIN stats
+),
+q AS (SELECT vec_id AS query_id, xhat AS qhat FROM recon WHERE vec_id < 8),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, r.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos("q.qhat", "r.xhat")} DESC, r.vec_id ASC
+               ) AS rn
+        FROM recon r CROSS JOIN q
+        WHERE q.query_id != r.vec_id
+    ) WHERE rn <= {_SQ8_K * _SQ8_OVERFETCH}
+),
+qx AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8)
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT c.query_id, c.vec_id,
+           {_cos("qx.qvec", "e.embedding")} AS cosine,
+           row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY {_cos("qx.qvec", "e.embedding")} DESC, c.vec_id ASC
+           ) AS rank
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN qx ON qx.query_id = c.query_id
+) WHERE rank <= {_SQ8_K}
+"""
+
+
+@register("ann_quantized_topk", _SQ8_SQL)
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: exact cosine top-5 by reranking the
+    top-20 candidates of an int8-quantized scan — the memory-bandwidth
+    scale path (4× less data read on the pass that touches the whole
+    corpus). Quantizer stats, codes, candidate set, and rerank are all
+    deterministic IEEE math; plan notes in
+    ``operators/similarity.sq8_topk``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = SIM.sq8_topk(emb, queries, k=_SQ8_K, overfetch=_SQ8_OVERFETCH)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_RRF_DEPTH, _RRF_K, _RRF_C = 50, 10, 60
+
+_RRF_SQL = f"""
+WITH {_bm25_ctes("q AS (SELECT doc_id AS query_id, text AS query_text FROM documents WHERE doc_id < 8)", _RRF_DEPTH)},
+lex2 AS (SELECT query_id, doc_id, rank FROM lexr WHERE doc_id != query_id),
+vecr AS (
+    SELECT query_id, vec_id AS doc_id, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q2.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q2.query_id
+                   ORDER BY {_cos("q2.qvec", "e.embedding")} DESC, e.vec_id ASC
+               ) AS rank
+        FROM embeddings e CROSS JOIN
+             (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8) q2
+        WHERE q2.query_id != e.vec_id
+    ) WHERE rank <= {_RRF_DEPTH}
+),
+fused AS (
+    SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           coalesce(l.doc_id, v.doc_id) AS doc_id,
+           l.rank AS lex_rank, v.rank AS vec_rank,
+           coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + l.rank), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + v.rank), CAST(0.0 AS DOUBLE)) AS rrf_score
+    FROM lex2 l FULL OUTER JOIN vecr v
+      ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+    ) AS rank
+    FROM fused
+) WHERE rank <= {_RRF_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("hybrid_rrf_topk", _RRF_SQL)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (depth 50, more-like-this with the query
+    doc's own text) fused with embedding-cosine retrieval (depth 50,
+    doc_id = vec_id) by reciprocal-rank fusion, top-10 per query. The
+    query doc itself is dropped from the lexical list AFTER ranking (it
+    holds lexical rank 1 by construction; remaining ranks keep their
+    values) and is excluded from the vector list by the ANN operator.
+    Plan notes in ``operators/retrieval.rrf_fuse``."""
+    from big_data_elt_pipeline_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, queries, k=_RRF_DEPTH).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    vec = SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=_RRF_DEPTH
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, vec, k=_RRF_K, c=_RRF_C)

@@ -1,0 +1,224 @@
+"""Round-8 operator contracts: SQ8 quantized ANN, RRF fusion, UniMax
+budgeting, count-min sketch, priority sampling, deterministic splits —
+semantics the SQL oracles can't pin (recall quality, mergeability,
+estimator bounds, partitioning invariance)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions import sketches as SK
+from big_data_elt_pipeline_spark.functions import text as TX
+from big_data_elt_pipeline_spark.operators import sampling as SMP
+from big_data_elt_pipeline_spark.operators import similarity as SIM
+from big_data_elt_pipeline_spark.operators.retrieval import rrf_fuse, tokenize
+from big_data_elt_pipeline_spark.sources.tpch import read_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_SMOKE, "documents").cache()
+
+
+# ---------------------------------------------------------------- SQ8 ANN
+
+
+def test_sq8_codes_in_range(spark, emb):
+    stats = SIM.sq8_train(emb)
+    coded = emb.crossJoin(F.broadcast(stats)).select(
+        SIM.sq8_encode(F.col("embedding"), F.col("mns"), F.col("scs")).alias("code")
+    )
+    bad = coded.select(
+        F.exists("code", lambda c: (c < 0) | (c > 127)).alias("bad")
+    ).filter("bad")
+    assert bad.count() == 0
+
+
+def test_sq8_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in SIM.sq8_topk(emb, queries, k=5, overfetch=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 7-bit quantization at d=64 keeps candidate ordering almost exact;
+    # the rerank then restores exact cosines — recall should be near 1
+    assert recall >= 0.9, recall
+
+
+def test_sq8_partitioning_invariance(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in SIM.sq8_topk(emb, queries, k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in SIM.sq8_topk(emb.repartition(7), queries, k=5).collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_formula_and_membership(spark):
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, doc_id int, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(lex, vec, k=10, c=60).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    # doc in both lists: 1/(60+2) + 1/(60+1)
+    assert out[11].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=0)
+    assert out[11].lex_rank == 2 and out[11].vec_rank == 1
+    # single-list docs contribute one term, missing rank is NULL
+    assert out[10].rrf_score == pytest.approx(1 / 61, abs=0)
+    assert out[10].vec_rank is None
+    assert out[13].lex_rank is None
+    # both-lists doc outranks either single-list doc here
+    assert out[11].rank == 1
+
+
+# ---------------------------------------------------------------- UniMax
+
+
+def test_unimax_budget_conservation(spark):
+    per = spark.createDataFrame(
+        [("a", 10), ("b", 100), ("c", 1000), ("d", 10000)],
+        "source string, n_tokens long",
+    )
+    rows = SMP.unimax_allocation(per, 6, 10, 2).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 6 // 10
+    assert sum(r.alloc_tokens for r in rows) == pytest.approx(budget, rel=1e-12)
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens + 1e-9
+        if r.capped:
+            assert r.alloc_tokens == float(r.cap_tokens)
+    uncapped = sorted(r.alloc_tokens for r in rows if not r.capped)
+    if len(uncapped) > 1:
+        assert uncapped[0] == pytest.approx(uncapped[-1], abs=0)
+    # small sources saturate before large ones: 6666 budget → a,b capped
+    by_src = {r.source: r for r in rows}
+    assert by_src["a"].capped and by_src["b"].capped
+    assert not by_src["d"].capped
+
+
+def test_unimax_all_sources_fit(spark):
+    # budget (90%) below sum of caps but every equal share exceeds no cap
+    per = spark.createDataFrame(
+        [("a", 1000), ("b", 1000)], "source string, n_tokens long"
+    )
+    rows = SMP.unimax_allocation(per, 9, 10, 2).collect()
+    assert all(not r.capped for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == pytest.approx(1800.0, abs=0)
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def test_cms_never_underestimates(spark, docs):
+    vocab = (
+        tokenize(docs.select("doc_id", "text"), "doc_id", "text")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .withColumn("h", TX.hash32(F.col("term")))
+    )
+    counters = SK.cms_build(vocab, hash_col="h", cnt_col="exact")
+    est = SK.cms_estimate(vocab, counters, hash_col="h")
+    assert est.filter(F.col("est") < F.col("exact")).count() == 0
+
+
+def test_cms_merge_is_union(spark, docs):
+    rel = (
+        tokenize(docs.select("doc_id", "text"), "doc_id", "text")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("h", TX.hash32(F.col("term")))
+        .select("doc_id", "h", "cnt")
+    )
+    a = rel.filter(F.col("doc_id") % 2 == 0)
+    b = rel.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        SK.cms_build(a).unionByName(SK.cms_build(b))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    whole = SK.cms_build(rel)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+# ---------------------------------------------------------------- priority
+
+
+def test_priority_sample_contract(spark, docs):
+    out = SMP.priority_sample(docs, k=32, weight_col="n_chars").collect()
+    assert len(out) == 32
+    assert [r.rank for r in out] == list(range(1, 33))
+    # estimator: weight_est = max(w, tau) >= w, and tau is a single value
+    taus = {r.weight_est for r in out if r.weight_est > r.weight}
+    assert all(r.weight_est >= r.weight for r in out)
+    assert len(taus) <= 1
+    # priorities strictly ordered under the total (priority desc, id) order
+    pr = [(r.priority, -r.doc_id) for r in out]
+    assert pr == sorted(pr, reverse=True)
+
+
+def test_priority_sample_small_population(spark, docs):
+    small = docs.filter(F.col("doc_id") < 10)
+    out = SMP.priority_sample(small, k=32, weight_col="n_chars").collect()
+    assert len(out) == 10
+    # population <= k: everything kept, tau undefined → weight_est = weight
+    assert all(r.weight_est == float(r.weight) for r in out)
+
+
+def test_priority_sample_partitioning_invariance(spark, docs):
+    a = [(r.doc_id, r.weight_est) for r in SMP.priority_sample(docs, 16, "n_chars").collect()]
+    b = [
+        (r.doc_id, r.weight_est)
+        for r in SMP.priority_sample(docs.repartition(13), 16, "n_chars").collect()
+    ]
+    assert a == b
+
+
+# ---------------------------------------------------------------- split
+
+
+def test_corpus_split_audit(spark, docs):
+    out = SMP.corpus_split_audit(docs).collect()
+    n_total = docs.count()
+    assert sum(r.n_docs for r in out) == n_total
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, 0.0)
+        by_stratum[r.stratum] += r.frac_of_stratum
+    for v in by_stratum.values():
+        assert v == pytest.approx(1.0, rel=1e-12)
+    # global proportions near 90/5/5
+    frac = {}
+    for r in out:
+        frac[r.split] = frac.get(r.split, 0) + r.n_docs
+    assert frac["train"] / n_total == pytest.approx(0.9, abs=0.05)
+
+
+def test_split_deterministic_per_doc(spark, docs):
+    one = docs.select(
+        "doc_id", SMP.split_assign(F.col("doc_id")).alias("s")
+    )
+    two = docs.repartition(11).select(
+        "doc_id", SMP.split_assign(F.col("doc_id")).alias("s")
+    )
+    assert one.exceptAll(two).count() == 0
