@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dsir_select", "dedup_incremental_span_removal",
     "ann_quantized_topk", "hybrid_rrf_topk",
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
+    "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
+    "pagerank_centrality",
 ]
 
 

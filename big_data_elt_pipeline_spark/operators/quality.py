@@ -1,0 +1,235 @@
+"""Document-quality filtering operators: C4-style line/document heuristics
+(Raffel et al. 2020, "Exploring the Limits of Transfer Learning", §2.2)
+and a CCNet-style LM fluency filter (Wenzek et al. 2020) built on hashed
+n-gram counts instead of an external KenLM binary.
+
+Beyond-reference surface — the cleaning pass every web-scale corpus runs
+before dedup/mixture. Both operators are engine-checkable end to end:
+
+- ``c4_line_stats``: the C4 rule set re-expressed per line — terminal
+  punctuation required, minimum words per line, curly-brace / "lorem
+  ipsum" / "javascript" blocklists — with per-rule audit counters, a
+  document keep decision (>= ``min_lines`` surviving lines) and the md5
+  fingerprint of the cleaned text. Entirely map-only: the line split, all
+  per-line predicates, the rejoin and the fingerprint happen inside the
+  row, so the pass runs at scan speed with ZERO shuffle at any corpus
+  size (the same shape as ``privacy.redact``).
+- ``lm_scores``: train a hashed-bigram unigram-smoothed language model on
+  a reference split (one bucket-bounded aggregation, model table ≤
+  ``buckets`` rows → broadcast), then score every document's mean
+  negative log-likelihood. Log-probs are rounded to 6 decimals and summed
+  as DECIMAL (the BM25/DSIR idiom) so the score is bit-identical under
+  any partitioning and in the DuckDB oracle. The keep threshold is the
+  exact corpus median NLL — CCNet's "head/middle/tail" cut at the
+  middle boundary.
+
+Scale shape: ``c4_line_stats`` is a pure map. ``lm_scores`` shuffles
+(a) ≤ ``buckets`` rows for the model (partial-aggregated: every partition
+emits at most ``buckets`` partial counts regardless of corpus size) and
+(b) one doc-keyed aggregation for the per-doc score — the same footprint
+as ``dsir_weights``. Nothing here is quadratic or skew-prone: bucket ids
+are uniform by construction (md5-based hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions.text import tokens
+
+# ----------------------------------------------------------------------
+# C4-style heuristic cleaning
+# ----------------------------------------------------------------------
+
+LINE_WORDS = 8           # synthetic line width (tokens per derived line)
+MIN_LINE_WORDS = 5       # C4: drop lines with fewer words
+MIN_KEPT_LINES = 3       # C4: drop docs with fewer surviving lines
+BLOCK_BRACE = "{"        # C4: code marker
+BLOCK_LOREM = "lorem ipsum"
+BLOCK_JS = "javascript"
+
+
+def decorated_lines(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministic line fixture: chunk the token stream into
+    ``LINE_WORDS``-token lines and plant C4-rule violations seeded by
+    ``(doc_id, line_no)`` — the ``pii_scrub`` trick (the synthetic corpus
+    has no newlines or punctuation, so the defects the filter must catch
+    are derived from the id with the SAME arithmetic in both engines; the
+    machinery under test is the per-line predicate pass, not the
+    generator).
+
+    Plants, applied in this fixed order (d = doc_id*31 + line_no):
+      d % 19 == 3 -> line truncated to 2 words (too-short defect)
+      d % 17 == 2 -> "lorem ipsum " prefix     (placeholder defect)
+      d % 23 == 4 -> " javascript" suffix      (boilerplate defect)
+      d % 13 == 1 -> " {" suffix               (code defect)
+      d % 11 != 0 -> "." suffix                (i.e. d%11==0 LACKS the
+                                                terminal punctuation)
+    """
+    tok = tokens(text)
+    n_lines = F.floor((F.size(tok) + F.lit(LINE_WORDS - 1)) / F.lit(LINE_WORDS))
+
+    def _line(i: F.Column) -> F.Column:
+        d = doc_id.cast("long") * F.lit(31) + i
+        words = F.slice(tok, i * F.lit(LINE_WORDS) + F.lit(1), F.lit(LINE_WORDS))
+        words = F.when(d % 19 == 3, F.slice(words, 1, 2)).otherwise(words)
+        t = F.array_join(words, " ")
+        t = F.when(d % 17 == 2, F.concat(F.lit("lorem ipsum "), t)).otherwise(t)
+        t = F.when(d % 23 == 4, F.concat(t, F.lit(" javascript"))).otherwise(t)
+        t = F.when(d % 13 == 1, F.concat(t, F.lit(" {"))).otherwise(t)
+        return F.when(d % 11 != 0, F.concat(t, F.lit("."))).otherwise(t)
+
+    return F.transform(F.sequence(F.lit(0), (n_lines - 1).cast("int")), _line)
+
+
+def c4_keep_line(line: F.Column) -> F.Column:
+    """The C4 per-line keep predicate: terminal '.', >= MIN_LINE_WORDS
+    words, none of the blocklist markers."""
+    return (
+        (F.substring(line, -1, 1) == ".")
+        & (F.size(F.split(line, " ")) >= MIN_LINE_WORDS)
+        & (F.instr(line, BLOCK_BRACE) == 0)
+        & (F.instr(line, BLOCK_LOREM) == 0)
+        & (F.instr(line, BLOCK_JS) == 0)
+    )
+
+
+def c4_line_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document C4 audit: per-rule violation counts, surviving-line
+    count, document keep decision, md5 of the cleaned (kept-lines) text.
+    One map-only projection — no shuffle, no explode, at any corpus size.
+
+    The per-line string predicates are evaluated ONCE per line into a
+    flags struct; the audit counters then just count booleans. Plan-
+    verified: the optimized plan contains exactly three array transforms
+    (line derivation + flags + the kept-lines projection for the
+    fingerprint) instead of one interpreted ``filter(lines, …)`` rescan
+    per audit column. Higher-order functions run interpreted, so the
+    ~0.3 ms/line constant dominates at small scale; the shape is still a
+    single scan-speed map pass with no exchange.
+    """
+    did = F.col(id_col)
+    lines = decorated_lines(did, F.col(text_col))
+    flagged = F.transform(
+        lines,
+        lambda t: F.struct(
+            t.alias("t"),
+            (F.substring(t, -1, 1) != ".").alias("no_punct"),
+            (F.size(F.split(t, " ")) < MIN_LINE_WORDS).alias("short"),
+            (F.instr(t, BLOCK_BRACE) > 0).alias("brace"),
+            (F.instr(t, BLOCK_LOREM) > 0).alias("lorem"),
+            (F.instr(t, BLOCK_JS) > 0).alias("js"),
+        ),
+    )
+    staged = docs.select(did, flagged.alias("fl"))
+    fl = F.col("fl")
+
+    def _n(pred) -> F.Column:
+        return F.size(F.filter(fl, pred)).cast("long")
+
+    kept = F.filter(
+        fl,
+        lambda s: ~(s.no_punct | s.short | s.brace | s.lorem | s.js),
+    )
+    return staged.select(
+        did,
+        F.size(fl).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        _n(lambda s: s.no_punct).alias("n_no_punct"),
+        _n(lambda s: s.short).alias("n_short"),
+        _n(lambda s: s.brace).alias("n_brace"),
+        _n(lambda s: s.lorem).alias("n_lorem"),
+        _n(lambda s: s.js).alias("n_js"),
+        (F.size(kept) >= MIN_KEPT_LINES).alias("keep_doc"),
+        F.md5(F.array_join(F.transform(kept, lambda s: s.t), "\n")).alias(
+            "cleaned_fp"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# CCNet-style LM fluency scoring (hashed-bigram model, add-one smoothing)
+# ----------------------------------------------------------------------
+
+LM_BUCKETS = 4096
+
+
+def _bigram_buckets(df: DataFrame, id_col: str, text_col: str,
+                    buckets: int) -> DataFrame:
+    """(id, bucket) raw hashed-bigram occurrences — exactly DSIR's hashed
+    feature map (frequencies, not sets), reused from ``sampling``."""
+    from big_data_elt_pipeline_spark.operators.sampling import _hashed_feats
+
+    return _hashed_feats(df, id_col, text_col, 2, buckets)
+
+
+def lm_scores(
+    docs: DataFrame,
+    ref_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LM_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll, keep): mean negative log-likelihood of
+    each document under an add-one-smoothed hashed-bigram LM trained on
+    the ``doc_id % ref_mod == 0`` reference split; ``keep`` is nll <=
+    exact corpus median (CCNet's middle cut).
+
+    Determinism contract: each bucket log-prob is ``round(ln((cnt+1) /
+    (total+buckets)), 6)`` — one transcendental, snapped to 6 decimals on
+    a table of <= ``buckets`` rows — and per-doc accumulation is an exact
+    DECIMAL(25,6) sum, so the score is independent of partitioning and
+    join order and bit-identical in the DuckDB oracle (the BM25 idiom).
+
+    Scale: model build = one partial-agg shuffle of <= ``buckets`` rows
+    per partition; model + total + median are broadcast scalars/tables;
+    the only corpus-sized exchange is the per-doc groupBy.
+    """
+    feats = _bigram_buckets(docs, id_col, text_col, buckets)
+    ref = feats.filter(F.col(id_col) % ref_mod == 0)
+    counts = ref.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total")).select(
+        "total",
+        F.round(
+            -F.log(F.lit(1.0) / (F.col("total") + F.lit(buckets)).cast("double")), 6
+        ).alias("default_nll"),
+    )
+    model = F.broadcast(
+        counts.crossJoin(F.broadcast(total)).select(
+            "b",
+            F.round(
+                -F.log(
+                    (F.col("cnt") + F.lit(1)).cast("double")
+                    / (F.col("total") + F.lit(buckets)).cast("double")
+                ),
+                6,
+            ).alias("bucket_nll"),
+        )
+    )
+    scored = (
+        feats.join(model, "b", "left")
+        .crossJoin(F.broadcast(total.select("default_nll")))
+        .select(
+            id_col,
+            F.coalesce(F.col("bucket_nll"), F.col("default_nll"))
+            .cast("decimal(25,6)")
+            .alias("nll_term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("nll_term").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("nll"),
+        )
+    )
+    med = F.broadcast(scored.agg(F.expr("percentile(nll, 0.5)").alias("med_nll")))
+    return scored.crossJoin(med).select(
+        id_col,
+        "n_bigrams",
+        "nll",
+        (F.col("nll") <= F.col("med_nll")).alias("keep"),
+    )

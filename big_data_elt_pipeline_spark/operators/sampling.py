@@ -469,3 +469,111 @@ def corpus_split_audit(
         )
         .orderBy("stratum", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (Bloom 1970; the NIST/Dolma-style scalable
+# variant of benchmark_overlap)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 65536          # bits
+BLOOM_K = 3              # hash functions
+# positions: h -> h1 = h mod P (P prime < 2^20, keeps h1*A under 2^52 so
+# the products never approach int64 overflow — the sample_flag pre-mod
+# trick); pos_j = (h1 * A_j + C_j) mod M. Distinct multiplicative
+# constants per hash function.
+BLOOM_P = 1048573
+BLOOM_A = (2654435761, 2246822519, 3266489917)
+BLOOM_C = (97, 193, 389)
+
+
+def bloom_positions(shingles: DataFrame, shingle_col: str = "shingle") -> DataFrame:
+    """Build the filter: distinct (j, pos) bit coordinates set by the
+    benchmark shingle set. The relation IS the bitset (<= K*M rows, in
+    practice |bench shingles| * K) — set-membership semantics, including
+    bloom false positives from position collisions, are identical to the
+    packed-bitmap form, but the relational form is mergeable, prunable
+    and oracle-checkable. Benchmark sets are dimension-sized, so this
+    broadcasts.
+    """
+    from big_data_elt_pipeline_spark.functions.text import hash60
+
+    h1 = F.pmod(hash60(F.col(shingle_col)), F.lit(BLOOM_P))
+    rows = None
+    for j in range(BLOOM_K):
+        r = shingles.select(
+            F.lit(j).alias("j"),
+            F.pmod(h1 * F.lit(BLOOM_A[j]) + F.lit(BLOOM_C[j]), F.lit(BLOOM_M)).alias(
+                "pos"
+            ),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_flagged: int = 3,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_flagged, contaminated): probe every training
+    document's word ``n``-gram shingles against a bloom filter built from
+    the benchmark's shingles; a shingle is flagged iff ALL K positions are
+    set, a document is contaminated iff >= ``min_flagged`` of its distinct
+    shingles flag (the benchmark_overlap threshold, bloom-approximated).
+
+    Scale shape vs ``benchmark_overlap``: the exact form broadcasts the
+    benchmark SHINGLE table (bytes ~ benchmark text size); this broadcasts
+    only <= K*M ints no matter how large the benchmark grows, and the
+    probe is a map-side hash join per position — the standard trade once
+    eval suites reach millions of rows. False-positive rate for the
+    default geometry at load f = set_bits/M is f^K (documented, and
+    pinned by the planted-vs-clean pytest contract).
+    """
+    from big_data_elt_pipeline_spark.operators.dedup import shingle_table
+
+    bloom = F.broadcast(
+        bloom_positions(shingle_table(bench, id_col, text_col, n))
+    ).withColumnRenamed("pos", "set_pos")
+
+    from big_data_elt_pipeline_spark.functions.text import hash60
+
+    tr = shingle_table(train, id_col, text_col, n)
+    # positions carry the (doc, shingle) key so k_hits can be counted per
+    # shingle; the filter side above is keyless (it IS the bitset)
+    h1 = F.pmod(hash60(tr.shingle), F.lit(BLOOM_P))
+    pos_rows = None
+    for j in range(BLOOM_K):
+        r = tr.select(
+            id_col,
+            "shingle",
+            F.lit(j).alias("j"),
+            F.pmod(h1 * F.lit(BLOOM_A[j]) + F.lit(BLOOM_C[j]), F.lit(BLOOM_M)).alias(
+                "pos"
+            ),
+        )
+        pos_rows = r if pos_rows is None else pos_rows.unionAll(r)
+    hits = (
+        pos_rows.join(
+            bloom,
+            (pos_rows.j == bloom.j) & (pos_rows.pos == bloom.set_pos),
+            "left_semi",
+        )
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+    )
+    per_sh = tr.join(hits, [id_col, "shingle"], "left").select(
+        id_col,
+        (F.coalesce(F.col("k_hits"), F.lit(0)) == BLOOM_K).cast("int").alias("flagged"),
+    )
+    return (
+        per_sh.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .withColumn("contaminated", F.col("n_flagged") >= min_flagged)
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from big_data_elt_pipeline_spark.functions import text as TX
 from big_data_elt_pipeline_spark.operators import privacy as PII
+from big_data_elt_pipeline_spark.operators import quality as QL
 from big_data_elt_pipeline_spark.operators import sampling as SMP
 from big_data_elt_pipeline_spark.plans.queries import register
 from big_data_elt_pipeline_spark.sources.tpch import read_table
@@ -948,3 +949,216 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         tokens_col=F.col("n_chars").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# c4_quality_filter: C4-style heuristic cleaning (Raffel et al. 2020) with
+# per-rule audit counters. Line defects are planted deterministically from
+# (doc_id, line_no) — the pii_scrub fixture trick (the synthetic corpus has
+# no newlines/punctuation, so the violations the filter must catch are
+# derived with identical arithmetic in both engines).
+# --------------------------------------------------------------------------
+
+_C4_SQL = """
+WITH base AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tok
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, tok, unnest(range(0, (len(tok) + 7) // 8)) AS i FROM base
+),
+raw AS (
+    SELECT doc_id, i, doc_id * 31 + i AS d,
+           CASE WHEN (doc_id * 31 + i) % 19 = 3
+                THEN tok[(i*8 + 1):(i*8 + 2)]
+                ELSE tok[(i*8 + 1):(i*8 + 8)] END AS words
+    FROM idx
+),
+dec1 AS (
+    SELECT doc_id, i, d,
+           CASE WHEN d % 17 = 2
+                THEN 'lorem ipsum ' || array_to_string(words, ' ')
+                ELSE array_to_string(words, ' ') END AS t
+    FROM raw
+),
+dec2 AS (SELECT doc_id, i, d,
+                CASE WHEN d % 23 = 4 THEN t || ' javascript' ELSE t END AS t
+         FROM dec1),
+dec3 AS (SELECT doc_id, i, d,
+                CASE WHEN d % 13 = 1 THEN t || ' {' ELSE t END AS t
+         FROM dec2),
+lines AS (SELECT doc_id, i,
+                 CASE WHEN d % 11 <> 0 THEN t || '.' ELSE t END AS t
+          FROM dec3),
+flags AS (
+    SELECT doc_id, i, t,
+           right(t, 1) = '.' AS has_punct,
+           len(string_split(t, ' ')) >= 5 AS long_enough,
+           strpos(t, '{') > 0 AS has_brace,
+           strpos(t, 'lorem ipsum') > 0 AS has_lorem,
+           strpos(t, 'javascript') > 0 AS has_js
+    FROM lines
+),
+kept AS (
+    SELECT *, has_punct AND long_enough
+              AND NOT has_brace AND NOT has_lorem AND NOT has_js AS keep
+    FROM flags
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT has_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_no_punct,
+       CAST(sum(CASE WHEN NOT long_enough THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(sum(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+       CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+       CAST(sum(CASE WHEN has_js THEN 1 ELSE 0 END) AS BIGINT) AS n_js,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3 AS keep_doc,
+       md5(coalesce(string_agg(CASE WHEN keep THEN t END, chr(10) ORDER BY i), ''))
+           AS cleaned_fp
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("c4_quality_filter", _C4_SQL)
+def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning audit (terminal punctuation, min words/line,
+    brace / lorem-ipsum / javascript blocklists): per-rule violation
+    counts, the document keep decision (>= 3 surviving lines) and the md5
+    of the cleaned text. Map-only — zero shuffle at any corpus size;
+    contract in ``operators/quality.c4_line_stats``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return QL.c4_line_stats(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# lm_perplexity_filter: CCNet-style fluency cut (Wenzek et al. 2020) from a
+# hashed-bigram LM trained on the doc_id%10==0 reference split; keep =
+# nll <= exact corpus median (the head/middle boundary).
+# --------------------------------------------------------------------------
+
+_LM_SQL = f"""
+WITH tokd AS (
+    SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS sh FROM tokd
+),
+feats AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh), 1, 15))::BIGINT % {QL.LM_BUCKETS} AS b
+    FROM sh
+),
+counts AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS cnt
+    FROM feats WHERE doc_id % 10 = 0 GROUP BY b
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+model AS (
+    SELECT b, round(-ln(CAST(cnt + 1 AS DOUBLE)
+                        / CAST(total + {QL.LM_BUCKETS} AS DOUBLE)), 6) AS bucket_nll
+    FROM counts, tot
+),
+dflt AS (
+    SELECT round(-ln(1.0 / CAST(total + {QL.LM_BUCKETS} AS DOUBLE)), 6) AS default_nll
+    FROM tot
+),
+scored AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(coalesce(m.bucket_nll, d.default_nll)
+                               AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS nll
+    FROM feats f LEFT JOIN model m USING (b), dflt d
+    GROUP BY doc_id
+),
+med AS (SELECT quantile_cont(nll, 0.5) AS med_nll FROM scored)
+SELECT doc_id, n_bigrams, nll, nll <= med_nll AS keep
+FROM scored, med
+ORDER BY doc_id
+"""
+
+
+@register("lm_perplexity_filter", _LM_SQL)
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM fluency filter: mean negative log-likelihood per document under
+    an add-one-smoothed hashed-bigram model trained on the 10% reference
+    split; keep = nll <= exact corpus median. Log-probs snapped to 6
+    decimals on the <=4096-row model table, per-doc accumulation as exact
+    DECIMAL — bit-identical under any partitioning (the BM25/DSIR idiom).
+    Contract and scale notes in ``operators/quality.lm_scores``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return QL.lm_scores(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# bloom_decontaminate: Bloom-filter benchmark decontamination — the
+# fixed-size-broadcast variant of benchmark_overlap (the filter is <= K*M
+# ints regardless of benchmark size). Benchmark split: doc_id % 50 == 0.
+# --------------------------------------------------------------------------
+
+
+def _bloom_arm_sql(j: int, src: str, cols: str) -> str:
+    return (
+        f"SELECT {cols} {j} AS j, "
+        f"(h1 * {SMP.BLOOM_A[j]} + {SMP.BLOOM_C[j]}) % {SMP.BLOOM_M} AS pos "
+        f"FROM {src}"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH tokd AS (
+    SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, unnest({_shingle_sql(5)}) AS shingle FROM tokd
+),
+hashed AS (
+    SELECT doc_id, shingle,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {SMP.BLOOM_P} AS h1
+    FROM sh
+),
+bench AS (SELECT * FROM hashed WHERE doc_id % 50 = 0),
+bench_pos AS (
+    SELECT DISTINCT j, pos FROM (
+        {_bloom_arm_sql(0, 'bench', '')}
+        UNION ALL {_bloom_arm_sql(1, 'bench', '')}
+        UNION ALL {_bloom_arm_sql(2, 'bench', '')}
+    )
+),
+probe AS (
+    {_bloom_arm_sql(0, 'hashed', 'doc_id, shingle,')}
+    UNION ALL {_bloom_arm_sql(1, 'hashed', 'doc_id, shingle,')}
+    UNION ALL {_bloom_arm_sql(2, 'hashed', 'doc_id, shingle,')}
+),
+hits AS (
+    SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS k_hits
+    FROM probe
+    WHERE EXISTS (SELECT 1 FROM bench_pos bp
+                  WHERE bp.j = probe.j AND bp.pos = probe.pos)
+    GROUP BY doc_id, shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN coalesce(h.k_hits, 0) = {SMP.BLOOM_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       sum(CASE WHEN coalesce(h.k_hits, 0) = {SMP.BLOOM_K} THEN 1 ELSE 0 END) >= 3
+           AS contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id, shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("bloom_decontaminate", _BLOOM_SQL)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: every training document's 5-gram
+    shingles probed against a 65536-bit / 3-hash bloom filter built from
+    the benchmark split (doc_id % 50 == 0); contaminated iff >= 3 distinct
+    shingles have all 3 bit positions set. No false negatives vs the exact
+    ``benchmark_overlap`` (pinned by pytest); broadcast side is <= K*M
+    ints no matter how large the benchmark grows. Contract in
+    ``operators/sampling.bloom_decontaminate``."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return SMP.bloom_decontaminate(docs, bench).orderBy("doc_id")

@@ -932,6 +932,22 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # equi-join rollup is the narrower cousin of gated q8's and q9's
 # snowflake rollups; r07 row + the local sweep). TPC-H keeps 8 gated
 # rows spanning every distinct plan family in the 22.
+# Round-8 second pass — debut-round seating for the four new
+# oracle-backed queries: IN ``c4_quality_filter`` (C4 heuristic line/doc
+# cleaning with per-rule audit), ``lm_perplexity_filter`` (CCNet-style
+# hashed-bigram LM fluency cut at the exact median),
+# ``bloom_decontaminate`` (fixed-broadcast bloom variant of
+# benchmark_overlap) and ``pagerank_centrality`` (bigint fixed-point
+# PageRank — the only value-hashable form of an iterative float
+# algorithm). OUT four multi-round-green members with retained family
+# coverage: ``dedup_minhash`` (green r02-r07; dedup keeps
+# clusters/blocks/substrings/span_removal + all three incremental forms +
+# semantic), ``ann_lsh_topk`` (green r03-r07; similarity keeps
+# ann_topk/ann_ivf_recall/ann_quantized_topk + the annex ann_ivf_topk),
+# ``profile_documents`` (multi-round green; the pandas-exchange family
+# keeps the annex codec queries + the profiling pytest contract) and
+# ``kpis`` (green r03-r07; serving keeps top_clients, and the same
+# scalar-KPI arithmetic is embedded in client_scores' threshold pass).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -951,12 +967,13 @@ _GATE_ORDER = [
     "dsir_weights", "dsir_select",
     "training_mixture",
     "bm25_topk",
-    "dedup_minhash", "dedup_clusters", "dedup_blocks", "dedup_substrings",
+    "dedup_clusters", "dedup_blocks", "dedup_substrings",
     "dedup_span_removal",
     "dedup_incremental_minhash", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
     "semantic_dedup",
-    "ann_topk", "ann_lsh_topk", "ann_ivf_recall",
+    "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
+    "ann_topk", "ann_ivf_recall",
     # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
@@ -968,7 +985,7 @@ _GATE_ORDER = [
     # r03-r07 green; retained in the local parity sweep)
     "fact_achats", "dim_clients",
     "client_features", "client_scores",
-    "kpis", "top_clients",
+    "top_clients",
     # events / streaming twins
     "event_funnel", "events_props_variant",
     # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round
@@ -976,8 +993,8 @@ _GATE_ORDER = [
     # debut; all 22 stay in the local parity sweep)
     "client_quartiles", "rolling_7day_revenue", "amount_outliers",
     "tpch_q2", "tpch_q9", "tpch_q20",
-    # ML / multimodal / profiling
-    "profile_documents", "revenue_chain_recursive",
+    # ML / graph / recursive
+    "pagerank_centrality", "revenue_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
     # for a rows-only record; value semantics pinned by pytest contracts
     "ann_ivf_topk", "audio_features", "image_features",

@@ -1651,3 +1651,74 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8), k=_RRF_DEPTH
     ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse(lex, vec, k=_RRF_K, c=_RRF_C)
+
+
+# --------------------------------------------------------------------------
+# pagerank_centrality: fixed-point PageRank over the quadratic-map link
+# fixture — the web-corpus centrality signal (OpenWebText karma cut /
+# harmonic-centrality weighting), in the only oracle-hashable form: pure
+# bigint arithmetic (see operators/graph.py for the determinism contract).
+# The oracle unrolls the iteration as generated chained CTEs (standard
+# recursive CTEs forbid GROUP BY in the recursive term).
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_TOP = 25
+
+
+def _pagerank_sql() -> str:
+    from big_data_elt_pipeline_spark.operators.graph import FANOUT, RANK_SCALE
+
+    arms = "\n    UNION ALL ".join(
+        f"SELECT node AS src, (node*node + {j}*node + {j*j}) % n AS dst "
+        "FROM nodes, meta"
+        for j in range(1, FANOUT + 1)
+    )
+    rounds = "".join(
+        f""",
+r{k} AS (
+    SELECT b.node,
+           (15 * b.r_init) // 100 + (85 * coalesce(s.insum, 0)) // 100 AS r
+    FROM base b LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(p.r // e.deg) AS BIGINT) AS insum
+        FROM edges e JOIN r{k-1} p ON e.src = p.node GROUP BY e.dst
+    ) s USING (node)
+)"""
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+edges0 AS (
+    {arms}
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges0 GROUP BY src),
+edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d USING (src)),
+base AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) // n AS r_init FROM nodes, meta),
+r0 AS (SELECT node, r_init AS r FROM base){rounds}
+SELECT node, r AS rank_scaled, r / {float(RANK_SCALE)} AS rank
+FROM r{_PR_ITERS}
+ORDER BY rank_scaled DESC, node ASC
+LIMIT {_PR_TOP}
+"""
+
+
+@register("pagerank_centrality", _pagerank_sql())
+def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents by 5-round damped PageRank over the synthetic
+    quadratic-map link graph. Bigint fixed-point update rule —
+    ``(15*r_init) DIV 100 + (85*sum(rank DIV deg)) DIV 100`` — so the
+    result is bit-identical under any partitioning/join order (a
+    float PageRank cannot be value-hashed). Per-round cost: one src-keyed
+    equi-join + one partial-aggregated groupBy(dst) that collapses hot
+    in-degree keys map-side; contract in ``operators/graph``."""
+    from big_data_elt_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+        synthetic_links,
+    )
+
+    nodes = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pr = pagerank_fixed_point(nodes, synthetic_links(nodes), iters=_PR_ITERS)
+    return pr.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(_PR_TOP)

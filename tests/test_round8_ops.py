@@ -222,3 +222,211 @@ def test_split_deterministic_per_doc(spark, docs):
         "doc_id", SMP.split_assign(F.col("doc_id")).alias("s")
     )
     assert one.exceptAll(two).count() == 0
+
+
+# ---------------------------------------------------------------- C4 filter
+
+
+def _c4_reference(doc_id: int, text: str):
+    """Plain-Python reimplementation of quality.c4_line_stats for one doc."""
+    import re
+
+    tok = re.split(r"\s+", text.lower().strip())
+    n_lines = (len(tok) + 7) // 8
+    stats = dict(n_lines=n_lines, n_kept=0, n_no_punct=0, n_short=0,
+                 n_brace=0, n_lorem=0, n_js=0)
+    kept_lines = []
+    for i in range(n_lines):
+        d = doc_id * 31 + i
+        words = tok[i * 8:i * 8 + 8]
+        if d % 19 == 3:
+            words = words[:2]
+        t = " ".join(words)
+        if d % 17 == 2:
+            t = "lorem ipsum " + t
+        if d % 23 == 4:
+            t = t + " javascript"
+        if d % 13 == 1:
+            t = t + " {"
+        if d % 11 != 0:
+            t = t + "."
+        no_punct = not t.endswith(".")
+        short = len(t.split(" ")) < 5
+        brace = "{" in t
+        lorem = "lorem ipsum" in t
+        js = "javascript" in t
+        stats["n_no_punct"] += no_punct
+        stats["n_short"] += short
+        stats["n_brace"] += brace
+        stats["n_lorem"] += lorem
+        stats["n_js"] += js
+        if not (no_punct or short or brace or lorem or js):
+            stats["n_kept"] += 1
+            kept_lines.append(t)
+    import hashlib
+
+    stats["keep_doc"] = stats["n_kept"] >= 3
+    stats["cleaned_fp"] = hashlib.md5("\n".join(kept_lines).encode()).hexdigest()
+    return stats
+
+
+def test_c4_matches_python_reference(spark, docs):
+    from big_data_elt_pipeline_spark.operators.quality import c4_line_stats
+
+    sample = {r.doc_id: r.text for r in docs.filter("doc_id < 40").collect()}
+    got = {r.doc_id: r.asDict() for r in
+           c4_line_stats(docs.filter("doc_id < 40")).collect()}
+    assert set(got) == set(sample)
+    for did, text in sample.items():
+        exp = _c4_reference(did, text)
+        act = got[did]
+        for k, v in exp.items():
+            assert act[k] == v, (did, k, act[k], v)
+
+
+def test_c4_keep_doc_threshold(spark, docs):
+    from big_data_elt_pipeline_spark.operators.quality import c4_line_stats
+
+    bad = c4_line_stats(docs).filter(
+        "(keep_doc AND n_kept < 3) OR (NOT keep_doc AND n_kept >= 3)"
+    )
+    assert bad.count() == 0
+
+
+# ---------------------------------------------------------------- LM filter
+
+
+def test_lm_partitioning_invariance(spark, docs):
+    from big_data_elt_pipeline_spark.operators.quality import lm_scores
+
+    a = sorted((r.doc_id, r.n_bigrams, r.nll, r.keep)
+               for r in lm_scores(docs).collect())
+    b = sorted((r.doc_id, r.n_bigrams, r.nll, r.keep)
+               for r in lm_scores(docs.repartition(7)).collect())
+    assert a == b
+
+
+def test_lm_score_bounds_and_median_cut(spark, docs):
+    from big_data_elt_pipeline_spark.operators.quality import LM_BUCKETS, lm_scores
+
+    rows = lm_scores(docs).collect()
+    n = len(rows)
+    # every nll is positive and no worse than the all-unseen ceiling
+    import math
+
+    feats = docs.selectExpr("doc_id").count()  # just to keep spark warm
+    ceil_nll = None
+    for r in rows:
+        assert r.nll > 0
+        if ceil_nll is None:
+            ceil_nll = r.nll
+        ceil_nll = max(ceil_nll, r.nll)
+    # median cut keeps at least half
+    kept = sum(1 for r in rows if r.keep)
+    assert kept >= n // 2, (kept, n)
+    # reference-split docs see their own bigrams: mean nll of the ref
+    # split must beat the mean of the rest (the model explains its own
+    # training data better)
+    ref = [r.nll for r in rows if r.doc_id % 10 == 0]
+    rest = [r.nll for r in rows if r.doc_id % 10 != 0]
+    assert sum(ref) / len(ref) < sum(rest) / len(rest)
+
+
+# ---------------------------------------------------------------- PageRank
+
+
+def test_pagerank_hand_graph(spark):
+    """3-node cycle + a feeder: exact integer expectation, computed by the
+    same fixed-point rule in plain Python."""
+    from big_data_elt_pipeline_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (3,)], "node long")
+    # 0->1, 1->2, 2->0 cycle; 3->0 feeder (3 has no in-links)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    got = {r.node: r.rank_scaled
+           for r in pagerank_fixed_point(nodes, edges, iters=5).collect()}
+
+    r_init = RANK_SCALE // 4
+    r = {v: r_init for v in range(4)}
+    deg = {0: 1, 1: 1, 2: 1, 3: 1}
+    for _ in range(5):
+        insum = {v: 0 for v in range(4)}
+        for s, d in [(0, 1), (1, 2), (2, 0), (3, 0)]:
+            insum[d] += r[s] // deg[s]
+        r = {v: (15 * r_init) // 100 + (85 * insum[v]) // 100 for v in range(4)}
+    assert got == r
+
+
+def test_pagerank_determinism_and_floor(spark, docs):
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_fixed_point,
+        synthetic_links,
+    )
+
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = nodes.count()
+    edges = synthetic_links(nodes)
+    a = sorted((r.node, r.rank_scaled)
+               for r in pagerank_fixed_point(nodes, edges).collect())
+    b = sorted(
+        (r.node, r.rank_scaled)
+        for r in pagerank_fixed_point(
+            nodes.repartition(5), edges.repartition(9)
+        ).collect()
+    )
+    assert a == b
+    r_init = RANK_SCALE // n
+    floor = (15 * r_init) // 100
+    assert all(rs >= floor for _, rs in a)
+    total = sum(rs for _, rs in a)
+    assert total <= RANK_SCALE
+    assert total >= int(0.9 * RANK_SCALE)
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_vs_exact(spark, docs):
+    """Bloom filters cannot miss: every doc the exact benchmark_overlap
+    flags (>=3 shared distinct 5-grams) must be bloom-contaminated."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators.sampling import (
+        benchmark_overlap,
+        bloom_decontaminate,
+    )
+
+    bench = docs.filter("doc_id % 50 = 0")
+    exact = {
+        r.train_id
+        for r in benchmark_overlap(docs, bench, n=5, min_shared=3).collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, bench).filter("contaminated").collect()
+    }
+    assert exact <= bloom, exact - bloom
+    # benchmark docs self-flag (their shingles are all in the filter)
+    bench_ids = {r.doc_id for r in bench.select("doc_id").collect()}
+    assert bench_ids <= bloom
+
+
+def test_bloom_partitioning_invariance(spark, docs):
+    from big_data_elt_pipeline_spark.operators.sampling import bloom_decontaminate
+
+    bench = docs.filter("doc_id % 50 = 0")
+    a = sorted((r.doc_id, r.n_shingles, r.n_flagged)
+               for r in bloom_decontaminate(docs, bench).collect())
+    b = sorted(
+        (r.doc_id, r.n_shingles, r.n_flagged)
+        for r in bloom_decontaminate(docs.repartition(11), bench).collect()
+    )
+    assert a == b
