@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "pagerank_centrality",
+    "nb_lang_classifier", "gopher_quality_filter", "temperature_mixture",
 ]
 
 

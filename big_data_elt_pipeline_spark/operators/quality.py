@@ -233,3 +233,73 @@ def lm_scores(
         "nll",
         (F.col("nll") <= F.col("med_nll")).alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1 — the document-level table)
+# ----------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0     # mean word length bounds
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' and '…' per word
+GOPHER_MIN_ALPHA_RATIO = 0.8    # words containing >= 1 [a-z]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher §A1.1 rule audit: the raw metrics, one boolean
+    per rule, and the composite keep. Document-level rules only — the
+    line-based rules (bullet-start / ellipsis-end ratios) belong to the
+    line relation and live in ``c4_line_stats``'s family (docstring'd
+    split, same as the paper's own grouping).
+
+    Map-only array math: tokens / lengths / marker counts never leave the
+    row (the ``doc_repetition`` shape) — zero shuffle at any corpus size.
+    Ratios are exact bigint counts divided once as doubles, so the audit
+    is bit-identical cross-engine without any snapping.
+    """
+    from big_data_elt_pipeline_spark.functions.text import STOPWORDS
+
+    tok = tokens(F.col(text_col))
+    n_words = F.size(tok).cast("long")
+    # sum of word lengths via aggregate (bigint, exact)
+    char_sum = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"[#…]")).cast("long")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(tok, lambda w: F.array_contains(stop_arr, w))).cast(
+        "long"
+    )
+    n_alpha = F.size(F.filter(tok, lambda w: w.rlike("[a-z]"))).cast("long")
+
+    mwl = char_sum.cast("double") / n_words.cast("double")
+    sym_ratio = n_symbols.cast("double") / n_words.cast("double")
+    alpha_ratio = n_alpha.cast("double") / n_words.cast("double")
+
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    ok_sym = sym_ratio < GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_ratio > GOPHER_MIN_ALPHA_RATIO
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep_doc"),
+    )

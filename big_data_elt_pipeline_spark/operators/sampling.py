@@ -577,3 +577,75 @@ def bloom_decontaminate(
         )
         .withColumn("contaminated", F.col("n_flagged") >= min_flagged)
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture reweighting (the multilingual-mixing rule of
+# mT5/PaLM: p_i ∝ w_i^(1/T)), at T=2 — the common "square-root sampling"
+# point — because sqrt is IEEE-754 correctly rounded and therefore the ONE
+# temperature whose powers are bit-identical across engines (pow() carries
+# no such guarantee; ULP differences between libm implementations would
+# break the value hash).
+# --------------------------------------------------------------------------
+
+def temperature_mixture(
+    per_source: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(source, n_tokens, weight, p_temp, boost, expected_tokens):
+    square-root temperature sampling probabilities over the per-source
+    token rollup, with the resampled-token expectation at a budget equal
+    to the corpus total.
+
+    Determinism: weight = n_i/N (one correctly-rounded double division of
+    exact bigints), sqrt(weight) snapped to 6 decimals, normalizer Z =
+    exact DECIMAL sum of the snapped roots (order-free), p = round(s/Z,
+    6). Bigint→double conversions stay exact below 2^53 tokens (~9e15 —
+    two orders above a 100 TB corpus). |sources| is dimension-sized, so
+    every relation here broadcasts; the ONLY corpus-scale work is the
+    caller's rollup.
+    """
+    src = per_source.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    tot = F.broadcast(src.agg(F.sum("n_tokens").alias("total")))
+    rooted = src.crossJoin(tot).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total").cast("double")).alias(
+            "weight"
+        ),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(25,6)")
+        .alias("s"),
+        "total",
+    )
+    z = F.broadcast(rooted.agg(F.sum("s").alias("z")))
+    return (
+        rooted.crossJoin(z)
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            F.round(F.col("s").cast("double") / F.col("z").cast("double"), 6).alias(
+                "p_temp"
+            ),
+            F.round(
+                (F.col("s").cast("double") / F.col("z").cast("double"))
+                / F.col("weight"),
+                6,
+            ).alias("boost"),
+            F.floor(
+                F.round(F.col("s").cast("double") / F.col("z").cast("double"), 6)
+                * F.col("total").cast("double")
+            )
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )

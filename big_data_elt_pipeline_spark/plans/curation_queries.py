@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_elt_pipeline_spark.functions import text as TX
+from big_data_elt_pipeline_spark.operators import classify as CL
 from big_data_elt_pipeline_spark.operators import privacy as PII
 from big_data_elt_pipeline_spark.operators import quality as QL
 from big_data_elt_pipeline_spark.operators import sampling as SMP
@@ -1162,3 +1163,255 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return SMP.bloom_decontaminate(docs, bench).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# nb_lang_classifier: multinomial Naive Bayes as relational algebra — train
+# on the doc_id % 5 != 0 split, predict language on the held-out fifth.
+# Counting + snapped logs + DECIMAL sums => the trained model AND every
+# prediction are bit-identical cross-engine (see operators/classify.py).
+# --------------------------------------------------------------------------
+
+# The synthetic corpus's lang column is NOT correlated with its word-soup
+# text (measured: NB accuracy == the majority-class base rate; no
+# classifier can beat that on labels independent of features), so the
+# fixture plants the signal real text would carry: each doc gets its
+# language's function-word marker set (functions/text.LANG_MARKERS — the
+# same tokens lang_id keys on) appended 1 + doc_id % 2 times — identical
+# derivation in both engines, the pii_scrub trick. A single planted token
+# is NOT enough: per-(class, soup-bigram) training counts average ~3, so
+# unseen-bucket noise across 5 classes runs ~10 nats/doc — measured — and
+# one marker (~12 nats) barely clears it; the full set (~10-20 marker
+# bigram occurrences) dominates robustly. The machinery under test is the
+# relational train/predict, not the label generator.
+
+
+def _nb_marker_sql() -> str:
+    arms = " ".join(
+        "WHEN '{lang}' THEN '{ms}'".format(lang=lang, ms=" ".join(markers))
+        for lang, markers in TX.LANG_MARKERS.items()
+    )
+    return f"(CASE lang {arms} ELSE '' END)"
+
+
+_NB_SEED_SQL = (
+    f"text || repeat(' ' || {_nb_marker_sql()}, CAST(1 + doc_id % 2 AS INT))"
+)
+
+
+def _nb_seed_spark(docs: DataFrame) -> DataFrame:
+    marker = F.lit("")
+    for lang, markers in TX.LANG_MARKERS.items():
+        marker = F.when(
+            F.col("lang") == lang, F.lit(" ".join(markers))
+        ).otherwise(marker)
+    return (
+        docs.select("doc_id", "lang", "text", marker.alias("__m"))
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(concat(' ', __m), CAST(1 + doc_id % 2 AS INT))"),
+            ).alias("text"),
+        )
+    )
+
+
+_NB_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id, lang, {_NB_SEED_SQL} AS text FROM documents
+),
+tokd AS (
+    SELECT doc_id, {_TOK.format(c='text')} AS tok FROM seeded
+),
+sh AS (
+    SELECT doc_id, unnest({_shingle_sql(2)}) AS sh FROM tokd
+),
+feats AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh), 1, 15))::BIGINT % {CL.NB_BUCKETS} AS b
+    FROM sh
+),
+train AS (
+    SELECT f.doc_id, f.b, d.lang AS label
+    FROM feats f JOIN documents d USING (doc_id)
+    WHERE f.doc_id % 5 <> 0
+),
+cls AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS tot FROM train GROUP BY label
+),
+grand AS (SELECT CAST(count(*) AS BIGINT) AS grand FROM train),
+classes AS (
+    SELECT label,
+           round(ln(CAST(tot AS DOUBLE) / CAST(grand AS DOUBLE)), 6) AS log_prior,
+           round(ln({CL.NB_ALPHA!r}
+                    / (CAST(tot AS DOUBLE) + {CL.NB_ALPHA * CL.NB_BUCKETS!r})), 6)
+               AS default_lp,
+           tot
+    FROM cls, grand
+),
+model AS (
+    SELECT label, b,
+           round(ln((CAST(cnt AS DOUBLE) + {CL.NB_ALPHA!r})
+                    / (CAST(tot AS DOUBLE) + {CL.NB_ALPHA * CL.NB_BUCKETS!r})), 6)
+               AS lp
+    FROM (SELECT label, b, CAST(count(*) AS BIGINT) AS cnt
+          FROM train GROUP BY label, b) tb
+    JOIN classes USING (label)
+),
+test AS (SELECT * FROM feats WHERE doc_id % 5 = 0),
+scored AS (
+    SELECT t.doc_id, c.label,
+           CAST(sum(CAST(coalesce(m.lp, c.default_lp) AS DECIMAL(25,6)))
+                AS DECIMAL(25,6))
+           + CAST(c.log_prior AS DECIMAL(25,6)) AS score
+    FROM test t
+    CROSS JOIN classes c
+    LEFT JOIN model m ON m.label = c.label AND m.b = t.b
+    GROUP BY t.doc_id, c.label, c.log_prior
+),
+best AS (
+    SELECT doc_id, label AS predicted, CAST(score AS DOUBLE) AS score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, label ASC) AS rn
+    FROM scored
+)
+SELECT b.doc_id, d.lang, b.predicted, b.predicted = d.lang AS correct, b.score
+FROM best b JOIN documents d USING (doc_id)
+WHERE rn = 1
+ORDER BY b.doc_id
+"""
+
+
+@register("nb_lang_classifier", _NB_SQL)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by a multinomial Naive Bayes classifier
+    trained IN the engine (hashed-bigram counts, add-one smoothing) on the
+    doc_id % 5 != 0 split and applied to the held-out fifth — per-doc
+    prediction, truth, correctness flag and the winning log-score. Both
+    training and inference are relational (no driver-side model, no
+    iterative job); contract + scale notes in ``operators/classify``."""
+    docs = _nb_seed_spark(read_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    classes, model = CL.nb_train(train, "lang")
+    pred = CL.nb_predict(held, classes, model)
+    return (
+        pred.join(held.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "predicted",
+            (F.col("predicted") == F.col("lang")).alias("correct"),
+            "score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# gopher_quality_filter: the Gopher §A1.1 document-level rule table (word
+# count, mean word length, symbol ratio, alpha ratio, stopword floor).
+# --------------------------------------------------------------------------
+
+def _gopher_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    return f"""
+WITH base AS (
+    SELECT doc_id, text, {_TOK.format(c='text')} AS tok FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(tok, w -> length(w))) AS BIGINT) AS char_sum,
+           CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT) AS n_symbols,
+           CAST(len(list_filter(tok, w -> list_contains([{stop_list}], w)))
+                AS BIGINT) AS n_stopwords,
+           CAST(len(list_filter(tok, w -> regexp_matches(w, '[a-z]')))
+                AS BIGINT) AS n_alpha
+    FROM base
+),
+r AS (
+    SELECT doc_id, n_words,
+           CAST(char_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+           CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+           n_stopwords
+    FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stopwords,
+       n_words >= {QL.GOPHER_MIN_WORDS} AND n_words <= {QL.GOPHER_MAX_WORDS}
+           AS ok_word_count,
+       mean_word_len >= {QL.GOPHER_MIN_MWL} AND mean_word_len <= {QL.GOPHER_MAX_MWL}
+           AS ok_mean_word_len,
+       symbol_ratio < {QL.GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+       alpha_ratio > {QL.GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_ratio,
+       n_stopwords >= {QL.GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+       (n_words >= {QL.GOPHER_MIN_WORDS} AND n_words <= {QL.GOPHER_MAX_WORDS})
+       AND (mean_word_len >= {QL.GOPHER_MIN_MWL} AND mean_word_len <= {QL.GOPHER_MAX_MWL})
+       AND symbol_ratio < {QL.GOPHER_MAX_SYMBOL_RATIO}
+       AND alpha_ratio > {QL.GOPHER_MIN_ALPHA_RATIO}
+       AND n_stopwords >= {QL.GOPHER_MIN_STOPWORDS} AS keep_doc
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("gopher_quality_filter", _gopher_sql())
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 document-level quality rules (word-count bounds, mean
+    word length, symbol ratio, alpha-word ratio, stopword floor): raw
+    metrics, one boolean per rule, composite keep. Map-only array math —
+    zero shuffle; the line-based Gopher rules live with the line relation
+    in ``c4_line_stats``. Contract in ``operators/quality.gopher_rules``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return QL.gopher_rules(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# temperature_mixture: sqrt-temperature (T=2) mixture reweighting — the one
+# temperature whose powers are IEEE-correctly-rounded (pow() is not), hence
+# the one that can be value-hashed cross-engine.
+# --------------------------------------------------------------------------
+
+_TEMP_SQL = f"""
+WITH per AS (
+    SELECT source,
+           CAST(sum(len({_TOK.format(c='text')})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+rooted AS (
+    SELECT source, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS weight,
+           CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                AS DECIMAL(25,6)) AS s,
+           total
+    FROM per, tot
+),
+z AS (SELECT CAST(sum(s) AS DECIMAL(25,6)) AS z FROM rooted)
+SELECT source, n_tokens, weight,
+       round(CAST(s AS DOUBLE) / CAST(z AS DOUBLE), 6) AS p_temp,
+       round((CAST(s AS DOUBLE) / CAST(z AS DOUBLE)) / weight, 6) AS boost,
+       CAST(floor(round(CAST(s AS DOUBLE) / CAST(z AS DOUBLE), 6)
+                  * CAST(total AS DOUBLE)) AS BIGINT) AS expected_tokens
+FROM rooted, z
+ORDER BY source
+"""
+
+
+@register("temperature_mixture", _TEMP_SQL)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature sampling probabilities per source (the
+    mT5/PaLM multilingual mixing rule at T=2), with upsampling boost and
+    the expected token allocation at a budget equal to the corpus total.
+    Snapped roots + DECIMAL normalizer => bit-stable; contract in
+    ``operators/sampling.temperature_mixture``."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", TX.token_count(F.col("text")).alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").cast("long").alias("n_tokens"))
+    )
+    return SMP.temperature_mixture(per)

@@ -948,6 +948,21 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # keeps the annex codec queries + the profiling pytest contract) and
 # ``kpis`` (green r03-r07; serving keeps top_clients, and the same
 # scalar-KPI arithmetic is embedded in client_scores' threshold pass).
+# Round-8 third pass: IN ``nb_lang_classifier`` (multinomial Naive Bayes
+# trained AND applied relationally — a value-hashable ML classifier),
+# ``gopher_quality_filter`` (the Gopher §A1.1 document-level rule table)
+# and ``temperature_mixture`` (sqrt-temperature mixture reweighting); OUT
+# three multi-round-green members with retained family coverage:
+# ``docstore_roundtrip`` (green r05-r07; the lakehouse/serving-store
+# family keeps lakehouse_pruned_read, and the bit-equal round-trip stays
+# pinned by test_docstore), ``dedup_clusters`` (green r05-r07; dedup
+# keeps blocks/substrings/span_removal + the three incremental forms +
+# semantic_dedup, and the CC pointer-jumping loop keeps its
+# lossless-vs-brute pytest) and ``training_mixture`` (green r05-r07; its
+# four stages each have gated or swept coverage — pii_scrub swept,
+# lang audit inside nb/lang queries, decontamination now gated via
+# bloom_decontaminate, sampling via corpus_split/priority_sample — and
+# the composite stays in the local parity sweep).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -965,20 +980,20 @@ _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
     "dsir_weights", "dsir_select",
-    "training_mixture",
     "bm25_topk",
-    "dedup_clusters", "dedup_blocks", "dedup_substrings",
+    "dedup_blocks", "dedup_substrings",
     "dedup_span_removal",
     "dedup_incremental_minhash", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
     "semantic_dedup",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
+    "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
     "ann_topk", "ann_ivf_recall",
     # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
-    # lakehouse patterns: data skipping, serving store
-    "lakehouse_pruned_read", "docstore_roundtrip",
+    # lakehouse patterns: data skipping
+    "lakehouse_pruned_read",
     # reference pipeline: silver
     "silver_achats",
     # reference pipeline: gold + serving (ca_monthly rotated out r8 —

@@ -430,3 +430,110 @@ def test_bloom_partitioning_invariance(spark, docs):
         for r in bloom_decontaminate(docs.repartition(11), bench).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------- NB classifier
+
+
+def test_nb_learns_planted_signal(spark, docs):
+    from big_data_elt_pipeline_spark.plans.curation_queries import _nb_seed_spark
+    from big_data_elt_pipeline_spark.operators import classify as CL
+    from pyspark.sql import functions as F
+
+    seeded = _nb_seed_spark(docs)
+    train = seeded.filter("doc_id % 5 != 0")
+    held = seeded.filter("doc_id % 5 = 0")
+    classes, model = CL.nb_train(train, "lang")
+    pred = CL.nb_predict(held, classes, model)
+    joined = pred.join(held.select("doc_id", "lang"), "doc_id")
+    acc = joined.selectExpr(
+        "avg(cast(predicted = lang as double)) a"
+    ).first().a
+    assert acc >= 0.9, acc
+    # priors are a (snapped) probability distribution
+    import math
+
+    pri = sum(math.exp(r.log_prior) for r in classes.collect())
+    assert abs(pri - 1.0) < 1e-3
+
+
+def test_nb_partitioning_invariance(spark, docs):
+    from big_data_elt_pipeline_spark.plans.curation_queries import _nb_seed_spark
+    from big_data_elt_pipeline_spark.operators import classify as CL
+
+    seeded = _nb_seed_spark(docs)
+    train = seeded.filter("doc_id % 5 != 0")
+    held = seeded.filter("doc_id % 5 = 0")
+
+    def run(tr, he):
+        classes, model = CL.nb_train(tr, "lang")
+        return sorted(
+            (r.doc_id, r.predicted, r.score)
+            for r in CL.nb_predict(he, classes, model).collect()
+        )
+
+    assert run(train, held) == run(train.repartition(7), held.repartition(3))
+
+
+# ---------------------------------------------------------- Gopher rules
+
+
+def test_gopher_matches_python_reference(spark, docs):
+    import re
+
+    from big_data_elt_pipeline_spark.functions.text import STOPWORDS
+    from big_data_elt_pipeline_spark.operators import quality as QL
+
+    sample = {r.doc_id: r.text for r in docs.filter("doc_id < 30").collect()}
+    got = {r.doc_id: r.asDict()
+           for r in QL.gopher_rules(docs.filter("doc_id < 30")).collect()}
+    stop = set(STOPWORDS)
+    for did, text in sample.items():
+        tok = re.split(r"\s+", text.lower().strip())
+        n = len(tok)
+        mwl = sum(len(w) for w in tok) / n
+        n_stop = sum(1 for w in tok if w in stop)
+        n_alpha = sum(1 for w in tok if re.search("[a-z]", w))
+        a = got[did]
+        assert a["n_words"] == n
+        assert a["mean_word_len"] == mwl
+        assert a["n_stopwords"] == n_stop
+        assert a["alpha_ratio"] == n_alpha / n
+        exp_keep = (
+            QL.GOPHER_MIN_WORDS <= n <= QL.GOPHER_MAX_WORDS
+            and QL.GOPHER_MIN_MWL <= mwl <= QL.GOPHER_MAX_MWL
+            and a["symbol_ratio"] < QL.GOPHER_MAX_SYMBOL_RATIO
+            and n_alpha / n > QL.GOPHER_MIN_ALPHA_RATIO
+            and n_stop >= QL.GOPHER_MIN_STOPWORDS
+        )
+        assert a["keep_doc"] == exp_keep
+
+
+# ---------------------------------------------------------- temperature mix
+
+
+def test_temperature_mixture_flattens(spark, docs):
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.text import token_count
+    from big_data_elt_pipeline_spark.operators.sampling import temperature_mixture
+
+    per = (
+        docs.select("source", token_count(F.col("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("n_tokens"))
+    )
+    rows = temperature_mixture(per).collect()
+    # probabilities form a (snapped) distribution
+    assert abs(sum(r.p_temp for r in rows) - 1.0) < 1e-3
+    # sqrt-temperature flattens: below-average sources get boosted (>1),
+    # above-average sources get damped (<1)
+    mean_w = 1.0 / len(rows)
+    for r in rows:
+        if r.weight < mean_w * 0.9:
+            assert r.boost > 1.0, (r.source, r.weight, r.boost)
+        if r.weight > mean_w * 1.1:
+            assert r.boost < 1.0, (r.source, r.weight, r.boost)
+    # expectation stays within the budget
+    total = sum(r.n_tokens for r in rows)
+    assert sum(r.expected_tokens for r in rows) <= total
