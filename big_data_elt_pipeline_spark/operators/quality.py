@@ -226,12 +226,59 @@ def lm_scores(
             ).alias("nll"),
         )
     )
-    med = F.broadcast(scored.agg(F.expr("percentile(nll, 0.5)").alias("med_nll")))
+    med = F.broadcast(quantized_median(scored, "nll"))
     return scored.crossJoin(med).select(
         id_col,
         "n_bigrams",
         "nll",
         (F.col("nll") <= F.col("med_nll")).alias("keep"),
+    )
+
+
+def quantized_median(df: DataFrame, col: str) -> DataFrame:
+    """Single-row (med_nll): the EXACT interpolated median of ``col``,
+    computed from a value histogram instead of Spark's ``percentile``
+    aggregate. ``percentile`` buffers every input value in the aggregation
+    state — at billions of documents that is gigabytes per buffer and an
+    OOM, not a plan. Here the values are already quantized (6-decimal
+    snap), so groupBy(value) bounds the state by the VALUE DOMAIN (~10^7
+    distinct at 6dp over a 10-unit range), not the corpus; the cumulative
+    window then runs over distinct values only.
+
+    Bit-compatibility: reproduces Spark's Percentile formula exactly —
+    index = 0.5*(n-1), result = lower + (upper-lower)*(index-floor(index))
+    with lower/upper the 0-based order statistics at floor/ceil(index) —
+    which is also DuckDB ``quantile_cont``'s type-7 formula, so swapping
+    this in changed no oracle hash (verified).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.col(col).alias("v"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(w).alias("hi"),
+    )
+    n = F.broadcast(df.agg(F.count(F.lit(1)).alias("n")))
+    idx = F.lit(0.5) * (F.col("n") - F.lit(1)).cast("double")
+    lo_i = F.floor(idx).cast("long")
+    hi_i = F.ceil(idx).cast("long")
+    sel = cum.crossJoin(n).agg(
+        F.min(F.when((F.col("lo") <= lo_i) & (lo_i < F.col("hi")), F.col("v"))).alias(
+            "l"
+        ),
+        F.min(F.when((F.col("lo") <= hi_i) & (hi_i < F.col("hi")), F.col("v"))).alias(
+            "u"
+        ),
+        F.max("n").alias("n"),
+    )
+    frac = F.lit(0.5) * (F.col("n") - F.lit(1)).cast("double")
+    return sel.select(
+        (
+            F.col("l")
+            + (F.col("u") - F.col("l")) * (frac - F.floor(frac))
+        ).alias("med_nll")
     )
 
 

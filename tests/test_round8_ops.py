@@ -537,3 +537,21 @@ def test_temperature_mixture_flattens(spark, docs):
     # expectation stays within the budget
     total = sum(r.n_tokens for r in rows)
     assert sum(r.expected_tokens for r in rows) <= total
+
+
+def test_quantized_median_equals_percentile(spark):
+    """The histogram median must reproduce Spark's percentile() bit-for-bit
+    (both implement index = p*(n-1) with linear interpolation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators.quality import quantized_median
+
+    rng = random.Random(8)
+    for n in (1, 2, 7, 100, 101):
+        vals = [round(rng.uniform(5, 15), 6) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "nll double")
+        got = quantized_median(df, "nll").first().med_nll
+        exp = df.agg(F.expr("percentile(nll, 0.5)")).first()[0]
+        assert got == exp, (n, got, exp)
