@@ -235,50 +235,76 @@ def lm_scores(
     )
 
 
-def quantized_median(df: DataFrame, col: str) -> DataFrame:
-    """Single-row (med_nll): the EXACT interpolated median of ``col``,
-    computed from a value histogram instead of Spark's ``percentile``
-    aggregate. ``percentile`` buffers every input value in the aggregation
-    state — at billions of documents that is gigabytes per buffer and an
-    OOM, not a plan. Here the values are already quantized (6-decimal
-    snap), so groupBy(value) bounds the state by the VALUE DOMAIN (~10^7
-    distinct at 6dp over a 10-unit range), not the corpus; the cumulative
-    window then runs over distinct values only.
+def quantized_percentiles(df: DataFrame, col: str, ps: list[float]) -> DataFrame:
+    """(p, value) rows: EXACT interpolated percentiles of ``col`` computed
+    from a value histogram instead of Spark's ``percentile`` aggregate.
+    ``percentile`` buffers every input value in the aggregation state — at
+    billions of documents that is gigabytes per buffer and an OOM, not a
+    plan. This needs the values QUANTIZED (already-snapped doubles, or
+    integers), so groupBy(value) bounds the state by the VALUE DOMAIN, not
+    the corpus; the cumulative window runs over distinct values only, and
+    all requested percentiles come out of that one histogram pass.
 
-    Bit-compatibility: reproduces Spark's Percentile formula exactly —
-    index = 0.5*(n-1), result = lower + (upper-lower)*(index-floor(index))
-    with lower/upper the 0-based order statistics at floor/ceil(index) —
-    which is also DuckDB ``quantile_cont``'s type-7 formula, so swapping
-    this in changed no oracle hash (verified).
+    Bit-compatibility: reproduces the WEIGHTED interpolation both Spark's
+    Percentile and DuckDB's quantile_cont implement — index = p*(n-1),
+    result = (ceil(index)-index)*lower + (index-floor(index))*upper, with
+    lower returned directly when the index is integral. The algebraically
+    equal ``lower + (upper-lower)*frac`` form differs by 1 ulp on real
+    data (measured at p=0.1: 57.4 vs 57.39999999999999) — the weighted
+    form is the only one that hash-matches both engines; pinned by pytest
+    against percentile() on random data.
     """
     from pyspark.sql import Window
 
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select(
-        F.col(col).alias("v"),
+        F.col(col).cast("double").alias("v"),
         (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
         F.sum("cnt").over(w).alias("hi"),
     )
     n = F.broadcast(df.agg(F.count(F.lit(1)).alias("n")))
-    idx = F.lit(0.5) * (F.col("n") - F.lit(1)).cast("double")
+    pdim = F.broadcast(
+        df.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+        )
+    )
+    idx = F.col("p") * (F.col("n") - F.lit(1)).cast("double")
     lo_i = F.floor(idx).cast("long")
     hi_i = F.ceil(idx).cast("long")
-    sel = cum.crossJoin(n).agg(
-        F.min(F.when((F.col("lo") <= lo_i) & (lo_i < F.col("hi")), F.col("v"))).alias(
-            "l"
-        ),
-        F.min(F.when((F.col("lo") <= hi_i) & (hi_i < F.col("hi")), F.col("v"))).alias(
-            "u"
-        ),
-        F.max("n").alias("n"),
+    sel = (
+        cum.crossJoin(n)
+        .crossJoin(pdim)
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.when((F.col("lo") <= lo_i) & (lo_i < F.col("hi")), F.col("v"))
+            ).alias("l"),
+            F.min(
+                F.when((F.col("lo") <= hi_i) & (hi_i < F.col("hi")), F.col("v"))
+            ).alias("u"),
+            F.max("n").alias("n"),
+        )
     )
-    frac = F.lit(0.5) * (F.col("n") - F.lit(1)).cast("double")
+    oidx = F.col("p") * (F.col("n") - F.lit(1)).cast("double")
+    olo = F.floor(oidx)
+    ohi = F.ceil(oidx)
     return sel.select(
-        (
-            F.col("l")
-            + (F.col("u") - F.col("l")) * (frac - F.floor(frac))
-        ).alias("med_nll")
+        "p",
+        F.when(olo == ohi, F.col("l"))
+        .otherwise(
+            (ohi.cast("double") - oidx) * F.col("l")
+            + (oidx - olo.cast("double")) * F.col("u")
+        )
+        .alias("value"),
+    )
+
+
+def quantized_median(df: DataFrame, col: str) -> DataFrame:
+    """Single-row (med_nll) wrapper over ``quantized_percentiles`` at
+    p = 0.5 (see there for the formula and the scale rationale)."""
+    return quantized_percentiles(df, col, [0.5]).select(
+        F.col("value").alias("med_nll")
     )
 
 
@@ -349,4 +375,46 @@ def gopher_rules(
         ok_alpha.alias("ok_alpha_ratio"),
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep_doc"),
+    )
+
+
+# ----------------------------------------------------------------------
+# URL / domain filtering (the C4 / RefinedWeb §3.1 URL-level stage)
+# ----------------------------------------------------------------------
+
+URL_RE = r"https?://([a-z0-9.-]+)"
+BLOCKED_HOSTS = ("ads.tracker.net", "casino.bet.xyz", "spam.example.xyz")
+BLOCKED_TLDS = ("bet", "xyz")
+
+
+def url_domain_audit(
+    docs: DataFrame, id_col: str = "doc_id", url_text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, host, registered_domain, tld, blocked_host, blocked_tld,
+    keep): extract the first URL host from the text, reduce it to a
+    registered domain (naive last-two-labels — a PSL lookup is a broadcast
+    dim join in production), and apply host + TLD blocklists.
+
+    Map-only: regexp extract + split + two IN-list probes inside the row;
+    zero shuffle at any corpus size. Blocklists are tuple literals here —
+    at real scale they become broadcast dimension tables and the IN-probes
+    become map-side hash semi-joins (same plan shape).
+    """
+    host = F.regexp_extract(F.col(url_text_col), URL_RE, 1)
+    labels = F.split(host, r"\.")
+    tld = F.element_at(labels, -1)
+    reg = F.when(
+        F.size(labels) >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), tld),
+    ).otherwise(host)
+    blocked_host = host.isin(*BLOCKED_HOSTS)
+    blocked_tld = tld.isin(*BLOCKED_TLDS)
+    return docs.select(
+        F.col(id_col),
+        host.alias("host"),
+        reg.alias("registered_domain"),
+        tld.alias("tld"),
+        blocked_host.alias("blocked_host"),
+        blocked_tld.alias("blocked_tld"),
+        (~blocked_host & ~blocked_tld & (host != "")).alias("keep"),
     )

@@ -1415,3 +1415,120 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__t").cast("long").alias("n_tokens"))
     )
     return SMP.temperature_mixture(per)
+
+
+# --------------------------------------------------------------------------
+# url_domain_filter: the C4 / RefinedWeb URL-level stage — host extraction,
+# registered-domain reduction, host + TLD blocklists. URLs are planted
+# deterministically from doc_id (the pii_scrub trick).
+# --------------------------------------------------------------------------
+
+_URL_HOSTS = (
+    "en.wikipedia.org", "github.com", "spam.example.xyz", "ads.tracker.net",
+    "blog.example.com", "news.site.org", "casino.bet.xyz",
+)
+
+
+def _url_host_sql() -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(_URL_HOSTS)
+    )
+    return f"(CASE CAST(doc_id % {len(_URL_HOSTS)} AS INT) {arms} END)"
+
+
+_URL_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' visit https://' || {_url_host_sql()}
+                || '/p' || CAST(doc_id AS VARCHAR) || ' now' AS text
+    FROM documents
+),
+ex AS (
+    SELECT doc_id,
+           regexp_extract(text, 'https?://([a-z0-9.-]+)', 1) AS host
+    FROM seeded
+),
+parts AS (
+    SELECT doc_id, host, string_split(host, '.') AS labels FROM ex
+),
+audit AS (
+    SELECT doc_id, host,
+           CASE WHEN len(labels) >= 2
+                THEN labels[-2] || '.' || labels[-1] ELSE host END
+               AS registered_domain,
+           labels[-1] AS tld,
+           host IN ('ads.tracker.net', 'casino.bet.xyz', 'spam.example.xyz')
+               AS blocked_host,
+           labels[-1] IN ('bet', 'xyz') AS blocked_tld
+    FROM parts
+)
+SELECT doc_id, host, registered_domain, tld, blocked_host, blocked_tld,
+       NOT blocked_host AND NOT blocked_tld AND host <> '' AS keep
+FROM audit
+ORDER BY doc_id
+"""
+
+
+def _url_seed_spark(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    host = F.lit(None).cast("string")
+    chain = F.when(F.lit(False), F.lit(""))
+    for i, h in enumerate(_URL_HOSTS):
+        chain = chain.when(did % len(_URL_HOSTS) == i, F.lit(h))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" visit https://"),
+            chain,
+            F.lit("/p"),
+            did.cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+
+
+@register("url_domain_filter", _URL_SQL)
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level filtering (the C4/RefinedWeb first stage): extract the
+    URL host planted per doc, reduce to the registered domain, flag
+    blocklisted hosts and TLDs, emit the keep decision. Map-only — zero
+    shuffle; contract in ``operators/quality.url_domain_audit``."""
+    docs = _url_seed_spark(read_table(spark, sf_dir, "documents"))
+    return QL.url_domain_audit(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_length_quantiles: the corpus length profile as EXACT interpolated
+# percentiles from a value histogram — aggregation state bounded by the
+# value domain, not the corpus (percentile() buffers every row: OOM at
+# billions of docs). One histogram pass serves all percentiles.
+# --------------------------------------------------------------------------
+
+_LEN_PS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+_LEN_Q_SQL = f"""
+WITH lens AS (
+    SELECT CAST(len({_TOK.format(c='text')}) AS BIGINT) AS n_tokens
+    FROM documents
+)
+{' UNION ALL '.join(
+    f"SELECT CAST({p!r} AS DOUBLE) AS p, "
+    f"quantile_cont(CAST(n_tokens AS DOUBLE), {p!r}) AS value FROM lens"
+    for p in _LEN_PS
+)}
+ORDER BY p
+"""
+
+
+@register("doc_length_quantiles", _LEN_Q_SQL)
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length profile at six percentiles, computed scalably:
+    ``quantized_percentiles`` turns the (integer) length column into a
+    distinct-value histogram + one cumulative window, reproducing Spark's
+    percentile()/DuckDB's quantile_cont() interpolation bit-for-bit with
+    aggregation state bounded by the value domain. Contract in
+    ``operators/quality.quantized_percentiles``."""
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select(TX.token_count(F.col("text")).alias("n_tokens"))
+    return QL.quantized_percentiles(lens, "n_tokens", list(_LEN_PS)).orderBy("p")

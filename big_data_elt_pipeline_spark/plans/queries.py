@@ -963,6 +963,18 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # lang audit inside nb/lang queries, decontamination now gated via
 # bloom_decontaminate, sampling via corpus_split/priority_sample — and
 # the composite stays in the local parity sweep).
+# Round-8 fourth pass: IN ``url_domain_filter`` (the C4/RefinedWeb
+# URL-level stage: host extraction, registered-domain reduction, host+TLD
+# blocklists) and ``doc_length_quantiles`` (exact interpolated percentile
+# TABLE from a value histogram — percentile() state is corpus-sized and
+# OOMs at billions of rows; this is the scale-correct form, weighted
+# interpolation pinned to 1 ulp against both engines); OUT two
+# multi-round-green members with retained family coverage:
+# ``semantic_dedup`` (green r06-r07; dedup keeps blocks/substrings/
+# span_removal + the incremental forms, and the SemDeDup composite keeps
+# its keep/drop pytest contract) and ``event_funnel`` (green r06-r07;
+# events keep props_variant + the streaming annex twins, and the
+# strict-order funnel keeps its 0/0->NULL pytest pin).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -985,9 +997,9 @@ _GATE_ORDER = [
     "dedup_span_removal",
     "dedup_incremental_minhash", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
-    "semantic_dedup",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
+    "url_domain_filter", "doc_length_quantiles",
     "ann_topk", "ann_ivf_recall",
     # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",
@@ -1002,7 +1014,7 @@ _GATE_ORDER = [
     "client_features", "client_scores",
     "top_clients",
     # events / streaming twins
-    "event_funnel", "events_props_variant",
+    "events_props_variant",
     # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round
     # green; q2/q9/q20 keep the family's gate presence after their r7
     # debut; all 22 stay in the local parity sweep)

@@ -555,3 +555,45 @@ def test_quantized_median_equals_percentile(spark):
         got = quantized_median(df, "nll").first().med_nll
         exp = df.agg(F.expr("percentile(nll, 0.5)")).first()[0]
         assert got == exp, (n, got, exp)
+
+
+def test_quantized_percentiles_equal_percentile_list(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators.quality import quantized_percentiles
+
+    rng = random.Random(88)
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = [rng.randint(5, 600) for _ in range(173)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.p: r.value for r in quantized_percentiles(df, "x", ps).collect()}
+    exp = df.agg(
+        F.expr(f"percentile(cast(x as double), array({','.join(map(str, ps))}))")
+    ).first()[0]
+    assert [got[p] for p in ps] == list(exp)
+
+
+def test_url_domain_filter_blocklists(spark, docs):
+    from big_data_elt_pipeline_spark.plans.curation_queries import (
+        _URL_HOSTS,
+        _url_seed_spark,
+    )
+    from big_data_elt_pipeline_spark.operators.quality import (
+        BLOCKED_HOSTS,
+        BLOCKED_TLDS,
+        url_domain_audit,
+    )
+
+    rows = url_domain_audit(_url_seed_spark(docs)).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        exp_host = _URL_HOSTS[r.doc_id % len(_URL_HOSTS)]
+        assert r.host == exp_host
+        labels = exp_host.split(".")
+        assert r.registered_domain == ".".join(labels[-2:])
+        assert r.tld == labels[-1]
+        assert r.blocked_host == (exp_host in BLOCKED_HOSTS)
+        assert r.blocked_tld == (labels[-1] in BLOCKED_TLDS)
+        assert r.keep == (not r.blocked_host and not r.blocked_tld)
