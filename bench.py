@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "pagerank_centrality",
     "nb_lang_classifier", "gopher_quality_filter", "temperature_mixture",
-    "url_domain_filter", "doc_length_quantiles",
+    "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
 ]
 
 

@@ -975,6 +975,13 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # its keep/drop pytest contract) and ``event_funnel`` (green r06-r07;
 # events keep props_variant + the streaming annex twins, and the
 # strict-order funnel keeps its 0/0->NULL pytest pin).
+# Round-8 fifth pass: IN ``embedding_covariance`` (the d x d covariance
+# of the embedding cloud as relational algebra — exact-decimal sums make
+# a linear-algebra artifact value-hashable, which RowMatrix's float path
+# cannot be); OUT ``bm25_topk`` (green r06-r07, and new-in-r8
+# ``hybrid_rrf_topk`` gates the SAME BM25 machinery — shared _bm25_ctes
+# oracle builder — composed with the vector leg at depth 50; bm25_topk
+# keeps its rows + the local sweep).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -992,14 +999,13 @@ _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "doc_stats", "corpus_curation",
     "dsir_weights", "dsir_select",
-    "bm25_topk",
     "dedup_blocks", "dedup_substrings",
     "dedup_span_removal",
     "dedup_incremental_minhash", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
-    "url_domain_filter", "doc_length_quantiles",
+    "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
     "ann_topk", "ann_ivf_recall",
     # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",

@@ -1722,3 +1722,56 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_fixed_point(nodes, synthetic_links(nodes), iters=_PR_ITERS)
     return pr.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(_PR_TOP)
+
+
+# --------------------------------------------------------------------------
+# embedding_covariance: the d x d covariance of the embedding cloud as
+# relational algebra (RowMatrix.computeCovariance without the imperative
+# path) — exact-decimal sums make the matrix value-hashable cross-engine.
+# --------------------------------------------------------------------------
+
+_COV_DIM = 64
+
+_COV_SQL = f"""
+WITH e AS (SELECT embedding FROM embeddings),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+comp AS (
+    SELECT t.i AS i,
+           CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) AS vi
+    FROM e, unnest(range(0, {_COV_DIM})) AS t(i)
+),
+means AS (
+    SELECT i,
+           CAST(sum(CAST(round(vi, 9) AS DECIMAL(25,9))) AS DOUBLE)
+               / CAST(max(n.n) AS DOUBLE) AS mu
+    FROM comp, n GROUP BY i
+),
+pairs AS (
+    SELECT a.i AS i, b.i AS j,
+           CAST(round((CAST(embedding[CAST(a.i AS INT) + 1] AS DOUBLE) - ma.mu)
+                    * (CAST(embedding[CAST(b.i AS INT) + 1] AS DOUBLE) - mb.mu),
+                      12) AS DECIMAL(38,12)) AS p
+    FROM e,
+         unnest(range(0, {_COV_DIM})) AS a(i),
+         unnest(range(0, {_COV_DIM})) AS b(i),
+         means ma, means mb
+    WHERE ma.i = a.i AND mb.i = b.i AND b.i >= a.i
+)
+SELECT i, j, CAST(sum(p) AS DOUBLE) / CAST(max(n.n) AS DOUBLE) AS cov
+FROM pairs, n GROUP BY i, j
+ORDER BY i, j
+"""
+
+
+@register("embedding_covariance", _COV_SQL)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper triangle of the embedding cloud's 64x64 covariance matrix —
+    the PCA/whitening prep step — as two bounded aggregations with exact
+    DECIMAL accumulation (snapped 9-dp means, 12-dp centered products):
+    bit-identical under any partitioning and in the DuckDB oracle, which
+    a float RowMatrix covariance can never be. Shuffle volume is bounded
+    by d and d(d+1)/2 keys regardless of corpus size; means ride a
+    broadcast single-row array. Contract in
+    ``operators/similarity.embedding_covariance``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_covariance(emb, _COV_DIM).orderBy("i", "j")

@@ -597,3 +597,34 @@ def test_url_domain_filter_blocklists(spark, docs):
         assert r.blocked_host == (exp_host in BLOCKED_HOSTS)
         assert r.blocked_tld == (labels[-1] in BLOCKED_TLDS)
         assert r.keep == (not r.blocked_host and not r.blocked_tld)
+
+
+def test_embedding_covariance_vs_numpy(spark, emb):
+    import numpy as np
+
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    got = {(r.i, r.j): r.cov
+           for r in embedding_covariance(emb, 64).collect()}
+    X = np.array([r.embedding for r in
+                  emb.orderBy("vec_id").collect()], dtype=np.float64)
+    ref = np.cov(X, rowvar=False, bias=True)  # population covariance
+    for (i, j), c in got.items():
+        assert abs(c - ref[i][j]) < 1e-8, (i, j, c, ref[i][j])
+    # full upper triangle present; diagonal = variances >= 0
+    assert len(got) == 64 * 65 // 2
+    assert all(got[(i, i)] >= 0 for i in range(64))
+
+
+def test_embedding_covariance_partitioning_invariance(spark, emb):
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    a = sorted((r.i, r.j, r.cov)
+               for r in embedding_covariance(emb, 64).collect())
+    b = sorted((r.i, r.j, r.cov)
+               for r in embedding_covariance(emb.repartition(13), 64).collect())
+    assert a == b
