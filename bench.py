@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "pagerank_centrality",
     "nb_lang_classifier", "gopher_quality_filter", "temperature_mixture",
     "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
+    "pca_top_component",
 ]
 
 

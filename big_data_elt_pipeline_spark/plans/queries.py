@@ -982,6 +982,12 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # ``hybrid_rrf_topk`` gates the SAME BM25 machinery — shared _bm25_ctes
 # oracle builder — composed with the vector leg at depth 50; bm25_topk
 # keeps its rows + the local sweep).
+# Round-8 sixth pass: IN ``pca_top_component`` (power-iteration principal
+# component over the relational covariance — snapped arithmetic makes the
+# eigenvector itself value-hashable, converged or not); OUT ``ann_topk``
+# (green since r03, and the SAME brute_force_topk kernel is the vector
+# leg inside gated ``hybrid_rrf_topk``; similarity keeps
+# ann_ivf_recall/ann_quantized_topk/covariance + the annex ivf_topk).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1006,7 +1012,8 @@ _GATE_ORDER = [
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
     "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
-    "ann_topk", "ann_ivf_recall",
+    "pca_top_component",
+    "ann_ivf_recall",
     # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",

@@ -1732,8 +1732,7 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COV_DIM = 64
 
-_COV_SQL = f"""
-WITH e AS (SELECT embedding FROM embeddings),
+_COV_CTES = f"""e AS (SELECT embedding FROM embeddings),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
 comp AS (
     SELECT t.i AS i,
@@ -1756,9 +1755,15 @@ pairs AS (
          unnest(range(0, {_COV_DIM})) AS b(i),
          means ma, means mb
     WHERE ma.i = a.i AND mb.i = b.i AND b.i >= a.i
-)
-SELECT i, j, CAST(sum(p) AS DOUBLE) / CAST(max(n.n) AS DOUBLE) AS cov
-FROM pairs, n GROUP BY i, j
+),
+covu AS (
+    SELECT i, j, CAST(sum(p) AS DOUBLE) / CAST(max(n.n) AS DOUBLE) AS cov
+    FROM pairs, n GROUP BY i, j
+)"""
+
+_COV_SQL = f"""
+WITH {_COV_CTES}
+SELECT i, j, cov FROM covu
 ORDER BY i, j
 """
 
@@ -1775,3 +1780,57 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/similarity.embedding_covariance``."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.embedding_covariance(emb, _COV_DIM).orderBy("i", "j")
+
+
+# --------------------------------------------------------------------------
+# pca_top_component: principal component by power iteration over the
+# covariance relation — every round snapped (12-dp matvec products as
+# DECIMAL, 9-dp normalized vector, correctly-rounded sqrt), so even the
+# eigenvector is value-hashable. Oracle = generated unrolled rounds over
+# the shared covariance CTEs.
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 10
+
+
+def _pca_sql() -> str:
+    rounds = "".join(
+        f""",
+w{k} AS MATERIALIZED (
+    SELECT m.i AS i,
+           CAST(sum(CAST(round(m.cov * v.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS w
+    FROM mat m JOIN v{k-1} v ON m.j = v.i GROUP BY m.i
+),
+n{k} AS MATERIALIZED (
+    SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nr
+    FROM w{k}
+),
+v{k} AS MATERIALIZED (SELECT i, round(w / nr, 9) AS x FROM w{k}, n{k})"""
+        for k in range(1, _PCA_ITERS + 1)
+    )
+    return f"""
+WITH {_COV_CTES},
+mat AS MATERIALIZED (
+    SELECT i, j, cov FROM covu
+    UNION ALL
+    SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+),
+v0 AS (SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM mat){rounds}
+SELECT i, x AS loading, nr AS eigval
+FROM v{_PCA_ITERS}, n{_PCA_ITERS}
+ORDER BY i
+"""
+
+
+@register("pca_top_component", _pca_sql())
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding cloud: 10 power-iteration
+    rounds over the relational covariance matrix, fully snapped arithmetic
+    so the iterate is bit-identical cross-engine whether or not it has
+    converged — the property no float eigensolver has. The matrix relation
+    is dimension-sized (d^2 rows, persisted); each round is one
+    broadcast-scale join + two bounded aggregations. Contracts in
+    ``operators/similarity.embedding_covariance`` / ``pca_power_iteration``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cov = SIM.embedding_covariance(emb, _COV_DIM)
+    return SIM.pca_power_iteration(cov, _COV_DIM, iters=_PCA_ITERS).orderBy("i")

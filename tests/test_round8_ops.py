@@ -628,3 +628,43 @@ def test_embedding_covariance_partitioning_invariance(spark, emb):
     b = sorted((r.i, r.j, r.cov)
                for r in embedding_covariance(emb.repartition(13), 64).collect())
     assert a == b
+
+
+def test_pca_power_iteration_properties(spark, emb):
+    import numpy as np
+
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+        pca_power_iteration,
+    )
+
+    cov = embedding_covariance(emb, 64)
+    rows = pca_power_iteration(cov, 64).collect()
+    assert len(rows) == 64
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.i)])
+    eigval = rows[0].eigval
+    # unit norm (9-dp snap tolerance)
+    assert abs(np.dot(v, v) - 1.0) < 1e-6
+    X = np.array([r.embedding for r in emb.orderBy("vec_id").collect()],
+                 dtype=np.float64)
+    lam_max = float(np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True))[-1])
+    # ||Mv|| <= lambda_max for unit v (operator norm; snapping epsilon),
+    # and 10 rounds must have climbed most of the way up the spectrum
+    assert eigval <= lam_max * (1 + 1e-6), (eigval, lam_max)
+    assert eigval >= 0.8 * lam_max, (eigval, lam_max)
+
+
+def test_pca_partitioning_invariance(spark, emb):
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+        pca_power_iteration,
+    )
+
+    def run(e):
+        cov = embedding_covariance(e, 64)
+        return sorted(
+            (r.i, r.loading, r.eigval)
+            for r in pca_power_iteration(cov, 64).collect()
+        )
+
+    assert run(emb) == run(emb.repartition(9))
