@@ -165,3 +165,352 @@ def nb_predict(
             (-F.col("w.ns")).cast("double").alias("score"),
         )
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Single-row (n_pos, n_neg, auc): EXACT ROC-AUC of a score against a
+    binary label, with the textbook average-rank tie treatment
+    (Mann-Whitney U / rank-sum form; Hand & Till 2001 eq. 3) — the
+    evaluation loop every classifier/filter in this repo feeds (NB
+    language posteriors, LM fluency, quality scores).
+
+    Value-hash discipline WITHOUT decimals: scores are quantized to
+    ``quantize_dp`` before ranking (the documented contract — ties are
+    ties OF THE QUANTIZED score), and all rank arithmetic stays in
+    INTEGER space. With per-score-group counts n_g and positives p_g in
+    ascending score order, the average rank of group g is
+    (2*cum_before_g + n_g + 1) / 2; so
+
+        2 * R_pos = sum_g p_g * (2*cum_before_g + n_g + 1)
+        auc = (2*R_pos - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    — one exact bigint until the final double division.
+
+    Scale shape: one partial-aggregated groupBy(score) bounds the relation
+    at the number of DISTINCT quantized scores (the doc_length_quantiles
+    lesson: per-ROW global ranking windows are a single-task sort at
+    corpus scale; quantization is what makes the ordered pass bounded).
+    The running-total window then orders that bounded relation in one
+    tiny task, and a final single-row aggregate emits the metric.
+    NULL scores or labels are excluded (and counted) up front.
+    """
+    from pyspark.sql import Window
+
+    q = F.round(F.col(score_col).cast("double"), quantize_dp)
+    y = F.col(label_col).cast("int")
+    g = (
+        scored.filter(q.isNotNull() & y.isNotNull())
+        .select(q.alias("q"), y.alias("y"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "n",
+        "p",
+        (F.coalesce(F.sum("n").over(w), F.lit(0)) * 2 + F.col("n") + 1).alias(
+            "r2"
+        ),
+    )
+    return ranked.agg(
+        F.sum("p").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).alias("n_neg"),
+        F.sum(F.col("p") * F.col("r2")).alias("rp2"),
+    ).select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (
+            (F.col("rp2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+LOGREG_BUCKETS = 256
+LOGREG_ITERS = 8
+# 1/2 sits in the measured stability region of full-batch GD under the
+# hard sigmoid: its flat tails zero the gradient of saturated points, so
+# once margins overshoot past |m| = 2 only boundary points keep moving and
+# lr >= 3/4 oscillates (train acc 0.96 -> 0.54 between rounds at lr=1);
+# lr in [1/4, 1/2] converges monotonically on the planted-signal corpus.
+# Kept as an exact RATIONAL because the weight update is integer
+# arithmetic in 1e-9 units (see _nano_update).
+LOGREG_LR_FRAC = (1, 2)
+
+
+def _nano_update(w: Column, se: Column, n: Column,
+                 lr_frac: tuple[int, int]) -> Column:
+    """``w - half_up(lr * se / n)`` carried out EXACTLY in 1e-9-unit
+    integers. The naive double form ``round(w - lr*se/n, 9)`` is a
+    cross-engine landmine: ``se`` is an exact 9-dp decimal, so with
+    lr = 1/2 and a round corpus size the true update is an exact 12-dp
+    decimal — i.e. the value to be rounded sits EXACTLY on a 9-dp half
+    boundary, where Spark's shortest-repr BigDecimal HALF_UP and DuckDB's
+    scaled-double rounding disagree (measured: 1/251 weights flipped by
+    1e-9 on the gate corpus). Here instead:
+
+        w9 = round(w * 1e9)              -- exact: w is a 9-dp value
+        A  = se * 1e9 * lr_num           -- exact bigint (se has scale 9)
+        D  = lr_den * n
+        q  = sign(A) * floor((2|A| + D) / (2D))   -- half-up, away from 0
+        w' = (w9 - q) / 1e9
+
+    The floor's division runs in doubles, but numerator and denominator
+    are exact integers (< 2^53 up to ~1e9-document corpora — contract
+    documented); a correctly-rounded division of exact integers can only
+    land ON an integer when the quotient IS that integer, so the floor is
+    exact in both engines. Every other step is integer arithmetic."""
+    num, den = lr_frac
+    w9 = F.round(w * F.lit(1e9)).cast("long")
+    a = (se * F.lit(1_000_000_000)).cast("long") * F.lit(num)
+    d = F.lit(den).cast("long") * n.cast("long")
+    q = (
+        F.signum(a.cast("double")).cast("long")
+        * F.floor(
+            (F.lit(2) * F.abs(a) + d) / (F.lit(2) * d)
+        ).cast("long")
+    )
+    return (w9 - q).cast("double") / F.lit(1e9)
+
+
+def _hard_sigmoid(m: Column) -> Column:
+    """clamp(0.25*m + 0.5, 0, 1) — the piecewise-linear sigmoid. Chosen
+    over exp-based sigmoid NOT as an approximation trade-off but as a
+    determinism requirement: IEEE 754 does not mandate correctly-rounded
+    exp, so exp(m) can differ by an ulp between the JVM and other engines
+    and a gradient-descent iterate would drift apart; *, +, clamp are all
+    exactly specified, so the hard-sigmoid trainer is a fixed point of
+    exact arithmetic (same reasoning as the DSIR/BM25 log-quantization,
+    applied at the activation instead)."""
+    return F.least(
+        F.greatest(F.lit(0.25) * m + F.lit(0.5), F.lit(0.0)), F.lit(1.0)
+    )
+
+
+def logreg_train_fixed_point(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "y",
+    buckets: int = LOGREG_BUCKETS,
+    iters: int = LOGREG_ITERS,
+    lr_frac: tuple[int, int] = LOGREG_LR_FRAC,
+) -> DataFrame:
+    """(feature, weight): binary-presence hashed-bigram logistic regression
+    trained by ``iters`` full-batch gradient-descent rounds with the hard
+    sigmoid — the third value-hashable trainer in the repo (NB = counting,
+    k-means = snapped Lloyd, this = snapped GD). ``feature`` is the hashed
+    bucket id; ``feature = -1`` is the intercept.
+
+    Update rule, every intermediate snapped:
+        p_d   = hard_sigmoid(sum_{b in d} w_b + bias)    (exact decimal dot)
+        e_d   = round(p_d - y_d, 9)
+        w_b  -= half_up(lr * sum_d(e_d * x_db) / n)  in 1e-9-unit integers
+    so the trained model — converged or not — is bit-identical across
+    engines and partitionings. The weight update deliberately avoids
+    ``round(double, 9)``: see ``_nano_update`` for why that form lands
+    exactly on rounding half boundaries. Exactness contract holds to
+    ~1e9-document corpora (the nano-unit gradient sum must stay < 2^53);
+    beyond that, train on a stratified sample or shard the GD.
+
+    Scale shape: the feature relation is built once (map-only explode +
+    distinct) and persisted; each round is one broadcast join against the
+    <= ``buckets``-row weight table, one doc-keyed partial-aggregated
+    groupBy (the margin), one doc-keyed equi-join feeding a bucket-bounded
+    gradient groupBy (partial aggregation collapses hot buckets map-side),
+    and a k-row weight refresh (localCheckpoint'ed — the q15 idiom). The
+    corpus never concentrates on a key and the driver never sees data.
+    """
+    from big_data_elt_pipeline_spark.operators.sampling import _hashed_feats
+
+    feats = (
+        _hashed_feats(labeled, id_col, text_col, 2, buckets)
+        .withColumnRenamed(id_col, "pid")
+        .distinct()
+        .persist()
+    )
+    labels = labeled.select(
+        F.col(id_col).alias("pid"), F.col(label_col).cast("int").alias("y")
+    )
+    n_row = F.broadcast(labels.agg(F.count(F.lit(1)).alias("n")))
+    wt = feats.select("b").distinct().select("b", F.lit(0.0).alias("w"))
+    bias = labels.groupBy().agg(F.lit(0.0).alias("bw"))
+    for _ in range(iters):
+        m = (
+            feats.join(F.broadcast(wt), "b")
+            .groupBy("pid")
+            .agg(F.sum(F.col("w").cast("decimal(25,9)")).alias("sw"))
+        )
+        err = (
+            labels.join(m, "pid", "left")
+            .crossJoin(F.broadcast(bias))
+            .select(
+                "pid",
+                F.round(
+                    _hard_sigmoid(
+                        F.coalesce(F.col("sw").cast("double"), F.lit(0.0))
+                        + F.col("bw")
+                    )
+                    - F.col("y"),
+                    9,
+                ).alias("e"),
+            )
+        )
+        gw = (
+            feats.join(err, "pid")
+            .groupBy("b")
+            .agg(F.sum(F.col("e").cast("decimal(25,9)")).alias("se"))
+        )
+        zero_se = F.lit(0).cast("decimal(25,9)")
+        wt = (
+            wt.join(gw, "b", "left")
+            .crossJoin(n_row)
+            .select(
+                "b",
+                _nano_update(
+                    F.col("w"),
+                    F.coalesce(F.col("se"), zero_se),
+                    F.col("n"),
+                    lr_frac,
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bias = (
+            err.agg(F.sum(F.col("e").cast("decimal(25,9)")).alias("se"))
+            .crossJoin(n_row)
+            .crossJoin(F.broadcast(bias))
+            .select(
+                _nano_update(
+                    F.col("bw"),
+                    F.coalesce(F.col("se"), zero_se),
+                    F.col("n"),
+                    lr_frac,
+                ).alias("bw")
+            )
+            .localCheckpoint(eager=True)
+        )
+    feats.unpersist()
+    return wt.select(
+        F.col("b").cast("long").alias("feature"), F.col("w").alias("weight")
+    ).unionAll(
+        bias.select(
+            F.lit(-1).cast("long").alias("feature"), F.col("bw").alias("weight")
+        )
+    )
+
+
+def logreg_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LOGREG_BUCKETS,
+) -> DataFrame:
+    """(id, score, predicted): hard-sigmoid probability and 0.5-threshold
+    class under a ``logreg_train_fixed_point`` model. Same snapping as
+    training (decimal dot, exact clamp), so predictions are deterministic
+    everywhere; unseen features contribute 0."""
+    from big_data_elt_pipeline_spark.operators.sampling import _hashed_feats
+
+    feats = (
+        _hashed_feats(docs, id_col, text_col, 2, buckets)
+        .withColumnRenamed(id_col, "pid")
+        .distinct()
+    )
+    w = model.filter(F.col("feature") >= 0).select(
+        F.col("feature").alias("b"), F.col("weight").alias("w")
+    )
+    bias = F.broadcast(
+        model.filter(F.col("feature") < 0).select(F.col("weight").alias("bw"))
+    )
+    m = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("pid")
+        .agg(F.sum(F.col("w").cast("decimal(25,9)")).alias("sw"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("pid"))
+        .join(m, "pid", "left")
+        .crossJoin(bias)
+        .select(
+            F.col("pid").alias(id_col),
+            _hard_sigmoid(
+                F.coalesce(F.col("sw").cast("double"), F.lit(0.0)) + F.col("bw")
+            ).alias("score"),
+        )
+        .select(
+            id_col,
+            "score",
+            (F.col("score") > 0.5).cast("int").alias("predicted"),
+        )
+    )
+
+
+def classification_report(
+    pairs: DataFrame,
+    true_col: str = "t",
+    pred_col: str = "g",
+) -> DataFrame:
+    """(label, n_true, n_pred, tp, precision, recall, f1): the per-class
+    evaluation table of a multi-class prediction — the companion of
+    ``roc_auc`` for hard decisions (language-ID audits, filter-vs-filter
+    comparisons). All counts are exact integers; precision/recall/f1 are
+    single double divisions of those integers (``try_divide`` pins the
+    0-denominator cells to NULL rather than an engine-specific NaN), so
+    the whole table is value-hashable.
+
+    Scale shape: three partial-aggregated groupBys over the LABEL domain
+    (bounded — the class vocabulary, not the corpus) and a full outer join
+    of two label-sized relations. A corpus-sized shuffle never happens;
+    hot classes collapse map-side."""
+    t, g = F.col(true_col), F.col(pred_col)
+    nt = pairs.groupBy(t.alias("label")).agg(F.count(F.lit(1)).alias("n_true"))
+    np_ = pairs.groupBy(g.alias("label")).agg(F.count(F.lit(1)).alias("n_pred"))
+    tp = (
+        pairs.filter(t == g)
+        .groupBy(t.alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    rep = (
+        nt.join(np_, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+        .select(
+            "label",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.try_divide(F.col("tp").cast("double"), F.col("n_pred")).alias(
+                "precision"
+            ),
+            F.try_divide(F.col("tp").cast("double"), F.col("n_true")).alias(
+                "recall"
+            ),
+        )
+    )
+    return rep.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        "precision",
+        "recall",
+        F.try_divide(
+            F.lit(2.0) * F.col("precision") * F.col("recall"),
+            F.col("precision") + F.col("recall"),
+        ).alias("f1"),
+    )

@@ -1532,3 +1532,374 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     lens = docs.select(TX.token_count(F.col("text")).alias("n_tokens"))
     return QL.quantized_percentiles(lens, "n_tokens", list(_LEN_PS)).orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# classifier_auc: exact ROC-AUC (rank-sum with average-rank ties) of the
+# heuristic quality score as a detector of long-form documents — the
+# evaluation loop every filter/classifier in this repo feeds, value-
+# hashable because every rank stays an integer until the final division.
+# --------------------------------------------------------------------------
+
+_AUC_LONGFORM_CHARS = 300  # ~corpus median; balanced classes
+
+
+def _auc_sql() -> str:
+    from big_data_elt_pipeline_spark.plans.text_queries import _count_in_sql
+
+    return f"""
+WITH st AS (
+    SELECT CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({_count_in_sql('tok', TX.STOPWORDS)} AS BIGINT) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+    FROM (SELECT text, {_TOK.format(c='text')} AS tok FROM documents)
+),
+rt AS (
+    SELECT n_tokens, n_chars,
+           CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_r,
+           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_r
+    FROM st
+),
+base AS (
+    SELECT round(least(greatest(
+               0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * least(stop_r * 5.0, 1.0)
+               + 0.2 * (1.0 - least(punct_r * 10.0, 1.0)), 0.0), 1.0), 6) AS q,
+           CASE WHEN n_chars >= {_AUC_LONGFORM_CHARS} THEN 1 ELSE 0 END AS y
+    FROM rt
+),
+g AS (SELECT q, count(*) AS n, sum(y) AS p FROM base GROUP BY q),
+r AS (
+    SELECT n, p,
+           2 * coalesce(sum(n) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+    FROM g
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) - sum(p) AS BIGINT) AS n_neg,
+       CAST(sum(p * r2) - sum(p) * (sum(p) + 1) AS DOUBLE)
+           / (2.0 * sum(p) * (sum(n) - sum(p))) AS auc
+FROM r
+"""
+
+
+@register("classifier_auc", _auc_sql())
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the heuristic quality score against a long-form
+    label (n_chars >= ~corpus median): Mann-Whitney rank-sum with textbook
+    average-rank tie handling, all rank arithmetic in exact integers (one
+    double division at the end). The groupBy(quantized score) bounds the
+    ordered pass at the distinct-score count — per-row global ranking
+    windows are a single-task sort at corpus scale, the
+    doc_length_quantiles lesson. Contract in
+    ``operators/classify.roc_auc``."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.quality_score(F.col("text")).alias("score"),
+        (F.length("text") >= _AUC_LONGFORM_CHARS).cast("int").alias("y"),
+    )
+    return CL.roc_auc(scored, "score", "y")
+
+
+# --------------------------------------------------------------------------
+# logreg_quality_model: hard-sigmoid logistic regression trained by
+# gradient descent, entirely relational and snapped — the third
+# value-hashable trainer (NB = counting, k-means = snapped Lloyd, this =
+# snapped GD). Labels are planted deterministically (odd doc_ids get a
+# marker suffix), the pii_scrub fixture idiom, so the trainer has real
+# signal to find and the oracle sees the identical corpus.
+# --------------------------------------------------------------------------
+
+_LR_MARK = " zzmarker zzmarker zzmarker"
+
+
+
+def _nano_update_sql(w: str, se: str, n: str) -> str:
+    """DuckDB mirror of operators/classify._nano_update: the weight update
+    as exact 1e-9-unit integer arithmetic with an explicit half-up —
+    avoids round(double, 9) landing exactly on 9-dp half boundaries
+    (where the two engines' rounding disagrees)."""
+    num, den = CL.LOGREG_LR_FRAC
+    a = f"(CAST(({se}) * 1000000000 AS BIGINT) * {num})"
+    d = f"(CAST({den} AS BIGINT) * ({n}))"
+    q = (f"(CAST(sign({a}) AS BIGINT) * CAST(floor((2 * abs({a}) + {d})"
+         f" / CAST(2 * {d} AS DOUBLE)) AS BIGINT))")
+    return f"CAST(CAST(round(({w}) * 1e9) AS BIGINT) - {q} AS DOUBLE) / 1e9"
+
+
+def _logreg_sql() -> str:
+    B = CL.LOGREG_BUCKETS
+    rounds = ""
+    for r in range(1, CL.LOGREG_ITERS + 1):
+        rounds += f""",
+m{r} AS MATERIALIZED (
+    SELECT pid, CAST(sum(CAST(w AS DECIMAL(25,9))) AS DOUBLE) AS sw
+    FROM feats JOIN w{r-1} USING (b) GROUP BY pid
+),
+e{r} AS MATERIALIZED (
+    SELECT l.pid AS pid,
+           round(least(greatest(
+                     0.25 * (coalesce(m.sw, 0.0) + b.bw) + 0.5, 0.0), 1.0)
+                 - l.y, 9) AS e
+    FROM lab l LEFT JOIN m{r} m USING (pid), b{r-1} b
+),
+w{r} AS MATERIALIZED (
+    SELECT w.b AS b,
+           {_nano_update_sql("w.w", "coalesce(g.se, CAST(0 AS DECIMAL(25,9)))", "n.n")} AS w
+    FROM w{r-1} w
+    LEFT JOIN (SELECT b, sum(CAST(e AS DECIMAL(25,9))) AS se
+               FROM feats JOIN e{r} USING (pid) GROUP BY b) g USING (b), n
+),
+b{r} AS MATERIALIZED (
+    SELECT {_nano_update_sql(
+        "b.bw",
+        f"coalesce((SELECT sum(CAST(e AS DECIMAL(25,9))) FROM e{r}), CAST(0 AS DECIMAL(25,9)))",
+        "n.n")} AS bw
+    FROM b{r-1} b, n
+)"""
+    return f"""
+WITH labeled AS (
+    SELECT doc_id AS pid,
+           CASE WHEN doc_id % 2 = 1 THEN text || '{_LR_MARK}' ELSE text END AS text,
+           CAST(doc_id % 2 AS INT) AS y
+    FROM documents
+),
+lab AS (SELECT pid, y FROM labeled),
+feats AS MATERIALIZED (
+    SELECT DISTINCT pid,
+           ('0x' || substr(md5(sh), 1, 15))::BIGINT % {B} AS b
+    FROM (SELECT pid, unnest({_shingle_sql(2)}) AS sh
+          FROM (SELECT pid, {_TOK.format(c='text')} AS tok FROM labeled))
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM feats),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS bw){rounds}
+SELECT b AS feature, w AS weight FROM w{CL.LOGREG_ITERS}
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS feature, bw AS weight FROM b{CL.LOGREG_ITERS}
+ORDER BY feature
+"""
+
+
+@register("logreg_quality_model", _logreg_sql())
+def q_logreg_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram hard-sigmoid logistic regression trained for 5
+    full-batch GD rounds on a deterministically-labeled corpus (odd
+    doc_ids carry a planted marker suffix — the pii_scrub fixture idiom).
+    The hard sigmoid is a determinism requirement, not an approximation
+    shortcut: IEEE exp is not correctly rounded, so an exp-based iterate
+    could drift an ulp apart per round across engines, while *, +, clamp
+    are exact. Every dot product and gradient sum runs as DECIMAL, every
+    weight snaps to 9 dp — the trained model is bit-identical under any
+    partitioning and in the DuckDB oracle. Contract in
+    ``operators/classify.logreg_train_fixed_point``."""
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(_LR_MARK))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+    )
+    return CL.logreg_train_fixed_point(labeled).orderBy("feature")
+
+
+# --------------------------------------------------------------------------
+# bpe_merges: BPE tokenizer training as relational algebra — the greedy
+# left-to-right non-overlapping merge is a gaps-and-islands parity filter,
+# so the whole training loop (pair count -> argmax -> merge) is relational
+# rounds and the learned merge table is value-hashable. Oracle = generated
+# unrolled rounds (the PCA/logreg idiom).
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_sql() -> str:
+    rounds = ""
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds += f""",
+pr{r} AS (
+    SELECT a, b, sum(freq) AS cnt FROM (
+        SELECT freq, sym AS a,
+               lead(sym) OVER (PARTITION BY word ORDER BY p) AS b
+        FROM s{r-1}
+    ) WHERE b IS NOT NULL GROUP BY a, b
+),
+bp{r} AS MATERIALIZED (
+    SELECT a, b, cnt FROM pr{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+ap{r} AS MATERIALIZED (
+    SELECT word, p FROM (
+        SELECT word, p, p - min(p) OVER (PARTITION BY word, grp) AS off
+        FROM (
+            SELECT word, p,
+                   p - row_number() OVER (PARTITION BY word ORDER BY p) AS grp
+            FROM (
+                SELECT t.word, t.p FROM (
+                    SELECT word, p, sym,
+                           lead(sym) OVER (PARTITION BY word ORDER BY p) AS nx
+                    FROM s{r-1}
+                ) t, bp{r} bp WHERE t.sym = bp.a AND t.nx = bp.b
+            )
+        )
+    ) WHERE off % 2 = 0
+),
+s{r} AS MATERIALIZED (
+    -- positions renumbered dense each round: consumed-slot deletion and
+    -- island parity are position arithmetic and require p+1 adjacency
+    SELECT word, freq,
+           row_number() OVER (PARTITION BY word ORDER BY p) - 1 AS p,
+           sym
+    FROM (
+        SELECT s.word AS word, s.freq AS freq, s.p AS p,
+               CASE WHEN a.p IS NOT NULL THEN bp.a || bp.b ELSE s.sym END AS sym
+        FROM s{r-1} s
+        LEFT JOIN ap{r} a ON s.word = a.word AND s.p = a.p
+        LEFT JOIN ap{r} c ON s.word = c.word AND s.p = c.p + 1
+        CROSS JOIN bp{r} bp
+        WHERE c.p IS NULL
+    )
+)"""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM bp{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+    SELECT word, count(*) AS freq
+    FROM (SELECT unnest({_TOK.format(c='text')}) AS word FROM documents)
+    GROUP BY word
+),
+s0 AS MATERIALIZED (
+    SELECT word, freq, t.i AS p,
+           CASE WHEN t.i < length(word)
+                THEN substr(word, CAST(t.i AS INT) + 1, 1)
+                ELSE '</w>' END AS sym
+    FROM words, unnest(range(0, length(word) + 1)) AS t(i)
+){rounds}
+SELECT * FROM ({finals})
+ORDER BY merge_round
+"""
+
+
+@register("bpe_merges", _bpe_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the corpus vocabulary (Sennrich et
+    al. 2016), entirely relationally: frequency-weighted pair counts, a
+    (count desc, pair asc) total-order argmax, and the greedy
+    left-to-right non-overlapping merge reproduced by a gaps-and-islands
+    parity filter — the sequential scan every imperative BPE trainer uses,
+    as one window + one filter. Runs on the VOCABULARY relation (the
+    corpus is touched once, by the word-count aggregation), per-word
+    window partitions are bounded by word length, and the merge table is
+    value-hashable. Contract in ``operators/tokenizer.bpe_train``."""
+    from big_data_elt_pipeline_spark.operators import tokenizer as TK
+
+    docs = read_table(spark, sf_dir, "documents")
+    return TK.bpe_train(docs, rounds=_BPE_ROUNDS).orderBy("merge_round")
+
+
+# --------------------------------------------------------------------------
+# lang_id_report: per-class precision/recall/F1 of the heuristic language
+# ID against the corpus lang column — the hard-decision companion of
+# classifier_auc. Exact integer counts; ratio cells are single double
+# divisions with NULL (not NaN) pinned for empty denominators.
+# --------------------------------------------------------------------------
+
+def _lang_report_sql() -> str:
+    from big_data_elt_pipeline_spark.plans.text_queries import (
+        _LANG_CASE,
+        _LANG_SCORES,
+    )
+
+    return f"""
+WITH scored AS (
+    SELECT lang AS t, {_LANG_SCORES}
+    FROM (SELECT lang, {_TOK.format(c='text')} AS tok FROM documents)
+),
+pairs AS (SELECT t, {_LANG_CASE} AS g FROM scored),
+nt AS (SELECT t AS label, count(*) AS n_true FROM pairs GROUP BY 1),
+np AS (SELECT g AS label, count(*) AS n_pred FROM pairs GROUP BY 1),
+tp AS (SELECT t AS label, count(*) AS tp FROM pairs WHERE t = g GROUP BY 1),
+rep AS (
+    SELECT coalesce(nt.label, np.label) AS label,
+           CAST(coalesce(n_true, 0) AS BIGINT) AS n_true,
+           CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(tp, 0) AS BIGINT) AS tp
+    FROM nt FULL OUTER JOIN np ON nt.label = np.label
+    LEFT JOIN tp ON coalesce(nt.label, np.label) = tp.label
+),
+pr AS (
+    SELECT label, n_true, n_pred, tp,
+           CAST(tp AS DOUBLE) / NULLIF(n_pred, 0) AS precision,
+           CAST(tp AS DOUBLE) / NULLIF(n_true, 0) AS recall
+    FROM rep
+)
+SELECT label, n_true, n_pred, tp, precision, recall,
+       2.0 * precision * recall / NULLIF(precision + recall, 0.0) AS f1
+FROM pr
+ORDER BY label
+"""
+
+
+@register("lang_id_report", _lang_report_sql())
+def q_lang_id_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the n-gram-marker language ID
+    against the corpus ``lang`` column. Three partial-aggregated groupBys
+    over the bounded label domain + one label-sized full outer join — no
+    corpus shuffle; ``try_divide`` pins 0-denominator cells to NULL so the
+    table hashes identically cross-engine. Contract in
+    ``operators/classify.classification_report``."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("t"), TX.lang_id(F.col("text")).alias("g")
+    )
+    return CL.classification_report(pairs).orderBy("label")
+
+
+_BPE_VOCAB_TOP = 25
+
+_BPE_VOCAB_TAIL = f"""
+SELECT sym AS piece,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS total_freq
+FROM s{_BPE_ROUNDS}
+GROUP BY sym
+ORDER BY total_freq DESC, piece ASC
+LIMIT {_BPE_VOCAB_TOP}
+"""
+
+
+def _bpe_vocab_sql() -> str:
+    # reuse the training CTE chain; replace the merge-table tail with the
+    # learned-piece corpus histogram over the final symbol state
+    full = _bpe_sql()
+    tail_at = full.rindex("SELECT * FROM (")
+    return full[:tail_at] + _BPE_VOCAB_TAIL
+
+
+@register("bpe_vocab", _bpe_vocab_sql())
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 learned BPE pieces by frequency-weighted corpus coverage —
+    the "tokenize the corpus with the vocabulary you just trained" audit,
+    straight off the trainer's final symbol relation (one bounded groupBy
+    over the piece domain; total-order (freq desc, piece asc) top-k).
+    Contract in ``operators/tokenizer.bpe_train_state``."""
+    from big_data_elt_pipeline_spark.operators import tokenizer as TK
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, syms = TK.bpe_train_state(docs, rounds=_BPE_ROUNDS)
+    return (
+        syms.groupBy(F.col("sym").alias("piece"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_freq"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("piece"))
+        .limit(_BPE_VOCAB_TOP)
+    )

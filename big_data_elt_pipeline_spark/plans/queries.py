@@ -988,6 +988,42 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # (green since r03, and the SAME brute_force_topk kernel is the vector
 # leg inside gated ``hybrid_rrf_topk``; similarity keeps
 # ann_ivf_recall/ann_quantized_topk/covariance + the annex ivf_topk).
+# Round-8 seventh pass: IN ``kmeans_centroids`` (Lloyd's k-means as a
+# fixed point of exact arithmetic — the value-hashable twin of the annex
+# pyspark.ml ``ml_kmeans_segments``, closing the last rows-only ML story
+# with an oracle-checked form); OUT ``doc_stats`` (green r02-r07; the
+# text-stats family keeps c4/gopher/lm filters + doc_length_quantiles,
+# which consume the same token/quality machinery, and doc_stats stays in
+# the local parity sweep).
+# Round-8 eighth pass: IN ``classifier_auc`` (exact ROC-AUC via integer
+# rank-sum with average-rank ties over a bounded distinct-score relation —
+# the evaluation loop for every filter/classifier in the repo); OUT
+# ``corpus_curation`` (green r04-r07; every stage of the composite is
+# individually gated — quality via c4/gopher filters, language via
+# nb_lang_classifier, exact dedup via dedup_blocks/substrings — and the
+# composite stays in the local parity sweep).
+# Round-8 ninth pass: IN ``logreg_quality_model`` (hard-sigmoid logistic
+# regression trained by snapped full-batch GD — the third value-hashable
+# trainer after NB and fixed-point k-means; the hard sigmoid is a
+# determinism requirement since IEEE exp is not correctly rounded); OUT
+# ``client_quartiles`` (green r05-r07; the ranking-window family keeps
+# top_clients gated, exact quantiles stay gated via doc_length_quantiles
+# and client_scores, and the ntile contract stays in the local sweep).
+# Round-8 tenth pass: IN ``bpe_merges`` (BPE tokenizer training as
+# relational rounds — the greedy left-to-right non-overlapping merge is a
+# gaps-and-islands parity filter; merge table pinned against an
+# imperative Python BPE in pytest AND the DuckDB oracle); OUT
+# ``ann_ivf_recall`` (green r05-r07; similarity keeps
+# ann_quantized_topk / hybrid_rrf_topk / covariance / pca / kmeans gated,
+# the annex keeps ann_ivf_topk, and the recall contract stays pinned in
+# test_ivf + the local sweep).
+# Round-8 eleventh pass: IN ``lang_id_report`` (per-class
+# precision/recall/F1 of the heuristic language ID — the hard-decision
+# companion of classifier_auc; exact integer counts, NULL-pinned ratio
+# cells); OUT ``dedup_incremental_minhash`` (green r05-r07; the
+# incremental-dedup family keeps incremental_substrings and
+# incremental_span_removal gated, and the minhash form keeps its
+# pytest + the local sweep).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1003,17 +1039,17 @@ ROWS_ONLY_ANNEX = frozenset({
 
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
-    "doc_stats", "corpus_curation",
+    "kmeans_centroids", "classifier_auc",
     "dsir_weights", "dsir_select",
     "dedup_blocks", "dedup_substrings",
     "dedup_span_removal",
-    "dedup_incremental_minhash", "dedup_incremental_substrings",
+    "lang_id_report", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
     "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
     "pca_top_component",
-    "ann_ivf_recall",
+    "bpe_merges",
     # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
@@ -1031,7 +1067,7 @@ _GATE_ORDER = [
     # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round
     # green; q2/q9/q20 keep the family's gate presence after their r7
     # debut; all 22 stay in the local parity sweep)
-    "client_quartiles", "rolling_7day_revenue", "amount_outliers",
+    "logreg_quality_model", "rolling_7day_revenue", "amount_outliers",
     "tpch_q2", "tpch_q9", "tpch_q20",
     # ML / graph / recursive
     "pagerank_centrality", "revenue_chain_recursive",

@@ -1834,3 +1834,91 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cov = SIM.embedding_covariance(emb, _COV_DIM)
     return SIM.pca_power_iteration(cov, _COV_DIM, iters=_PCA_ITERS).orderBy("i")
+
+
+# --------------------------------------------------------------------------
+# kmeans_centroids: Lloyd's k-means as a fixed point of exact arithmetic —
+# the value-hashable twin of the annex pyspark.ml KMeans query. Oracle =
+# generated unrolled rounds (the PCA idiom): assignment by snapped-decimal
+# distance with (d, cid) tie-break, means as DECIMAL sums / exact counts.
+# --------------------------------------------------------------------------
+
+_KM_DIM = 64
+_KM_K = 8
+_KM_ITERS = 5
+
+
+def _kmeans_sql() -> str:
+    comp = "CAST(p.embedding[CAST({i} AS INT) + 1] AS DOUBLE)"
+    # assignment / update rounds, unrolled
+    rounds = ""
+    for r in range(1, _KM_ITERS + 1):
+        rounds += f""",
+d{r} AS MATERIALIZED (
+    SELECT p.pid AS pid, c.cid AS cid,
+           sum(CAST(round(({comp.format(i='c.i')} - c.x)
+                        * ({comp.format(i='c.i')} - c.x), 12)
+               AS DECIMAL(38,12))) AS d
+    FROM pts p, c{r-1} c
+    GROUP BY 1, 2
+),
+a{r} AS MATERIALIZED (
+    SELECT pid, cid FROM (
+        SELECT pid, cid,
+               row_number() OVER (PARTITION BY pid ORDER BY d ASC, cid ASC) AS rn
+        FROM d{r}
+    ) WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+    SELECT a.cid AS cid, t.i AS i,
+           round(CAST(sum(CAST(round({comp.format(i='t.i')}, 9)
+                               AS DECIMAL(25,9))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 9) AS mu,
+           count(*) AS n
+    FROM a{r} a JOIN pts p USING (pid),
+         unnest(range(0, {_KM_DIM})) AS t(i)
+    GROUP BY 1, 2
+),
+c{r} AS MATERIALIZED (
+    SELECT prev.cid, prev.i, coalesce(m.mu, prev.x) AS x
+    FROM c{r-1} prev LEFT JOIN m{r} m ON m.cid = prev.cid AND m.i = prev.i
+)"""
+    return f"""
+WITH pts AS MATERIALIZED (
+    SELECT vec_id AS pid, embedding FROM embeddings
+),
+c0 AS MATERIALIZED (
+    SELECT b.cid AS cid, t.i AS i,
+           round(CAST(b.e[CAST(t.i AS INT) + 1] AS DOUBLE), 9) AS x
+    FROM (
+        SELECT CAST(pid % {_KM_K} AS INT) AS cid, arg_min(embedding, pid) AS e
+        FROM pts GROUP BY 1
+    ) b, unnest(range(0, {_KM_DIM})) AS t(i)
+){rounds}
+SELECT c.cid AS cluster_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_points,
+       CAST(c.i AS BIGINT) AS i,
+       c.x AS loading
+FROM c{_KM_ITERS} c
+LEFT JOIN (SELECT cid, count(*) AS n FROM a{_KM_ITERS} GROUP BY 1) s USING (cid)
+ORDER BY cluster_id, i
+"""
+
+
+@register("kmeans_centroids", _kmeans_sql())
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 Lloyd's k-means over the embedding cloud, 5 rounds, every
+    intermediate snapped (decimal distance sums, 9-dp means, min-id hash
+    bucket init, (distance, cid) tie-break) so even the centroids of a
+    float clustering algorithm are value-hashable cross-engine — the
+    audit-grade twin of the annex ``ml_kmeans_segments`` (pyspark.ml,
+    seeded float path). Each round is one corpus scan against a k-row
+    broadcast + a k*dim-key bounded aggregation: no corpus shuffle, skew
+    cannot concentrate (partial aggregation collapses an
+    everything-in-one-cluster corpus map-side). Contract in
+    ``operators/similarity.kmeans_lloyd_fixed_point``; reference twin
+    src/ml/segmentation.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_lloyd_fixed_point(
+        emb, _KM_DIM, k=_KM_K, iters=_KM_ITERS
+    ).orderBy("cluster_id", "i")

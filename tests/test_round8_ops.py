@@ -668,3 +668,296 @@ def test_pca_partitioning_invariance(spark, emb):
         )
 
     assert run(emb) == run(emb.repartition(9))
+
+
+def test_kmeans_vs_numpy_reference(spark, emb):
+    import numpy as np
+
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_fixed_point,
+    )
+
+    k, iters = 8, 5
+    rows = kmeans_lloyd_fixed_point(emb, 64, k=k, iters=iters).collect()
+    assert len(rows) == k * 64
+    got_c = {}
+    got_n = {}
+    for r in rows:
+        got_c[(r.cluster_id, r.i)] = r.loading
+        got_n[r.cluster_id] = r.n_points
+
+    pts = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb.collect()}
+    cent = {}
+    for pid in sorted(pts):
+        cent.setdefault(pid % k, np.round(pts[pid], 9))
+    for _ in range(iters):
+        members = {c: [] for c in cent}
+        for pid, v in pts.items():
+            best = min(
+                (np.round(np.sum(np.round((v - c) ** 2, 12)), 12), cid)
+                for cid, c in cent.items()
+            )[1]
+            members[best].append(pid)
+        for cid, ms in members.items():
+            if ms:
+                s = np.sum([np.round(pts[p], 9) for p in ms], axis=0)
+                cent[cid] = np.round(s / len(ms), 9)
+        sizes = {cid: len(ms) for cid, ms in members.items()}
+
+    assert got_n == sizes
+    for (cid, i), x in got_c.items():
+        assert abs(x - cent[cid][i]) < 1e-6, (cid, i, x, cent[cid][i])
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_fixed_point,
+    )
+
+    # bucket0 init = [1.0] (pid 0), bucket1 init = [1.0] (pid 1): every
+    # point ties on distance and the (d, cid) tie-break sends all of them
+    # to cluster 0 — cluster 1 must keep its init centroid and report 0
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0]), (2, [0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = kmeans_lloyd_fixed_point(emb, 1, k=2, iters=1).collect()
+    by_c = {r.cluster_id: r for r in rows}
+    assert by_c[1].n_points == 0
+    assert by_c[1].loading == 1.0
+    assert by_c[0].n_points == 3
+    # mean of 9-dp-snapped (1, 1, 0) re-snapped
+    assert abs(by_c[0].loading - round(2.0 / 3.0, 9)) < 1e-12
+
+
+def test_kmeans_partitioning_invariance(spark, emb):
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        kmeans_lloyd_fixed_point,
+    )
+
+    def run(e):
+        return sorted(
+            (r.cluster_id, r.n_points, r.i, r.loading)
+            for r in kmeans_lloyd_fixed_point(e, 64, k=8, iters=3).collect()
+        )
+
+    assert run(emb) == run(emb.repartition(11))
+
+
+def test_roc_auc_hand_cases(spark):
+    from big_data_elt_pipeline_spark.operators.classify import roc_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score double, y int")
+        r = roc_auc(df).collect()[0]
+        return r.n_pos, r.n_neg, r.auc
+
+    # tie block spanning both classes: ranks 1, 2.5, 2.5, 4 ->
+    # R_pos = 6.5, auc = (6.5 - 3) / 4
+    assert auc_of([(0.1, 0), (0.2, 0), (0.2, 1), (0.3, 1)]) == (2, 2, 0.875)
+    # perfect separation / reversal / everything tied
+    assert auc_of([(0.1, 0), (0.2, 0), (0.3, 1), (0.4, 1)])[2] == 1.0
+    assert auc_of([(0.4, 0), (0.3, 0), (0.2, 1), (0.1, 1)])[2] == 0.0
+    assert auc_of([(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)])[2] == 0.5
+
+
+def test_roc_auc_quantization_and_nulls(spark):
+    from big_data_elt_pipeline_spark.operators.classify import roc_auc
+
+    # scores differing below the 6-dp quantum are ties by contract;
+    # NULL score/label rows are excluded
+    df = spark.createDataFrame(
+        [(0.1000000001, 0), (0.1000000002, 1), (0.2, 1), (None, 1), (0.3, None)],
+        "score double, y int",
+    )
+    r = roc_auc(df).collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 1)
+    # groups: 0.1 (n=2, p=1) ranks avg 1.5; 0.2 (n=1, p=1) rank 3
+    # R_pos = 4.5 -> auc = (4.5 - 3) / (1*2) = 0.75
+    assert r.auc == 0.75
+
+
+def test_roc_auc_partitioning_invariance(spark, docs):
+    from big_data_elt_pipeline_spark.functions import text as TX
+    from big_data_elt_pipeline_spark.operators.classify import roc_auc
+
+    scored = docs.select(
+        TX.quality_score(F.col("text")).alias("score"),
+        (F.length("text") >= 300).cast("int").alias("y"),
+    )
+    a = roc_auc(scored).collect()[0]
+    b = roc_auc(scored.repartition(17)).collect()[0]
+    assert (a.n_pos, a.n_neg, a.auc) == (b.n_pos, b.n_neg, b.auc)
+    assert 0.5 < a.auc <= 1.0
+
+
+def _planted_logreg_corpus(docs):
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" zzmarker zzmarker zzmarker")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+    )
+
+
+def test_logreg_learns_planted_signal(spark, docs):
+    from big_data_elt_pipeline_spark.operators.classify import (
+        logreg_predict,
+        logreg_train_fixed_point,
+    )
+
+    labeled = _planted_logreg_corpus(docs)
+    model = logreg_train_fixed_point(labeled)
+    rows = {r.feature: r.weight for r in model.collect()}
+    assert -1 in rows  # intercept present
+    # the (zzmarker, zzmarker) bigram bucket must carry the dominant
+    # positive weight — it appears in every positive and no negative
+    import hashlib
+
+    mb = int(hashlib.md5(b"zzmarker zzmarker").hexdigest()[:15], 16) % 256
+    assert rows[mb] == max(rows.values())
+    assert rows[mb] > 0.5
+    # and the trained model must separate the planted classes
+    pred = logreg_predict(labeled, model)
+    acc = (
+        pred.join(labeled.select("doc_id", "y"), "doc_id")
+        .select(F.avg((F.col("predicted") == F.col("y")).cast("int")).alias("a"))
+        .collect()[0]
+        .a
+    )
+    assert acc >= 0.95, acc
+
+
+def test_logreg_partitioning_invariance(spark, docs):
+    from big_data_elt_pipeline_spark.operators.classify import (
+        logreg_train_fixed_point,
+    )
+
+    labeled = _planted_logreg_corpus(docs)
+    a = sorted((r.feature, r.weight)
+               for r in logreg_train_fixed_point(labeled).collect())
+    b = sorted(
+        (r.feature, r.weight)
+        for r in logreg_train_fixed_point(labeled.repartition(19)).collect()
+    )
+    assert a == b
+
+
+def _bpe_python_reference(texts, rounds):
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            vocab[w] += 1
+    syms = {w: [*w, "</w>"] for w in vocab}
+    merges = []
+    for r in range(1, rounds + 1):
+        pc = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, a + b, cnt))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_imperative_reference(spark, docs):
+    from big_data_elt_pipeline_spark.operators.tokenizer import bpe_train
+
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train(docs, rounds=6).orderBy("merge_round").collect()
+    ]
+    ref, _ = _bpe_python_reference(
+        [r.text for r in docs.select("text").collect()], 6
+    )
+    assert got == ref
+
+
+def test_bpe_greedy_overlap_chain(spark):
+    from big_data_elt_pipeline_spark.operators.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    # "aaaa" under pair (a,a): greedy left-to-right gives "aa aa", never
+    # three overlapping merges — the island-parity semantics under test
+    docs = spark.createDataFrame([(1, "aaaa aaa")], "doc_id long, text string")
+    merges = bpe_train(docs, rounds=1).collect()
+    assert (merges[0].left_sym, merges[0].right_sym) == ("a", "a")
+    seg = {
+        r.word: list(r.pieces)
+        for r in bpe_segment(docs, [(1, "a", "a")]).collect()
+    }
+    assert seg["aaaa"] == ["aa", "aa", "</w>"]
+    assert seg["aaa"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_segment_replays_training(spark, docs):
+    from big_data_elt_pipeline_spark.operators.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    rounds = 5
+    merges = [
+        (r.merge_round, r.left_sym, r.right_sym)
+        for r in bpe_train(docs, rounds=rounds).collect()
+    ]
+    seg = bpe_segment(docs.limit(50), merges)
+    _, ref_syms = _bpe_python_reference(
+        [r.text for r in docs.select("text").collect()], rounds
+    )
+    for r in seg.collect():
+        assert list(r.pieces) == ref_syms[r.word], r.word
+        # pieces reassemble to the word + terminal marker
+        assert "".join(r.pieces) == r.word + "</w>"
+
+
+def test_classification_report_hand_case(spark):
+    from big_data_elt_pipeline_spark.operators.classify import (
+        classification_report,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+        "t string, g string",
+    )
+    rep = {r.label: r for r in classification_report(pairs).collect()}
+    # a: n_true 2, n_pred 2, tp 1 -> p = r = 0.5, f1 = 0.5
+    assert (rep["a"].n_true, rep["a"].n_pred, rep["a"].tp) == (2, 2, 1)
+    assert rep["a"].precision == 0.5 and rep["a"].recall == 0.5
+    assert rep["a"].f1 == 0.5
+    # b: n_true 2, n_pred 3, tp 2
+    assert rep["b"].precision == 2 / 3 and rep["b"].recall == 1.0
+    # c: predicted never -> precision NULL, recall 0, f1 NULL (0/0)
+    assert rep["c"].n_pred == 0 and rep["c"].precision is None
+    assert rep["c"].recall == 0.0 and rep["c"].f1 is None
+
+
+def test_classification_report_label_only_in_pred(spark):
+    from big_data_elt_pipeline_spark.operators.classify import (
+        classification_report,
+    )
+
+    pairs = spark.createDataFrame([("a", "z")], "t string, g string")
+    rep = {r.label: r for r in classification_report(pairs).collect()}
+    assert rep["z"].n_true == 0 and rep["z"].n_pred == 1
+    assert rep["z"].recall is None and rep["z"].precision == 0.0
