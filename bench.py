@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "nb_lang_classifier", "gopher_quality_filter", "temperature_mixture",
     "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
     "pca_top_component",
+    # round 8, second wave: value-hashable trainers + eval suite + BPE
+    "kmeans_centroids", "classifier_auc", "logreg_quality_model",
+    "bpe_merges", "bpe_vocab", "lang_id_report", "embedding_audit",
 ]
 
 

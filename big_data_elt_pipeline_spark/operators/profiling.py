@@ -55,3 +55,69 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
         "column string, dtype string, n_rows long, n_nulls long, "
         "n_distinct long, min_value string, max_value string",
     )
+
+
+def embedding_audit(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(metric, value) rows: the hygiene audit a vector table needs before
+    any similarity/clustering pass trusts it — NULL vectors, wrong
+    dimensionality, non-finite components, exact-zero vectors (cosine is
+    undefined on them; every ANN operator here precomputes norms), plus
+    the norm distribution at p01/p50/p99. One corpus scan for the counts
+    + one bounded histogram pass for the percentiles.
+
+    Determinism: norms are exact-decimal sums of 12-dp-snapped squares
+    under the IEEE-correctly-rounded sqrt (the covariance discipline),
+    then quantized to 6 dp so the percentile histogram's state is bounded
+    by the value domain, not the corpus (``quantized_percentiles``)."""
+    from big_data_elt_pipeline_spark.operators.quality import (
+        quantized_percentiles,
+    )
+
+    v = F.col(vec_col)
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) > F.lit(1e308))
+    )
+    zero = F.forall(v, lambda x: x.cast("double") == F.lit(0.0))
+    flags = emb.select(
+        F.when(v.isNull(), 1).otherwise(0).alias("is_null"),
+        F.when(v.isNotNull() & (F.size(v) != F.lit(dim)), 1)
+        .otherwise(0)
+        .alias("wrong_dim"),
+        F.when(v.isNotNull() & nonfinite, 1).otherwise(0).alias("bad_val"),
+        F.when(v.isNotNull() & ~nonfinite & zero, 1).otherwise(0).alias("zero"),
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("double").alias("n_vectors"),
+        F.sum("is_null").cast("double").alias("n_null"),
+        F.sum("wrong_dim").cast("double").alias("n_wrong_dim"),
+        F.sum("bad_val").cast("double").alias("n_nonfinite"),
+        F.sum("zero").cast("double").alias("n_zero"),
+    )
+    long_counts = counts.selectExpr(
+        "stack(5, 'n_vectors', n_vectors, 'n_null', n_null, "
+        "'n_wrong_dim', n_wrong_dim, 'n_nonfinite', n_nonfinite, "
+        "'n_zero', n_zero) AS (metric, value)"
+    )
+    sq = F.aggregate(
+        F.zip_with(v, v, lambda a, b: F.round(
+            a.cast("double") * b.cast("double"), 12).cast("decimal(38,12)")),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, p: (acc + p).cast("decimal(38,12)"),
+    )
+    # non-finite vectors are excluded from the norm histogram (their norm
+    # is undefined — NaN squares become NULL decimals mid-sum); they are
+    # already counted under n_nonfinite. Wrong-dim vectors keep their
+    # (well-defined) norm: the audit reports what is there.
+    norms = emb.filter(v.isNotNull() & ~nonfinite).select(
+        F.round(F.sqrt(sq.cast("double")), 6).alias("norm")
+    )
+    pct = quantized_percentiles(norms, "norm", [0.01, 0.5, 0.99]).select(
+        F.concat(F.lit("norm_p"), F.lpad((F.col("p") * 100).cast("int"), 2, "0")
+                 ).alias("metric"),
+        F.col("value"),
+    )
+    return long_counts.unionByName(pct)

@@ -1922,3 +1922,68 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd_fixed_point(
         emb, _KM_DIM, k=_KM_K, iters=_KM_ITERS
     ).orderBy("cluster_id", "i")
+
+
+# --------------------------------------------------------------------------
+# embedding_audit: the vector-table hygiene audit (NULLs, wrong dims,
+# non-finite components, zero vectors, norm distribution) every
+# similarity/clustering pass should gate on.
+# --------------------------------------------------------------------------
+
+_EMB_AUDIT_SQL = f"""
+WITH comp AS (
+    -- non-finite vectors excluded: their norm is undefined (counted
+    -- under n_nonfinite); wrong-dim vectors keep their norm
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                          OR abs(CAST(x AS DOUBLE)) > 1e308)) = 0
+),
+norms AS (
+    SELECT round(sqrt(CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)), 6) AS norm
+    FROM comp GROUP BY vec_id
+),
+flags AS (
+    SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+           CASE WHEN embedding IS NOT NULL AND len(embedding) <> {_COV_DIM}
+                THEN 1 ELSE 0 END AS wrong_dim,
+           CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+                     x -> isnan(CAST(x AS DOUBLE))
+                          OR abs(CAST(x AS DOUBLE)) > 1e308)) > 0
+                THEN 1 ELSE 0 END AS bad_val,
+           CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+                     x -> isnan(CAST(x AS DOUBLE))
+                          OR abs(CAST(x AS DOUBLE)) > 1e308)) = 0
+                     AND len(list_filter(embedding,
+                             x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+                THEN 1 ELSE 0 END AS zero
+    FROM embeddings
+)
+SELECT metric, value FROM (
+    SELECT 'n_vectors' AS metric, CAST(count(*) AS DOUBLE) AS value FROM flags
+    UNION ALL SELECT 'n_null', CAST(sum(is_null) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'n_wrong_dim', CAST(sum(wrong_dim) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'n_nonfinite', CAST(sum(bad_val) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'n_zero', CAST(sum(zero) AS DOUBLE) FROM flags
+    UNION ALL SELECT 'norm_p01', quantile_cont(norm, 0.01) FROM norms
+    UNION ALL SELECT 'norm_p50', quantile_cont(norm, 0.50) FROM norms
+    UNION ALL SELECT 'norm_p99', quantile_cont(norm, 0.99) FROM norms
+)
+ORDER BY metric
+"""
+
+
+@register("embedding_audit", _EMB_AUDIT_SQL)
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene audit: NULL/wrong-dim/non-finite/zero-vector
+    counts plus the norm distribution at p01/p50/p99 — one corpus scan for
+    the flags, one bounded value-histogram pass for the exact percentiles
+    (norms are decimal-exact 12-dp-snapped square sums quantized to 6 dp,
+    so the histogram state is bounded by the value domain). Contract in
+    ``operators/profiling.embedding_audit``."""
+    from big_data_elt_pipeline_spark.operators.profiling import embedding_audit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_audit(emb, _COV_DIM).orderBy("metric")

@@ -961,3 +961,38 @@ def test_classification_report_label_only_in_pred(spark):
     rep = {r.label: r for r in classification_report(pairs).collect()}
     assert rep["z"].n_true == 0 and rep["z"].n_pred == 1
     assert rep["z"].recall is None and rep["z"].precision == 0.0
+
+
+def test_embedding_audit_dirty_fixture(spark):
+    from big_data_elt_pipeline_spark.operators.profiling import embedding_audit
+
+    emb = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0]),            # norm 5
+            (1, [0.0, 0.0]),            # zero vector
+            (2, None),                  # NULL
+            (3, [1.0]),                 # wrong dim
+            (4, [float("nan"), 1.0]),   # non-finite
+            (5, [6.0, 8.0]),            # norm 10
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.metric: r.value for r in embedding_audit(emb, 2).collect()}
+    assert got["n_vectors"] == 6.0
+    assert got["n_null"] == 1.0
+    assert got["n_wrong_dim"] == 1.0
+    assert got["n_nonfinite"] == 1.0
+    assert got["n_zero"] == 1.0
+    # norm histogram over the finite non-null rows: {0, 1, 5, 10}
+    # (quantile_cont interpolation: idx = p*(n-1))
+    assert got["norm_p50"] == 3.0
+    assert abs(got["norm_p99"] - 9.85) < 1e-9
+
+
+def test_embedding_audit_clean_corpus(spark, emb):
+    from big_data_elt_pipeline_spark.operators.profiling import embedding_audit
+
+    got = {r.metric: r.value for r in embedding_audit(emb, 64).collect()}
+    assert got["n_null"] == got["n_wrong_dim"] == got["n_nonfinite"] == 0.0
+    assert got["n_vectors"] == emb.count()
+    assert got["norm_p50"] == 1.0  # unit-normalized synthetic embeddings
