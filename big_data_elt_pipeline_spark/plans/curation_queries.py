@@ -1903,3 +1903,109 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_freq"), F.asc("piece"))
         .limit(_BPE_VOCAB_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# curation_recipe: the end-to-end modern curation pipeline (RefinedWeb /
+# FineWeb shape) — URL filter -> C4 line cleaning -> Gopher rules -> LM
+# fluency cut -> exact dedup — SEQUENTIALLY, each stage over the previous
+# stage's survivors (order matters: the LM median is the median of what
+# reaches it), with the per-stage attrition audit every corpus report
+# leads with. The oracle composes the SAME stage SQL used by the
+# individual gates, re-pointed at each survivor relation.
+# --------------------------------------------------------------------------
+
+def _stage_sub(stage_sql: str, input_cte: str) -> str:
+    """Re-point a standalone stage oracle at a survivor CTE. Each stage
+    SQL reads `FROM documents` exactly ONCE by construction — asserted so
+    a future edit cannot silently leave half a stage reading the raw
+    corpus."""
+    if stage_sql.count("FROM documents") != 1:
+        raise ValueError("stage SQL must read FROM documents exactly once")
+    return "(" + stage_sql.replace("FROM documents", f"FROM {input_cte}") + ")"
+
+
+def _recipe_sql() -> str:
+    return f"""
+WITH d0 AS (SELECT doc_id, text FROM documents),
+u AS (SELECT doc_id, keep FROM {_stage_sub(_URL_SQL, 'd0')}),
+d1 AS (SELECT d0.* FROM d0 JOIN u USING (doc_id) WHERE u.keep),
+c AS (SELECT doc_id, keep_doc FROM {_stage_sub(_C4_SQL, 'd1')}),
+d2 AS (SELECT d1.* FROM d1 JOIN c USING (doc_id) WHERE c.keep_doc),
+g AS (SELECT doc_id, keep_doc FROM {_stage_sub(_gopher_sql(), 'd2')}),
+d3 AS (SELECT d2.* FROM d2 JOIN g USING (doc_id) WHERE g.keep_doc),
+l AS (SELECT doc_id, keep FROM {_stage_sub(_LM_SQL, 'd3')}),
+d4 AS (SELECT d3.* FROM d3 JOIN l USING (doc_id) WHERE l.keep),
+fp AS (SELECT doc_id,
+              md5(array_to_string({_TOK.format(c='text')}, ' ')) AS fp
+       FROM d4),
+sv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+d5 AS (SELECT d4.* FROM d4 JOIN sv USING (doc_id)),
+n0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d0),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d1),
+n2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d2),
+n3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d3),
+n4 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d4),
+n5 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM d5)
+SELECT * FROM (
+    SELECT '1_url' AS stage, n0.c AS docs_in, n1.c AS docs_out,
+           n0.c - n1.c AS removed FROM n0, n1
+    UNION ALL SELECT '2_c4', n1.c, n2.c, n1.c - n2.c FROM n1, n2
+    UNION ALL SELECT '3_gopher', n2.c, n3.c, n2.c - n3.c FROM n2, n3
+    UNION ALL SELECT '4_lm', n3.c, n4.c, n3.c - n4.c FROM n3, n4
+    UNION ALL SELECT '5_dedup', n4.c, n5.c, n4.c - n5.c FROM n4, n5
+)
+ORDER BY stage
+"""
+
+
+@register("curation_recipe", _recipe_sql())
+def q_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation in the RefinedWeb/FineWeb stage order — URL
+    blocklist, C4 line cleaning, Gopher document rules, LM fluency cut at
+    the survivors' median, exact dedup (skew-safe min-per-fingerprint
+    survivor, the r8 discipline) — each stage consuming the previous
+    stage's survivors via left_semi joins, emitting the per-stage
+    attrition audit. Stage costs: URL/C4/Gopher are map-only flags, LM is
+    one bucket-bounded model build + a broadcast probe, dedup one
+    partial-aggregated groupBy(fingerprint); the semi-joins are
+    AQE-sized. Contracts in ``operators/quality`` / ``operators/
+    classify``; stage oracles are the SAME SQL as the individual gates,
+    composed."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d0 = docs
+    u = QL.url_domain_audit(_url_seed_spark(d0))
+    d1 = d0.join(u.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    c4 = QL.c4_line_stats(d1)
+    d2 = d1.join(
+        c4.filter("keep_doc").select("doc_id"), "doc_id", "left_semi"
+    )
+    g = QL.gopher_rules(d2)
+    d3 = d2.join(
+        g.filter("keep_doc").select("doc_id"), "doc_id", "left_semi"
+    )
+    lm = QL.lm_scores(d3)
+    d4 = d3.join(lm.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    fp = d4.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    sv = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    d5 = d4.join(sv.select("doc_id"), "doc_id", "left_semi")
+    out = None
+    for name, din, dout in (
+        ("1_url", d0, d1),
+        ("2_c4", d1, d2),
+        ("3_gopher", d2, d3),
+        ("4_lm", d3, d4),
+        ("5_dedup", d4, d5),
+    ):
+        row = (
+            din.agg(F.count(F.lit(1)).alias("docs_in"))
+            .crossJoin(dout.agg(F.count(F.lit(1)).alias("docs_out")))
+            .select(
+                F.lit(name).alias("stage"),
+                "docs_in",
+                "docs_out",
+                (F.col("docs_in") - F.col("docs_out")).alias("removed"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("stage")

@@ -1024,6 +1024,14 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # incremental-dedup family keeps incremental_substrings and
 # incremental_span_removal gated, and the minhash form keeps its
 # pytest + the local sweep).
+# Round-8 twelfth pass: IN ``curation_recipe`` (the end-to-end
+# RefinedWeb/FineWeb stage chain — URL -> C4 -> Gopher -> LM -> exact
+# dedup over successive survivor sets with the per-stage attrition
+# audit; its oracle COMPOSES the same stage SQL the individual gates
+# run); OUT ``dsir_weights`` (gated r07-r08 debut window served; its
+# weight CTEs are literally embedded in gated ``dsir_select``'s oracle,
+# so the machinery keeps a gate seat, and the weights table stays in
+# the local sweep).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1040,7 +1048,7 @@ ROWS_ONLY_ANNEX = frozenset({
 _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "kmeans_centroids", "classifier_auc",
-    "dsir_weights", "dsir_select",
+    "curation_recipe", "dsir_select",
     "dedup_blocks", "dedup_substrings",
     "dedup_span_removal",
     "lang_id_report", "dedup_incremental_substrings",

@@ -996,3 +996,23 @@ def test_embedding_audit_clean_corpus(spark, emb):
     assert got["n_null"] == got["n_wrong_dim"] == got["n_nonfinite"] == 0.0
     assert got["n_vectors"] == emb.count()
     assert got["norm_p50"] == 1.0  # unit-normalized synthetic embeddings
+
+
+def test_curation_recipe_funnel_contract(spark):
+    from big_data_elt_pipeline_spark.plans.curation_queries import (
+        q_curation_recipe,
+    )
+
+    rows = q_curation_recipe(spark, SF_SMOKE).collect()
+    assert [r.stage for r in rows] == [
+        "1_url", "2_c4", "3_gopher", "4_lm", "5_dedup"
+    ]
+    for r in rows:
+        assert 0 <= r.docs_out <= r.docs_in
+        assert r.removed == r.docs_in - r.docs_out
+    # stages chain: each stage's input is the previous stage's output
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_in == prev.docs_out
+    # every upstream stage must actually bite on this corpus (the LM cut
+    # removes ~half by construction: keep = nll <= median)
+    assert rows[0].removed > 0 and rows[3].removed > 0
