@@ -1973,39 +1973,126 @@ def q_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     classify``; stage oracles are the SAME SQL as the individual gates,
     composed."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d0 = docs
-    u = QL.url_domain_audit(_url_seed_spark(d0))
-    d1 = d0.join(u.filter("keep").select("doc_id"), "doc_id", "left_semi")
-    c4 = QL.c4_line_stats(d1)
-    d2 = d1.join(
-        c4.filter("keep_doc").select("doc_id"), "doc_id", "left_semi"
+    # Stages 1-3 are MAP-ONLY per-document flags: evaluating them on the
+    # raw corpus or on a survivor subset yields the same per-doc verdict,
+    # so the SEQUENTIAL counts equal cumulative flag-ANDs — one combined
+    # flag relation and ONE aggregate replace the naive per-stage
+    # semi-join/count chain (whose lazy recompute ballooned to 91
+    # exchanges in the plan audit). LM (median of what reaches it) and
+    # dedup (first-survivor-relative) are genuinely order-dependent and
+    # stay sequential over the stage-3 survivors.
+    u = QL.url_domain_audit(_url_seed_spark(docs)).select(
+        "doc_id", F.col("keep").alias("k1")
     )
-    g = QL.gopher_rules(d2)
-    d3 = d2.join(
-        g.filter("keep_doc").select("doc_id"), "doc_id", "left_semi"
+    c4 = QL.c4_line_stats(docs).select(
+        "doc_id", F.col("keep_doc").alias("k2")
     )
+    g = QL.gopher_rules(docs).select(
+        "doc_id", F.col("keep_doc").alias("k3")
+    )
+    flg = (
+        docs.join(u, "doc_id").join(c4, "doc_id").join(g, "doc_id")
+        .select(
+            "doc_id", "text", "k1",
+            (F.col("k1") & F.col("k2")).alias("k12"),
+            (F.col("k1") & F.col("k2") & F.col("k3")).alias("k123"),
+        )
+    )
+    c0123 = flg.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("k1").cast("long")).alias("n1"),
+        F.sum(F.col("k12").cast("long")).alias("n2"),
+        F.sum(F.col("k123").cast("long")).alias("n3"),
+    )
+    d3 = flg.filter("k123").select("doc_id", "text")
     lm = QL.lm_scores(d3)
     d4 = d3.join(lm.filter("keep").select("doc_id"), "doc_id", "left_semi")
     fp = d4.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
     sv = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    d5 = d4.join(sv.select("doc_id"), "doc_id", "left_semi")
-    out = None
-    for name, din, dout in (
-        ("1_url", d0, d1),
-        ("2_c4", d1, d2),
-        ("3_gopher", d2, d3),
-        ("4_lm", d3, d4),
-        ("5_dedup", d4, d5),
-    ):
-        row = (
-            din.agg(F.count(F.lit(1)).alias("docs_in"))
-            .crossJoin(dout.agg(F.count(F.lit(1)).alias("docs_out")))
-            .select(
-                F.lit(name).alias("stage"),
-                "docs_in",
-                "docs_out",
-                (F.col("docs_in") - F.col("docs_out")).alias("removed"),
+    c45 = d4.agg(F.count(F.lit(1)).alias("n4")).crossJoin(
+        sv.agg(F.count(F.lit(1)).alias("n5"))
+    )
+    ns = c0123.crossJoin(c45)
+    rows = [
+        ("1_url", "n0", "n1"),
+        ("2_c4", "n1", "n2"),
+        ("3_gopher", "n2", "n3"),
+        ("4_lm", "n3", "n4"),
+        ("5_dedup", "n4", "n5"),
+    ]
+    # one explode over the single counts row — a per-row UNION would lazily
+    # recompute the whole funnel once per audit row
+    return ns.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(cin).cast("long").alias("docs_in"),
+                        F.col(cout).cast("long").alias("docs_out"),
+                        (F.col(cin) - F.col(cout)).cast("long").alias(
+                            "removed"
+                        ),
+                    )
+                    for name, cin, cout in rows
+                ]
             )
+        ).alias("r")
+    ).select("r.*").orderBy("stage")
+
+
+_BPE_DOC_TAIL = f"""
+,
+wp AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+    FROM s{_BPE_ROUNDS} GROUP BY word
+),
+docw AS (
+    SELECT doc_id, unnest({_TOK.format(c='text')}) AS word FROM documents
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces
+FROM docw JOIN wp USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _bpe_doc_tokens_sql() -> str:
+    """Training CTE chain + the per-doc piece-count tail (the merge-table
+    tail is cut at its final SELECT, like _bpe_vocab_sql)."""
+    full = _bpe_sql()
+    tail_at = full.rindex("SELECT * FROM (")
+    head = full[:tail_at].rstrip()
+    if not head.endswith(")"):
+        raise ValueError("unexpected _bpe_sql shape")
+    return head + _BPE_DOC_TAIL
+
+
+@register("bpe_doc_tokens", _bpe_doc_tokens_sql())
+def q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the corpus's own learned BPE
+    vocabulary — the cost model every sequence-packing / mixture-budget
+    stage actually needs (whitespace words over-count short morphemes,
+    under-count rare words). No driver-side model: each word's piece
+    count comes straight off the trainer's final symbol relation (one
+    vocabulary-bounded groupBy), then one broadcast-ish join from the
+    word occurrences. Contract in ``operators/tokenizer.bpe_train_state``."""
+    from big_data_elt_pipeline_spark.operators import tokenizer as TK
+    from big_data_elt_pipeline_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, syms = TK.bpe_train_state(docs, rounds=_BPE_ROUNDS)
+    wp = syms.groupBy("word").agg(F.count(F.lit(1)).alias("n_pieces"))
+    docw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        docw.join(wp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("stage")
+        .orderBy("doc_id")
+    )
