@@ -2096,3 +2096,32 @@ def q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("stream_doc_scoring", None)  # streaming sink — rows-only contract
+def q_stream_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-sigmoid logreg scoring of a document FILE STREAM: the model
+    (trained batch-side on the planted-label corpus) broadcasts into each
+    micro-batch as a single-row map column and the margin is an exact
+    decimal fold INSIDE the row — stateless append-mode streaming with no
+    watermark, no state store, no shuffle (the stream-static enrichment
+    discipline applied to inference). Stream == batch predictor is
+    asserted row-for-row in pytest; no SQL oracle can express a streaming
+    sink, so this is a documented rows-only entry. Contract in
+    ``streaming/scoring.py``."""
+    from big_data_elt_pipeline_spark.streaming.scoring import (
+        stream_scored_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(_LR_MARK))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+    )
+    model = CL.logreg_train_fixed_point(labeled)
+    return stream_scored_documents(spark, sf_dir, model).orderBy("doc_id")

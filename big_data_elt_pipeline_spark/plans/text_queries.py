@@ -1987,3 +1987,49 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_audit(emb, _COV_DIM).orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# knn_graph_mutual: the bucketed k-NN graph + mutual-kNN symmetrization —
+# the edge relation graph-based curation (SemDeDup clustering, graph
+# dedup) builds on. Oracle mirrors the same bucketed algorithm (the
+# ann_lsh_topk discipline), so the check stays exact.
+# --------------------------------------------------------------------------
+
+_KNN_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding,
+           {_sign_bucket_sql("embedding", 4)} AS bucket
+    FROM embeddings
+),
+scored AS (
+    SELECT s.vec_id AS src, d.vec_id AS dst,
+           {_cos("s.embedding", "d.embedding")} AS cosine
+    FROM b s JOIN b d USING (bucket)
+    WHERE s.vec_id != d.vec_id
+),
+edges AS (
+    SELECT src, dst, cosine,
+           CAST(row_number() OVER (PARTITION BY src
+                ORDER BY cosine DESC, dst ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+)
+SELECT e.src, e.dst, e.cosine, e.rank,
+       coalesce(r.m, false) AS mutual
+FROM edges e
+LEFT JOIN (SELECT dst AS src, src AS dst, true AS m FROM edges) r
+       USING (src, dst)
+ORDER BY src, rank
+"""
+
+
+@register("knn_graph_mutual", _KNN_SQL)
+def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph (k=5) over sign-bucket candidates with the mutual-kNN
+    flag: corpus self-equi-join on the bucket key (no broadcast, no
+    cartesian), per-src top-k window over bucket-bounded candidates, one
+    reversed-pair self-join of the k-sized edge relation. Contract in
+    ``operators/similarity.knn_graph``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=5, n_bits=4).orderBy("src", "rank")

@@ -1,0 +1,134 @@
+"""Model scoring on a document stream (beyond-reference surface).
+
+The quality/language classifier every ingest pipeline runs is a SCORING
+pass, and the streaming-correct shape is map-only: the trained model is a
+tokenizer-config-sized weight table, so it rides into every micro-batch
+as a broadcast single-row MAP column and the margin is computed INSIDE
+the row — per-doc feature extraction, map lookups, and an exact decimal
+fold over the doc's own distinct buckets. No per-doc aggregation state,
+no watermark, no shuffle: the stream side stays append-mode stateless
+(the stream-static enrichment discipline, applied to inference).
+
+Bit-equality contract: the batch predictor (`classify.logreg_predict`)
+accumulates the same weights as DECIMAL(25,9) through a groupBy; the
+in-row fold here uses the same decimal accumulator, so the two margins
+are exactly equal (order-free exact addition), and stream == batch is
+asserted row-for-row in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark.functions.text import hash60, word_shingles
+from big_data_elt_pipeline_spark.operators.classify import (
+    LOGREG_BUCKETS,
+    _hard_sigmoid,
+)
+
+
+def model_map_row(model: DataFrame) -> DataFrame:
+    """Collapse a (feature, weight) model relation into ONE row carrying
+    (wmap: map<bigint,double>, bias: double) — the broadcastable form a
+    stream can crossJoin statelessly. Stays a DataFrame end-to-end (no
+    driver collect)."""
+    return (
+        model.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("feature") >= 0,
+                        F.struct(F.col("feature"), F.col("weight")),
+                    )
+                ).cast("array<struct<feature:bigint,weight:double>>")
+            ).alias("wmap"),
+            F.max(
+                F.when(F.col("feature") < 0, F.col("weight"))
+            ).alias("bias"),
+        )
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    model_row: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LOGREG_BUCKETS,
+) -> DataFrame:
+    """(id, score, predicted): map-only hard-sigmoid scoring — works
+    identically on a batch DataFrame and a streaming one (the model row
+    broadcasts into each micro-batch; everything else is per-row)."""
+    bkts = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), 2),
+            lambda s: F.pmod(hash60(s), F.lit(buckets)),
+        )
+    )
+    zero = F.lit(0).cast("decimal(25,9)")
+    margin = F.aggregate(
+        bkts,
+        zero,
+        lambda acc, b: (
+            acc
+            + F.coalesce(
+                F.element_at(F.col("wmap"), b).cast("decimal(25,9)"), zero
+            )
+        ).cast("decimal(25,9)"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(model_row))
+        .select(
+            F.col(id_col),
+            _hard_sigmoid(margin.cast("double") + F.col("bias")).alias(
+                "score"
+            ),
+        )
+        .select(
+            id_col,
+            "score",
+            (F.col("score") > 0.5).cast("int").alias("predicted"),
+        )
+    )
+
+
+def _staged_docs_dir(sf_dir: str) -> str:
+    import pathlib
+    import shutil
+
+    stage = (
+        pathlib.Path("/tmp/spark_graft_stream_docs") / pathlib.Path(sf_dir).name
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    target = stage / "documents.parquet"
+    if not target.exists():
+        shutil.copyfile(f"{sf_dir}/documents.parquet", target)
+    return str(stage)
+
+
+def stream_scored_documents(
+    spark: SparkSession, sf_dir: str, model: DataFrame
+) -> DataFrame:
+    """Score a document FILE STREAM under a trained model: readStream ->
+    map-only scoring (model broadcast per micro-batch) -> append-mode
+    memory sink. Stateless, so no watermark and no state store."""
+    stage = _staged_docs_dir(sf_dir)
+    schema = spark.read.parquet(stage).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    scored = score_documents(
+        raw.select("doc_id", "text"), model_map_row(model)
+    )
+    name = "stream_doc_scoring_sink"
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

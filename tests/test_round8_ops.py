@@ -1016,3 +1016,72 @@ def test_curation_recipe_funnel_contract(spark):
     # every upstream stage must actually bite on this corpus (the LM cut
     # removes ~half by construction: keep = nll <= median)
     assert rows[0].removed > 0 and rows[3].removed > 0
+
+
+def test_knn_graph_laws(spark, emb):
+    from big_data_elt_pipeline_spark.operators.similarity import knn_graph
+
+    edges = knn_graph(emb, k=5, n_bits=4).collect()
+    eset = {(r.src, r.dst) for r in edges}
+    for r in edges:
+        assert 1 <= r.rank <= 5
+        # mutual flag law: flagged iff the reversed directed edge exists
+        assert r.mutual == ((r.dst, r.src) in eset), (r.src, r.dst)
+    # asymmetry exists at this bucket width (otherwise the flag is vacuous)
+    assert any(not r.mutual for r in edges)
+    assert any(r.mutual for r in edges)
+    # per-src uniqueness of ranks
+    seen = {}
+    for r in edges:
+        assert (r.src, r.rank) not in seen
+        seen[(r.src, r.rank)] = r.dst
+
+
+def test_knn_graph_candidates_share_bucket(spark, emb):
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        knn_graph,
+        sign_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    buckets = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", sign_bucket(F.col("embedding"), 4).alias("b")
+        ).collect()
+    }
+    for r in knn_graph(emb, k=3, n_bits=4).collect():
+        assert buckets[r.src] == buckets[r.dst]
+
+
+def test_stream_scoring_equals_batch(spark, docs):
+    from big_data_elt_pipeline_spark.operators.classify import (
+        logreg_predict,
+        logreg_train_fixed_point,
+    )
+    from big_data_elt_pipeline_spark.streaming.scoring import (
+        model_map_row,
+        score_documents,
+        stream_scored_documents,
+    )
+    from tests.conftest import SF_SMOKE
+
+    labeled = _planted_logreg_corpus(docs)
+    model = logreg_train_fixed_point(labeled)
+    batch = {
+        r.doc_id: (r.score, r.predicted)
+        for r in logreg_predict(docs, model).collect()
+    }
+    # the map-only scorer (shared batch/stream path) is bit-equal to the
+    # groupBy-based batch predictor: same decimal accumulator
+    maponly = {
+        r.doc_id: (r.score, r.predicted)
+        for r in score_documents(docs, model_map_row(model)).collect()
+    }
+    assert maponly == batch
+    # and the real streaming run through the memory sink matches too
+    streamed = {
+        r.doc_id: (r.score, r.predicted)
+        for r in stream_scored_documents(spark, SF_SMOKE, model).collect()
+    }
+    assert streamed == batch
