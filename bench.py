@@ -102,7 +102,7 @@ BENCH_QUERIES = [
     # round 8, second wave: value-hashable trainers + eval suite + BPE
     "kmeans_centroids", "classifier_auc", "logreg_quality_model",
     "bpe_merges", "bpe_vocab", "lang_id_report", "embedding_audit",
-    "curation_recipe",
+    "curation_recipe", "knn_graph_mutual", "knn_semantic_clusters",
 ]
 
 

@@ -2033,3 +2033,57 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/similarity.knn_graph``."""
     emb = read_table(spark, sf_dir, "embeddings")
     return SIM.knn_graph(emb, k=5, n_bits=4).orderBy("src", "rank")
+
+
+# --------------------------------------------------------------------------
+# knn_semantic_clusters: mutual-kNN edges -> connected components — the
+# graph-clustering step of SemDeDup-style semantic curation, composed
+# from knn_graph + the pointer-jumping CC resolver. Oracle = the same
+# mutual edge relation closed transitively by a recursive CTE (the
+# dedup_clusters discipline: different plans, identical fixpoint).
+# --------------------------------------------------------------------------
+
+_KNN_CLUSTERS_SQL = f"""
+WITH RECURSIVE kpairs AS (
+    SELECT src AS id1, dst AS id2 FROM (
+{_KNN_SQL}
+    ) WHERE mutual AND src < dst
+),
+und AS (
+    SELECT id1 AS u, id2 AS v FROM kpairs
+    UNION
+    SELECT id2 AS u, id1 AS v FROM kpairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM und
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+),
+labels AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labels
+ORDER BY doc_id
+"""
+
+
+@register("knn_semantic_clusters", _KNN_CLUSTERS_SQL)
+def q_knn_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN edges resolved to connected components: one row per
+    clustered vector with the deterministic canonical (= component-min
+    id) — the graph-clustering backbone of semantic dedup/curation.
+    Composition of two gated kernels: the bucketed k-NN graph (no
+    broadcast, no cartesian) and the O(log d) pointer-jumping CC
+    resolver; the oracle closes the same edge relation with a recursive
+    CTE. Contracts in ``operators/similarity.knn_graph`` /
+    ``operators/dedup.neardup_clusters``."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    edges = (
+        SIM.knn_graph(emb, k=5, n_bits=4)
+        .filter(F.col("mutual") & (F.col("src") < F.col("dst")))
+        .select(F.col("src").alias("id1"), F.col("dst").alias("id2"))
+    )
+    return DD.neardup_clusters(edges).orderBy("doc_id")

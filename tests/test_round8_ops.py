@@ -1085,3 +1085,34 @@ def test_stream_scoring_equals_batch(spark, docs):
         for r in stream_scored_documents(spark, SF_SMOKE, model).collect()
     }
     assert streamed == batch
+
+
+def test_knn_semantic_clusters_vs_union_find(spark, emb):
+    from big_data_elt_pipeline_spark.operators.dedup import neardup_clusters
+    from big_data_elt_pipeline_spark.operators.similarity import knn_graph
+
+    g = knn_graph(emb, k=5, n_bits=4)
+    pairs = [
+        (r.src, r.dst)
+        for r in g.filter(F.col("mutual") & (F.col("src") < F.col("dst"))).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in pairs:
+        for x in (a, b):
+            expected[x] = find(x)
+    edges_df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(edges_df).collect()}
+    assert got == expected
