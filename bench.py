@@ -7,11 +7,14 @@ chars of stdout, and the r05 single 2+ KB JSON line lost its head there):
   record; survives in full stdout and in BENCH_LOCAL.json),
 - the full-fidelity report is ALSO written to ``BENCH_LOCAL.json`` in the
   repo root (4-decimal timings, scale-point row counts),
-- the LAST TWO lines are compact (2-decimal, no spaces) and together stay
-  under the 2000-char tail window: an extras line (streaming throughput +
-  scaled-corpus exhibit, nested) and the headline line
-  ``{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}``
-  carrying every BENCH_QUERIES + pipeline-stage timing.
+- the LAST TWO lines are compact (no spaces) and together stay under the
+  2000-char tail window: an extras line (streaming throughput + hot-key
+  exhibit + as much of the scale block as fits) and the headline line
+  ``{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}``.
+  The suite outgrew the window (106 timings = 2384 chars), so the
+  headline itself degrades when needed: 1-dp timings, then the CHEAPEST
+  entries drop one at a time with a ``qdr`` dropped-count marker —
+  full-fidelity timings always live in BENCH_LOCAL.json.
 
 Timing covers plan construction + full execution (count of the result) per
 query on a warm shared session — the reference's 118 s baseline was
@@ -348,6 +351,29 @@ def main() -> None:
     # tail window: extras first, headline LAST (it must parse even if the
     # extras line loses its head)
     headline_line = json.dumps(headline, separators=(",", ":"))
+    # the suite has grown past the point where even the headline alone can
+    # bust the driver's 2000-char tail (measured: 2384 chars at 106
+    # timings — the driver would keep a HEADLESS, unparseable JSON line).
+    # Degrade the headline itself: 1-dp timings, then drop the CHEAPEST
+    # entries one at a time with a "qdr" dropped-count marker — the
+    # expensive entries are the informative ones, and the full-fidelity
+    # map is always in BENCH_LOCAL.json.
+    # 260 chars stay reserved for the extras line (stream throughput +
+    # hot-key exhibit at least); the scale block may no longer fit stdout
+    # at this suite size — BENCH_LOCAL.json is the canonical carrier.
+    if len(headline_line) > 1690:
+        q1 = {k: round(v, 1) for k, v in timings.items()}
+        order = sorted(q1, key=lambda k: (q1[k], k))  # cheapest first
+        dropped = 0
+        while True:
+            headline_line = json.dumps(
+                {**headline, "queries": q1, "qdr": dropped},
+                separators=(",", ":"),
+            )
+            if len(headline_line) <= 1690 or not order:
+                break
+            q1.pop(order.pop(0))
+            dropped += 1
     # greedy extras assembly (r7 verdict #2: degrade by dropping the
     # LEAST informative pieces one at a time — never the whole scale
     # block). Components are added in priority order while the combined
