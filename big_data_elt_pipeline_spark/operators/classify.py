@@ -264,10 +264,17 @@ def _nano_update(w: Column, se: Column, n: Column,
         w' = (w9 - q) / 1e9
 
     The floor's division runs in doubles, but numerator and denominator
-    are exact integers (< 2^53 up to ~1e9-document corpora — contract
-    documented); a correctly-rounded division of exact integers can only
-    land ON an integer when the quotient IS that integer, so the floor is
-    exact in both engines. Every other step is integer arithmetic."""
+    are exact integers; a correctly-rounded division of exact integers can
+    only land ON an integer when the quotient IS that integer, so the
+    floor is exact in both engines. Every other step is integer
+    arithmetic. Contract bound: the numerator 2|A| + D stays below 2^53
+    only while 2 * n * 1e9 * lr_num < 2^53, i.e. n <~ 4.5e6 documents at
+    lr = 1/2 — the exact-half-up guarantee holds to there. Beyond it the
+    long -> double conversion rounds the numerator, so the result is no
+    longer guaranteed half-up, but it remains CROSS-ENGINE IDENTICAL:
+    both engines perform the same IEEE round-to-nearest conversion and
+    the same correctly-rounded division, so the iterate cannot drift
+    apart — the parity contract survives, the half-up claim does not."""
     num, den = lr_frac
     w9 = F.round(w * F.lit(1e9)).cast("long")
     a = (se * F.lit(1_000_000_000)).cast("long") * F.lit(num)

@@ -78,8 +78,18 @@ def embedding_audit(
     )
 
     v = F.col(vec_col)
+    # a NULL COMPONENT is flagged explicitly: without the isNull() arm,
+    # Spark's `exists` returns NULL for such a vector (neither counted as
+    # n_nonfinite nor kept by the norm filter) while DuckDB's list_filter
+    # treats the NULL predicate as no-match and sums past the hole — the
+    # one input the two engines would otherwise disagree on. Flagging it
+    # as non-finite counts it once and keeps it out of the norms in BOTH
+    # engines (the oracle mirrors the same predicate).
     nonfinite = F.exists(
-        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) > F.lit(1e308))
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) > F.lit(1e308)),
     )
     zero = F.forall(v, lambda x: x.cast("double") == F.lit(0.0))
     flags = emb.select(

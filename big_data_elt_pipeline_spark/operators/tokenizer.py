@@ -26,10 +26,12 @@ the corpus — the corpus is touched once by the word-count aggregation
 bounded groupBy over the pair space, one LIMIT-1 top-row (deterministic
 (count desc, pair asc) total order), two vocabulary-partitioned windows
 (per-word partitions, bounded by word length — no hot keys), and a
-checkpointed symbol-relation refresh. Positions are left SPARSE after a
-merge (the consumed slot is deleted, survivors keep their offsets):
-adjacency is by ORDER, not contiguity, so ``lead`` over the sparse
-positions is still correct and no renumbering pass is needed.
+checkpointed symbol-relation refresh. Positions are renumbered DENSE
+(row_number() - 1) after every merge: the island-parity filter and the
+"consumed slot = p + 1" deletion are both position ARITHMETIC, so they
+are only correct when adjacency means p + 1 — a sparse-position variant
+mis-groups overlap chains once a merged symbol sits two slots from its
+neighbor (see the inline comment at the merge step).
 """
 
 from __future__ import annotations
@@ -101,6 +103,13 @@ def bpe_train_state(
             .limit(1)
             .localCheckpoint(eager=True)
         )
+        # pair space exhausted (every word fully merged) — an empty winner
+        # would wipe ``syms`` through the crossJoin below; stop at the
+        # converged state instead. (The unrolled oracle SQL has no such
+        # guard: its round count must stay below the corpus's merge depth,
+        # which every gate corpus satisfies by construction.)
+        if best.isEmpty():
+            break
         merge_rows.append(
             best.select(
                 F.lit(r).alias("merge_round"),

@@ -1032,6 +1032,22 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # weight CTEs are literally embedded in gated ``dsir_select``'s oracle,
 # so the machinery keeps a gate seat, and the weights table stays in
 # the local sweep).
+# Round-9 rotation (the r8 verdict's prescription #2: the six
+# never-driver-gated queries debut). IN ``bpe_vocab`` / ``bpe_doc_tokens``
+# (the learned-piece histogram + per-doc token counts under the trained
+# merges — the BPE family's apply side, oracle-exact), ``embedding_audit``
+# (vector-table hygiene; NULL-component handling unified across engines
+# this round), ``knn_graph_mutual`` / ``knn_semantic_clusters`` (the
+# mutual-kNN edge relation + SemDeDup-style CC clustering, now over
+# CENTERED sign buckets — the r8 weak-plan fix, mirrored in the oracle).
+# OUT ``dedup_blocks`` (green r06-r08; the dedup family keeps substrings/
+# span_removal/both incrementals gated), ``lakehouse_pruned_read`` (green
+# r05-r08), ``rolling_7day_revenue`` / ``amount_outliers`` (green r06-r08;
+# window + exact-moment families keep their pytest + local sweep),
+# ``events_props_variant`` (green r06-r08). Annex: ``stream_doc_scoring``
+# debuts (streaming model scoring, rows-only by documented contract with
+# the stream==batch pytest pin) for ``stream_dedup`` (executed r06-r08;
+# keeps its equals-batch pytest + local sweep).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1041,7 +1057,7 @@ GATE_LIMIT = 50
 # them. Anything else rows-only in the window is still an error.
 ROWS_ONLY_ANNEX = frozenset({
     "ann_ivf_topk", "audio_features", "image_features",
-    "hll_monthly_distinct", "stream_attribution", "stream_dedup",
+    "hll_monthly_distinct", "stream_attribution", "stream_doc_scoring",
     "stream_enrich",
 })
 
@@ -1049,7 +1065,7 @@ _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "kmeans_centroids", "classifier_auc",
     "curation_recipe", "dsir_select",
-    "dedup_blocks", "dedup_substrings",
+    "dedup_substrings",
     "dedup_span_removal",
     "lang_id_report", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
@@ -1057,12 +1073,13 @@ _GATE_ORDER = [
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
     "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
     "pca_top_component",
-    "bpe_merges",
-    # r8 debuts: quantized ANN, hybrid retrieval, sketches, sampling, split
+    # BPE family: train + the r9-debut apply side
+    "bpe_merges", "bpe_vocab", "bpe_doc_tokens",
+    # r9 debuts: embedding hygiene + centered-bucket kNN graph/clusters
+    "embedding_audit", "knn_graph_mutual", "knn_semantic_clusters",
+    # r8 wave: quantized ANN, hybrid retrieval, sketches, sampling, split
     "ann_quantized_topk", "hybrid_rrf_topk",
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
-    # lakehouse patterns: data skipping
-    "lakehouse_pruned_read",
     # reference pipeline: silver
     "silver_achats",
     # reference pipeline: gold + serving (ca_monthly rotated out r8 —
@@ -1070,12 +1087,10 @@ _GATE_ORDER = [
     "fact_achats", "dim_clients",
     "client_features", "client_scores",
     "top_clients",
-    # events / streaming twins
-    "events_props_variant",
     # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round
     # green; q2/q9/q20 keep the family's gate presence after their r7
     # debut; all 22 stay in the local parity sweep)
-    "logreg_quality_model", "rolling_7day_revenue", "amount_outliers",
+    "logreg_quality_model",
     "tpch_q2", "tpch_q9", "tpch_q20",
     # ML / graph / recursive
     "pagerank_centrality", "revenue_chain_recursive",
@@ -1083,7 +1098,7 @@ _GATE_ORDER = [
     # for a rows-only record; value semantics pinned by pytest contracts
     "ann_ivf_topk", "audio_features", "image_features",
     "hll_monthly_distinct",
-    "stream_attribution", "stream_dedup", "stream_enrich",
+    "stream_attribution", "stream_doc_scoring", "stream_enrich",
 ]
 
 

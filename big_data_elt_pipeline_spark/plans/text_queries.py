@@ -662,11 +662,38 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-def _sign_bucket_sql(vec: str, n_bits: int) -> str:
-    return " + ".join(
-        f"(CASE WHEN CAST({vec}[{j + 1}] AS DOUBLE) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(n_bits)
-    )
+def _sign_bucket_sql(vec: str, n_bits: int, mus: str | None = None) -> str:
+    """Sign-bucket expression; with ``mus`` set, the CENTERED form
+    (bit j = vec[j] - mus[j] > 0) mirroring ``similarity.sign_bucket`` —
+    one IEEE double subtraction per bit, bit-identical cross-engine."""
+    terms = []
+    for j in range(n_bits):
+        comp = f"CAST({vec}[{j + 1}] AS DOUBLE)"
+        if mus is not None:
+            comp = f"({comp} - {mus}[{j + 1}])"
+        terms.append(
+            f"(CASE WHEN {comp} > 0 THEN CAST({1 << j} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def _mu_ctes(src: str, n_bits: int) -> str:
+    """CTEs ``nmu, mudim, muarr``: exact per-dim means of the first
+    ``n_bits`` embedding components of ``src`` — the DuckDB mirror of
+    ``similarity.component_means`` (DECIMAL(25,9) sums of 9-dp-snapped
+    values, one exact double division; the embedding_covariance mean
+    kernel sliced to the bucketed prefix)."""
+    return f"""nmu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src}),
+mudim AS (
+    SELECT t.i AS i,
+           CAST(sum(CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE), 9)
+                         AS DECIMAL(25,9))) AS DOUBLE)
+               / CAST(max(nmu.n) AS DOUBLE) AS mu
+    FROM {src}, unnest(range(0, {n_bits})) AS t(i), nmu
+    GROUP BY t.i
+),
+muarr AS (SELECT list(mu ORDER BY i) AS mus FROM mudim)"""
 
 
 _EMB2_SQL = """
@@ -683,7 +710,10 @@ emb2 AS (
 
 _NEARDUP_SQL = f"""
 WITH {_EMB2_SQL.strip()},
-b AS (SELECT vec_id, embedding, {_sign_bucket_sql("embedding", 10)} AS bucket FROM emb2)
+{_mu_ctes("emb2", 10)},
+b AS (SELECT vec_id, embedding,
+             {_sign_bucket_sql("embedding", 10, "m.mus")} AS bucket
+      FROM emb2, muarr m)
 SELECT l.vec_id AS id1, r.vec_id AS id2,
        {_cos("l.embedding", "r.embedding")} AS cosine
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
@@ -705,7 +735,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed ANN: the scale path — approximate, so the oracle mirrors the
 # same bucketed algorithm (not brute force), keeping the check exact.
 _ANN_LSH_SQL = f"""
-WITH b AS (SELECT vec_id, embedding, {_sign_bucket_sql("embedding", 8)} AS bucket FROM embeddings),
+WITH {_mu_ctes("embeddings", 8)},
+b AS (SELECT vec_id, embedding,
+             {_sign_bucket_sql("embedding", 8, "m.mus")} AS bucket
+      FROM embeddings, muarr m),
 q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM b WHERE vec_id < 64),
 scored AS (
     SELECT q.query_id, b.vec_id, {_cos("q.qvec", "b.embedding")} AS cosine
@@ -1223,7 +1256,10 @@ def q_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMANTIC_DEDUP_SQL = f"""
 WITH RECURSIVE {_EMB2_SQL.strip()},
-b AS (SELECT vec_id, embedding, {_sign_bucket_sql("embedding", 10)} AS bucket FROM emb2),
+{_mu_ctes("emb2", 10)},
+b AS (SELECT vec_id, embedding,
+             {_sign_bucket_sql("embedding", 10, "m.mus")} AS bucket
+      FROM emb2, muarr m),
 pairs AS (
     SELECT l.vec_id AS id1, r.vec_id AS id2
     FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
@@ -1933,11 +1969,15 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_AUDIT_SQL = f"""
 WITH comp AS (
     -- non-finite vectors excluded: their norm is undefined (counted
-    -- under n_nonfinite); wrong-dim vectors keep their norm
+    -- under n_nonfinite); wrong-dim vectors keep their norm. A NULL
+    -- component is flagged explicitly (x IS NULL) so both engines count
+    -- it under n_nonfinite and exclude it from norms — see
+    -- operators/profiling.embedding_audit.
     SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
     FROM embeddings
     WHERE embedding IS NOT NULL
-      AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+      AND len(list_filter(embedding, x -> x IS NULL
+                          OR isnan(CAST(x AS DOUBLE))
                           OR abs(CAST(x AS DOUBLE)) > 1e308)) = 0
 ),
 norms AS (
@@ -1950,11 +1990,11 @@ flags AS (
            CASE WHEN embedding IS NOT NULL AND len(embedding) <> {_COV_DIM}
                 THEN 1 ELSE 0 END AS wrong_dim,
            CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
-                     x -> isnan(CAST(x AS DOUBLE))
+                     x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
                           OR abs(CAST(x AS DOUBLE)) > 1e308)) > 0
                 THEN 1 ELSE 0 END AS bad_val,
            CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
-                     x -> isnan(CAST(x AS DOUBLE))
+                     x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
                           OR abs(CAST(x AS DOUBLE)) > 1e308)) = 0
                      AND len(list_filter(embedding,
                              x -> CAST(x AS DOUBLE) <> 0.0)) = 0
@@ -1997,10 +2037,11 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KNN_SQL = f"""
-WITH b AS (
+WITH {_mu_ctes("embeddings", 4)},
+b AS (
     SELECT vec_id, embedding,
-           {_sign_bucket_sql("embedding", 4)} AS bucket
-    FROM embeddings
+           {_sign_bucket_sql("embedding", 4, "m.mus")} AS bucket
+    FROM embeddings, muarr m
 ),
 scored AS (
     SELECT s.vec_id AS src, d.vec_id AS dst,

@@ -95,16 +95,28 @@ def score_documents(
 
 
 def _staged_docs_dir(sf_dir: str) -> str:
+    """Stage the documents file for the file-source stream. Keyed by a
+    hash of the ABSOLUTE source path (two sf dirs sharing a basename get
+    distinct stages) and refreshed whenever the source's size or mtime
+    differs (a regenerated fixture at the same path is re-copied, never
+    silently streamed stale) — copy2 preserves the source mtime so the
+    staleness check is a pure stat comparison."""
+    import hashlib
     import pathlib
     import shutil
 
-    stage = (
-        pathlib.Path("/tmp/spark_graft_stream_docs") / pathlib.Path(sf_dir).name
-    )
+    src = pathlib.Path(sf_dir).resolve() / "documents.parquet"
+    key = hashlib.sha256(str(src).encode("utf-8")).hexdigest()[:16]
+    stage = pathlib.Path("/tmp/spark_graft_stream_docs") / key
     stage.mkdir(parents=True, exist_ok=True)
     target = stage / "documents.parquet"
-    if not target.exists():
-        shutil.copyfile(f"{sf_dir}/documents.parquet", target)
+    st = src.stat()
+    if (
+        not target.exists()
+        or target.stat().st_size != st.st_size
+        or target.stat().st_mtime != st.st_mtime
+    ):
+        shutil.copy2(src, target)
     return str(stage)
 
 

@@ -1039,16 +1039,22 @@ def test_knn_graph_laws(spark, emb):
 
 def test_knn_graph_candidates_share_bucket(spark, emb):
     from big_data_elt_pipeline_spark.operators.similarity import (
+        component_means,
         knn_graph,
         sign_bucket,
     )
     from pyspark.sql import functions as F
 
+    # knn_graph buckets are CENTERED on the corpus per-dim means
+    mu = F.broadcast(component_means(emb, 4))
     buckets = {
         r.vec_id: r.b
-        for r in emb.select(
-            "vec_id", sign_bucket(F.col("embedding"), 4).alias("b")
-        ).collect()
+        for r in emb.crossJoin(mu)
+        .select(
+            "vec_id",
+            sign_bucket(F.col("embedding"), 4, F.col("__mus")).alias("b"),
+        )
+        .collect()
     }
     for r in knn_graph(emb, k=3, n_bits=4).collect():
         assert buckets[r.src] == buckets[r.dst]
