@@ -16,6 +16,28 @@ chars of stdout, and the r05 single 2+ KB JSON line lost its head there):
   entries drop one at a time with a ``qdr`` dropped-count marker —
   full-fidelity timings always live in BENCH_LOCAL.json.
 
+WALL-CLOCK BUDGET (r8 verdict #1 — the r08 driver run died rc=124 at
+~48-68 min with NO artifact): the whole run now answers to a deadline
+read from ``SPARK_GRAFT_BENCH_BUDGET_S`` (default 1500 s, safely inside
+the driver's kill window even at this host's historical 1.4x drift).
+After each timed unit the remaining budget gates the next one, shedding
+in fixed order of information density:
+  second suite pass -> x64 singles (also default-OFF for unattended
+  runs: SPARK_GRAFT_SCALE_X64=0 — the committed x64 table stands until
+  the measured operators change) -> x16 -> x4/x1 -> hot-key exhibit ->
+  streaming -> pipeline repeat runs; a mid-pass suite truncation is the
+  last resort. Everything shed is logged as a ``shed`` progress line and
+  recorded in the artifact. AND the artifact is crash-proof: a
+  SIGTERM/SIGINT handler (plus an exception path) dumps BENCH_LOCAL.json
+  and the two tail lines from whatever has completed, so even a kill
+  leaves a parseable, attributable record instead of a stack trace.
+
+Trainer cost containment (r8 verdict #5): the three iterative trainers
+(kmeans 5 rounds / logreg 8 / pca 10) measure their PER-ROUND plan shape
+here, not convergence — bench sets SPARK_GRAFT_BENCH_ITERS_{KMEANS=2,
+LOGREG=3,PCA=4}; the correctness driver and parity tests never set these,
+so every oracle comparison still runs the full-iteration result.
+
 Timing covers plan construction + full execution (count of the result) per
 query on a warm shared session — the reference's 118 s baseline was
 dominated by per-stage cold sessions (BASELINE.md), which a real engine
@@ -26,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -106,6 +129,8 @@ BENCH_QUERIES = [
     "kmeans_centroids", "classifier_auc", "logreg_quality_model",
     "bpe_merges", "bpe_vocab", "lang_id_report", "embedding_audit",
     "curation_recipe", "knn_graph_mutual", "knn_semantic_clusters",
+    # round 9
+    "bpe_doc_tokens",
 ]
 
 
@@ -133,8 +158,169 @@ def _host_snapshot() -> tuple[float, float]:
         return -1.0, -1.0
 
 
+# --------------------------------------------------------------------------
+# Crash-proof emission: everything measured so far lives in _STATE; _emit()
+# builds BENCH_LOCAL.json + the two compact tail lines from it and can run
+# at any point — normal completion, budget exhaustion, SIGTERM, exception.
+# --------------------------------------------------------------------------
+
+_STATE: dict = {
+    "timings": {},       # query -> min seconds (the headline map)
+    "raw": {},           # query -> [per-pass seconds]
+    "host_load": {},     # query -> [[loadavg, iowait-delta], ...]
+    "extras": {},        # stream / hotkey / scale / host / shed
+    "scale_full": {},    # full scale_points map
+    "shed": [],          # ordered record of everything dropped
+    "sf": 0.0,
+    "emitted": False,
+}
+
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _shed(what: str) -> None:
+    _STATE["shed"].append(what)
+    print(
+        json.dumps({"shed": what, "remaining_s": round(_remaining(), 1)}),
+        flush=True,
+    )
+
+
+def _emit() -> None:
+    """Write BENCH_LOCAL.json and print the two tail lines from whatever
+    has completed. Idempotent (the signal path and the normal path can
+    both reach it); never raises."""
+    if _STATE["emitted"]:
+        return
+    _STATE["emitted"] = True
+    timings: dict[str, float] = _STATE["timings"]
+    extras: dict = _STATE["extras"]
+    total = sum(
+        v for k, v in timings.items() if not k.startswith("pipeline_")
+    ) + timings.get("pipeline_total", 0.0)
+    headline = {
+        "metric": "headline_query_suite_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": _STATE["sf"],
+    }
+    load_end, iow_end = _host_snapshot()
+    extras["host"] = {"load_end": load_end, "iowait_total_s": round(iow_end, 1)}
+    if _STATE["shed"]:
+        extras["shed"] = list(_STATE["shed"])
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w",
+        ) as fh:
+            json.dump(
+                {**headline, "queries": timings, "raw_passes": _STATE["raw"],
+                 "host_load": _STATE["host_load"], "extras": extras,
+                 "scale_points": _STATE["scale_full"],
+                 "budget_s": _BUDGET_S,
+                 "elapsed_s": round(time.perf_counter() - _T0, 1)},
+                fh, indent=1,
+            )
+    except OSError:
+        pass
+    # last two stdout lines, compact, together < the driver's 2000-char
+    # tail window: extras first, headline LAST (it must parse even if the
+    # extras line loses its head)
+    headline_line = json.dumps(headline, separators=(",", ":"))
+    # the suite has grown past the point where even the headline alone can
+    # bust the driver's 2000-char tail (measured: 2384 chars at 106
+    # timings — the driver would keep a HEADLESS, unparseable JSON line).
+    # Degrade the headline itself: 1-dp timings, then drop the CHEAPEST
+    # entries one at a time with a "qdr" dropped-count marker — the
+    # expensive entries are the informative ones, and the full-fidelity
+    # map is always in BENCH_LOCAL.json.
+    if len(headline_line) > 1690:
+        q1 = {k: round(v, 1) for k, v in timings.items()}
+        order = sorted(q1, key=lambda k: (q1[k], k))  # cheapest first
+        dropped = 0
+        while True:
+            headline_line = json.dumps(
+                {**headline, "queries": q1, "qdr": dropped},
+                separators=(",", ":"),
+            )
+            if len(headline_line) <= 1690 or not order:
+                break
+            q1.pop(order.pop(0))
+            dropped += 1
+    # greedy extras assembly (r7 verdict #2: degrade by dropping the
+    # LEAST informative pieces one at a time — never the whole scale
+    # block). Components are added in priority order while the combined
+    # two-line tail stays under the driver's 2000-char window; the scale
+    # block degrades full-2dp -> 1dp ("s1", factors implied) -> longest
+    # 1dp PREFIX of the keep-priority list ("dr" counts the dropped
+    # trailing arrays; full set always in BENCH_LOCAL.json).
+    budget = 1950 - len(headline_line) - 2
+
+    def _fits(obj) -> bool:
+        return len(json.dumps(obj, separators=(",", ":"))) <= budget
+
+    one_dp = {k: [round(x, 1) for x in v]
+              for k, v in extras.get("scale", {}).items()}
+    scale_alts = []
+    if one_dp:
+        scale_alts.append({"factors": extras.get("factors", []),
+                           "scale": extras["scale"]})
+        scale_alts.append({"s1": one_dp})
+        # keep-priority: ngram (the x64 headline) first, governance last
+        keep = [k for k in ("ngram", "substr", "minhash", "clusters",
+                            "lsh", "winnow", "mixture") if k in one_dp]
+        for ndrop in range(1, len(keep)):
+            scale_alts.append({"s1": {k: one_dp[k] for k in keep[:-ndrop]},
+                               "dr": ndrop})
+    hk = extras.get("hotkey")
+    components = [
+        ("stream", extras.get("stream")),
+        ("hk", {"a": hk["agg"], "w": hk["window"]} if hk else None),
+        ("__scale__", scale_alts),
+        ("shed", extras.get("shed")),
+        ("host", extras.get("host")),
+    ]
+    obj = {"m": "extras"}
+    for key, val in components:
+        if key == "__scale__":
+            for alt in val:
+                if _fits({**obj, **alt}):
+                    obj = {**obj, **alt}
+                    break
+        elif val is not None and _fits({**obj, key: val}):
+            obj = {**obj, key: val}
+    print(json.dumps(obj, separators=(",", ":")), flush=True)
+    print(headline_line, flush=True)
+
+
+def _on_signal(signum, frame) -> None:
+    """SIGTERM/SIGINT: dump the artifact + tail lines from whatever has
+    completed, then exit IMMEDIATELY (os._exit skips Spark's shutdown
+    hooks — the r08 postmortem's blockmgr-deletion stack trace came from
+    those hooks racing in-flight tasks; with the artifact already on
+    disk and the tail lines flushed, a hard exit is strictly better)."""
+    _shed(f"signal_{signum}")
+    _emit()
+    os._exit(0)
+
+
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    # per-round trainer shape (see module docstring); setdefault so an
+    # operator investigating convergence cost can still override
+    os.environ.setdefault("SPARK_GRAFT_BENCH_ITERS_KMEANS", "2")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_ITERS_LOGREG", "3")
+    os.environ.setdefault("SPARK_GRAFT_BENCH_ITERS_PCA", "4")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _STATE["sf"] = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     from big_data_elt_pipeline_spark.plans import queries as Q
     from big_data_elt_pipeline_spark.session import get_spark
 
@@ -151,49 +337,73 @@ def main() -> None:
     # minute I/O-stall windows (r06 driver run: suite positions 31-39 ran
     # 2-10x slow, +47 s phantom on identical code). Back-to-back min-of-2
     # sits entirely INSIDE such a window; with interleaving, a stall must
-    # recur at the same suite offset ~40 minutes apart to corrupt a min,
-    # and the raw per-pass values expose any residual outlier from the
-    # artifact alone.
-    raw: dict[str, list[float]] = {}
-    host_load: dict[str, list[list[float]]] = {}
+    # recur at the same suite offset ~40 minutes apart to corrupt a min.
+    # Pass B is the FIRST thing the deadline budget sheds; a mid-pass
+    # truncation (always pass B before pass A) is the last resort.
+    raw: dict[str, list[float]] = _STATE["raw"]
+    host_load: dict[str, list[list[float]]] = _STATE["host_load"]
     jsc = spark.sparkContext._jsc
     suite = [n for n in BENCH_QUERIES if n in registry]
-    for pass_idx in range(2):
-        for name in suite:
-            fn = registry[name]
-            pinned_before = set(jsc.getPersistentRDDs().keySet().toArray())
-            load_before, iow_before = _host_snapshot()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()  # full execution
-            dt_s = time.perf_counter() - t0
-            load_after, iow_after = _host_snapshot()
-            # [loadavg at start, iowait seconds accumulated DURING the run]
-            host_load.setdefault(name, []).append(
-                [load_before, round(iow_after - iow_before, 2)]
-            )
-            # free whatever the query pinned (cluster-resolution
-            # checkpoints, q15-style persists) — leaked blocks measurably
-            # slowed later suite entries in long sessions
-            reg = jsc.getPersistentRDDs()
-            for rid in set(reg.keySet().toArray()) - pinned_before:
-                rdd = reg.get(rid)
-                if rdd is not None:
-                    rdd.unpersist(False)
-            spark.catalog.clearCache()
-            raw.setdefault(name, []).append(round(dt_s, 4))
-            _progress(f"{name}#p{pass_idx}", dt_s)
-    timings: dict[str, float] = {n: min(v) for n, v in raw.items()}
-    total = sum(timings.values())
-    for name in suite:
-        _progress(name, timings[name])
+    # reserves, builder-host seconds (the artifact records what was shed,
+    # so a misestimate degrades gracefully rather than fatally)
+    PIPELINE_EST = 140.0
+    TAIL_RESERVE = 30.0
 
-    # full medallion pipeline (bronze CSV → silver → gold+serving parquet),
-    # the BASELINE.md-comparable number: one session, persisted fact/features.
-    # min-of-THREE — the r05 artifact shipped pipeline_gold at 20.35 s
-    # min-of-2 while the committed 5-run diagnosis (tools/diagnose_gold.py,
-    # BENCH_NOTES.md) puts the reproducible value at 8.8-11.5 s: this host
-    # can stall two consecutive runs, so the headline stage gets a third.
+    def _run_one(name: str, pass_idx: int) -> None:
+        fn = registry[name]
+        pinned_before = set(jsc.getPersistentRDDs().keySet().toArray())
+        load_before, iow_before = _host_snapshot()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # full execution
+        dt_s = time.perf_counter() - t0
+        _, iow_after = _host_snapshot()
+        host_load.setdefault(name, []).append(
+            [load_before, round(iow_after - iow_before, 2)]
+        )
+        # free whatever the query pinned (cluster-resolution checkpoints,
+        # q15-style persists) — leaked blocks measurably slowed later
+        # suite entries in long sessions
+        reg = jsc.getPersistentRDDs()
+        for rid in set(reg.keySet().toArray()) - pinned_before:
+            rdd = reg.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+        spark.catalog.clearCache()
+        raw.setdefault(name, []).append(round(dt_s, 4))
+        _STATE["timings"][name] = min(raw[name])
+        _progress(f"{name}#p{pass_idx}", dt_s)
+
+    pass_a_start = time.perf_counter()
+    for qi, name in enumerate(suite):
+        if _remaining() < PIPELINE_EST + TAIL_RESERVE:
+            _shed(f"pass_a_tail_{len(suite) - qi}q")  # last resort
+            break
+        _run_one(name, 0)
+    pass_a_dur = time.perf_counter() - pass_a_start
+
+    if _remaining() > pass_a_dur * 1.05 + PIPELINE_EST + TAIL_RESERVE:
+        for qi, name in enumerate(suite):
+            if name not in raw:
+                break  # pass A was truncated here; don't run B beyond it
+            if _remaining() < PIPELINE_EST + TAIL_RESERVE:
+                _shed(f"pass_b_tail_{len(suite) - qi}q")
+                break
+            _run_one(name, 1)
+    else:
+        _shed("pass_b")
+
+    for name in suite:
+        if name in _STATE["timings"]:
+            _progress(name, _STATE["timings"][name])
+
+    # full medallion pipeline (bronze CSV -> silver -> gold+serving
+    # parquet), the BASELINE.md-comparable number: one session, persisted
+    # fact/features. min-of-THREE when budget allows — the r05 artifact
+    # shipped pipeline_gold at 20.35 s min-of-2 while the committed 5-run
+    # diagnosis (tools/diagnose_gold.py, BENCH_NOTES.md) puts the
+    # reproducible value at 8.8-11.5 s: this host can stall two
+    # consecutive runs, so the headline stage gets a third.
     import shutil
     import tempfile
 
@@ -209,13 +419,19 @@ def main() -> None:
          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
          .csv(f"{tmp}/sources/achats.csv"))
         stage_best: dict[str, float] = {}
+        last_run = PIPELINE_EST / 3
         for run in range(3):
+            if run > 0 and _remaining() < last_run * 1.3 + TAIL_RESERVE:
+                _shed(f"pipeline_run_{run + 1}+")
+                break
+            t_run = time.perf_counter()
             load_before, iow_before = _host_snapshot()
             result = P.run_medallion(
                 spark, f"{tmp}/sources", f"{tmp}/lake{run}",
                 min_date="1990-01-01", max_amount=1e9, count_rows=False,
             )
             _, iow_after = _host_snapshot()
+            last_run = time.perf_counter() - t_run
             host_load.setdefault("pipeline_total", []).append(
                 [load_before, round(iow_after - iow_before, 2)]
             )
@@ -224,9 +440,8 @@ def main() -> None:
                 if stage not in stage_best or sec < stage_best[stage]:
                     stage_best[stage] = sec
         for stage, sec in stage_best.items():
-            timings[f"pipeline_{stage}"] = sec
+            _STATE["timings"][f"pipeline_{stage}"] = sec
             _progress(f"pipeline_{stage}", sec)
-        total += stage_best["total"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -235,8 +450,12 @@ def main() -> None:
     # completion (processAllAvailable), min-of-2 like everything else.
     # Recorded in the extras line, NOT in the headline total (separate
     # unit: the *_rps entries are throughput, not latency).
-    extras: dict[str, dict] = {}
-    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+    extras: dict = _STATE["extras"]
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") == "0":
+        pass
+    elif _remaining() < 120 + TAIL_RESERVE:
+        _shed("stream")
+    else:
         from big_data_elt_pipeline_spark.sources.tpch import events_df
         from big_data_elt_pipeline_spark.streaming import events as SE
         from big_data_elt_pipeline_spark.streaming import incremental as SI
@@ -274,15 +493,22 @@ def main() -> None:
     # scaled-corpus dedup/ANN: deterministic x4/x16 corpora min-of-2 plus a
     # single-shot x64 pin (see plans/scale_bench.py) — the empirical
     # near-linear-scaling evidence for the beyond-reference surface.
-    # Measured on a FRESH SparkSession: after the 65-query suite the
-    # shared session's accumulated block-manager/JVM state inflated these
-    # points 2-3x run-to-run (ngram x16 measured 22.7 s isolated vs 58.8 s
-    # in-suite on identical data) — the suite/pipeline numbers above keep
-    # the realistic warm shared session; the scaling TREND needs
-    # reproducible points. Disable with SPARK_GRAFT_SCALE=0; skip the x64
-    # pin with SPARK_GRAFT_SCALE_X64=0.
-    scale_full: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+    # Measured on a FRESH SparkSession: after the suite the shared
+    # session's accumulated block-manager/JVM state inflated these points
+    # 2-3x run-to-run. Disable with SPARK_GRAFT_SCALE=0. The x64 pin is
+    # OFF BY DEFAULT (SPARK_GRAFT_SCALE_X64=1 to opt in): its committed
+    # table (BENCH_LOCAL.json extras.scale history) stands as evidence
+    # until the measured operators change, and at ~20 min wall it was the
+    # single biggest contributor to the r08 rc=124. Expensive factors
+    # shed first when the deadline closes in: x64, then x16, then x4.
+    scale_full: dict[str, float] = _STATE["scale_full"]
+    # builder-host cost estimates per factor (sf0.1): materialize + 7 ops
+    SCALE_EST = {1: 90.0, 4: 150.0, 16: 700.0, 64: 1300.0}
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") == "0":
+        pass
+    elif _remaining() < SCALE_EST[1] + SCALE_EST[4] + TAIL_RESERVE:
+        _shed("scale_block")
+    else:
         from big_data_elt_pipeline_spark.plans.scale_bench import (
             hotkey_survivor_exhibit,
             run_scaled,
@@ -292,24 +518,47 @@ def main() -> None:
         spark.stop()
         spark = _gs("bench_scale")
 
-        x64 = (64,) if os.environ.get("SPARK_GRAFT_SCALE_X64", "1") != "0" else ()
+        want_x64 = os.environ.get("SPARK_GRAFT_SCALE_X64", "0") != "0"
+        x64 = (64,) if want_x64 else ()
         factors = (1, 4, 16) + x64
+
+        def _should_run(factor: int) -> bool:
+            if _remaining() >= SCALE_EST.get(factor, 600.0) + TAIL_RESERVE:
+                return True
+            _shed(f"scale_x{factor}")
+            return False
+
         # single-shot factors get a fresh session: the shared scale
         # session's accumulated state swings the x64 single shots 2-4x
         # (measured — see run_scaled's docstring). run_scaled OWNS the
         # passed session once session_factory is set — rebind to the
         # returned (possibly swapped) one.
-        scale_full, spark = run_scaled(
+        pts, spark = run_scaled(
             spark, sf_dir, (1, 4, 16), single_shot=x64,
             progress=_progress,
-            session_factory=lambda: _gs("bench_scale_x64"))
+            session_factory=lambda: _gs("bench_scale_x64"),
+            should_run=_should_run)
+        scale_full.update(pts)
+        ran_factors = [
+            f for f in factors
+            if any(k.endswith(f"_x{f}") for k in scale_full)
+        ]
         # hot-key survivor-selection exhibit (r7 verdict #1): wall-clock +
         # sampled task concurrency of the shipped min-struct agg form vs
         # the rejected rank-1 window form on a 99.9%-one-hash corpus
-        hot = hotkey_survivor_exhibit(spark)
-        scale_full.update(hot)
-        for k in ("hotkey_agg_s", "hotkey_window_s"):
-            _progress(k, hot[k])
+        if _remaining() < 100 + TAIL_RESERVE:
+            _shed("hotkey_exhibit")
+        else:
+            hot = hotkey_survivor_exhibit(spark)
+            scale_full.update(hot)
+            for k in ("hotkey_agg_s", "hotkey_window_s"):
+                _progress(k, hot[k])
+            # [wall s, seconds with <=2 active tasks, mean active tasks]
+            extras["hotkey"] = {
+                k: [hot[f"hotkey_{k}_s"], hot[f"hotkey_{k}_serialized_s"],
+                    hot[f"hotkey_{k}_avg_active_tasks"]]
+                for k in ("agg", "window")
+            }
         # extras line carries factor-ORDERED second arrays under short op
         # aliases; full names + row counts live in BENCH_LOCAL.json (the
         # verbose form blows the 2000-char tail window)
@@ -317,107 +566,25 @@ def main() -> None:
                  "dedup_winnow": "winnow", "dedup_substrings": "substr",
                  "dedup_clusters": "clusters",
                  "ann_lsh_topk": "lsh", "training_mixture": "mixture"}
-        extras["factors"] = list(factors)
-        extras["scale"] = {
-            short: [round(scale_full[f"scale_{op}_x{f}"], 2) for f in factors]
-            for op, short in alias.items()
-        }
-        # [wall s, seconds with <=2 active tasks, mean active tasks]
-        extras["hotkey"] = {
-            k: [hot[f"hotkey_{k}_s"], hot[f"hotkey_{k}_serialized_s"],
-                hot[f"hotkey_{k}_avg_active_tasks"]]
-            for k in ("agg", "window")
-        }
+        if ran_factors:
+            extras["factors"] = ran_factors
+            extras["scale"] = {
+                short: [
+                    round(scale_full[f"scale_{op}_x{f}"], 2)
+                    for f in ran_factors
+                    if f"scale_{op}_x{f}" in scale_full
+                ]
+                for op, short in alias.items()
+            }
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    headline = {
-        "metric": "headline_query_suite_total",
-        "value": round(total, 2),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": float(sf),
-    }
-    load_end, iow_end = _host_snapshot()
-    extras["host"] = {"load_end": load_end, "iowait_total_s": round(iow_end, 1)}
-    # full fidelity to disk for the judge / round-over-round diffs;
-    # host_load carries [loadavg-at-start, iowait-delta-seconds] per pass
-    # per query (r7 verdict #3 — drift attributable from the artifact)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as fh:
-        json.dump({**headline, "queries": timings, "raw_passes": raw,
-                   "host_load": host_load,
-                   "extras": extras, "scale_points": scale_full}, fh, indent=1)
-    # last two stdout lines, compact, together < the driver's 2000-char
-    # tail window: extras first, headline LAST (it must parse even if the
-    # extras line loses its head)
-    headline_line = json.dumps(headline, separators=(",", ":"))
-    # the suite has grown past the point where even the headline alone can
-    # bust the driver's 2000-char tail (measured: 2384 chars at 106
-    # timings — the driver would keep a HEADLESS, unparseable JSON line).
-    # Degrade the headline itself: 1-dp timings, then drop the CHEAPEST
-    # entries one at a time with a "qdr" dropped-count marker — the
-    # expensive entries are the informative ones, and the full-fidelity
-    # map is always in BENCH_LOCAL.json.
-    # 260 chars stay reserved for the extras line (stream throughput +
-    # hot-key exhibit at least); the scale block may no longer fit stdout
-    # at this suite size — BENCH_LOCAL.json is the canonical carrier.
-    if len(headline_line) > 1690:
-        q1 = {k: round(v, 1) for k, v in timings.items()}
-        order = sorted(q1, key=lambda k: (q1[k], k))  # cheapest first
-        dropped = 0
-        while True:
-            headline_line = json.dumps(
-                {**headline, "queries": q1, "qdr": dropped},
-                separators=(",", ":"),
-            )
-            if len(headline_line) <= 1690 or not order:
-                break
-            q1.pop(order.pop(0))
-            dropped += 1
-    # greedy extras assembly (r7 verdict #2: degrade by dropping the
-    # LEAST informative pieces one at a time — never the whole scale
-    # block). Components are added in priority order while the combined
-    # two-line tail stays under the driver's 2000-char window; the scale
-    # block degrades full-2dp → 1dp ("s1", factors implied [1,4,16,64])
-    # → longest 1dp PREFIX of the keep-priority list ("dr" counts the
-    # dropped trailing arrays; full set always in BENCH_LOCAL.json).
-    budget = 1950 - len(headline_line) - 2
-
-    def _fits(obj) -> bool:
-        return len(json.dumps(obj, separators=(",", ":"))) <= budget
-
-    one_dp = {k: [round(x, 1) for x in v]
-              for k, v in extras.get("scale", {}).items()}
-    scale_alts = []
-    if one_dp:
-        scale_alts.append({"factors": extras.get("factors", []),
-                           "scale": extras["scale"]})
-        scale_alts.append({"s1": one_dp})
-        # keep-priority: ngram (the x64 headline) first, governance last
-        keep = [k for k in ("ngram", "substr", "minhash", "clusters",
-                            "lsh", "winnow", "mixture") if k in one_dp]
-        for ndrop in range(1, len(keep)):
-            scale_alts.append({"s1": {k: one_dp[k] for k in keep[:-ndrop]},
-                               "dr": ndrop})
-    hk = extras.get("hotkey")
-    components = [
-        ("stream", extras.get("stream")),
-        ("hk", {"a": hk["agg"], "w": hk["window"]} if hk else None),
-        ("__scale__", scale_alts),
-        ("host", extras.get("host")),
-    ]
-    obj = {"m": "extras"}
-    for key, val in components:
-        if key == "__scale__":
-            for alt in val:
-                if _fits({**obj, **alt}):
-                    obj = {**obj, **alt}
-                    break
-        elif val is not None and _fits({**obj, key: val}):
-            obj = {**obj, key: val}
-    print(json.dumps(obj, separators=(",", ":")), flush=True)
-    print(headline_line, flush=True)
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException:
+        if not _STATE["emitted"]:
+            _STATE["shed"].append("exception")
+            _emit()
+        raise

@@ -24,7 +24,7 @@ from big_data_elt_pipeline_spark.operators import classify as CL
 from big_data_elt_pipeline_spark.operators import privacy as PII
 from big_data_elt_pipeline_spark.operators import quality as QL
 from big_data_elt_pipeline_spark.operators import sampling as SMP
-from big_data_elt_pipeline_spark.plans.queries import register
+from big_data_elt_pipeline_spark.plans.queries import bench_iters, register
 from big_data_elt_pipeline_spark.sources.tpch import read_table
 
 _TOK = "string_split_regex(lower(trim({c})), '\\s+')"
@@ -1704,7 +1704,8 @@ def q_logreg_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
         (F.col("doc_id") % 2).cast("int").alias("y"),
     )
-    return CL.logreg_train_fixed_point(labeled).orderBy("feature")
+    iters = bench_iters("SPARK_GRAFT_BENCH_ITERS_LOGREG", CL.LOGREG_ITERS)
+    return CL.logreg_train_fixed_point(labeled, iters=iters).orderBy("feature")
 
 
 # --------------------------------------------------------------------------

@@ -38,6 +38,20 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def bench_iters(env_key: str, default: int) -> int:
+    """Bench-time iteration override for the iterative trainers (kmeans /
+    logreg / pca). bench.py sets ``SPARK_GRAFT_BENCH_ITERS_*`` to measure
+    the PER-ROUND plan shape instead of paying full convergence per suite
+    pass (r8 verdict #5: the three trainers alone added ~48 s/pass); the
+    correctness driver and the parity tests never set these, so every
+    oracle comparison always runs — and compares — the full-iteration
+    result."""
+    import os
+
+    v = os.environ.get(env_key)
+    return int(v) if v else default
+
+
 def spark_queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in _REGISTRY.items()}
 

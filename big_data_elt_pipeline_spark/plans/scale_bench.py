@@ -199,6 +199,7 @@ def run_scaled(
     single_shot: tuple[int, ...] = (),
     progress=None,
     session_factory=None,
+    should_run=None,
 ) -> tuple[dict[str, float], SparkSession]:
     """Time dedup_minhash / dedup_ngram_jaccard / dedup_winnow /
     dedup_clusters / ann_lsh_topk / training_mixture at each
@@ -229,19 +230,28 @@ def run_scaled(
     noise by repetition and their state burden is small). Each swapped-in
     session gets an untimed corpus-count warm-up before its timed shot
     (codegen + parquet footers off the clock — the same cold-session
-    artifact the i==0 warm-up removes from the x1 column).
+    artifact the first-factor warm-up removes from the x1 column).
 
     OWNERSHIP: when ``session_factory`` fires, the caller's session is
     STOPPED and replaced; the active session is therefore RETURNED
     alongside the timings — callers must rebind
     (``out, spark = run_scaled(spark, ...)``), never keep using the
-    session they passed in."""
+    session they passed in.
+
+    ``should_run`` (factor -> bool, optional): consulted immediately
+    before each factor's corpus materialization — the bench deadline
+    budget's shed hook (r8 verdict #1: expensive trailing factors drop
+    first when wall-clock runs short; a skipped factor simply has no
+    ``scale_*_x{f}`` keys in the result)."""
     import shutil
     import tempfile
 
     out: dict[str, float] = {}
     stage_root = tempfile.mkdtemp(prefix="scale_corpus_")
-    for i, factor in enumerate(tuple(factors) + tuple(single_shot)):
+    warmed = False
+    for factor in tuple(factors) + tuple(single_shot):
+        if should_run is not None and not should_run(factor):
+            continue
         one_shot = factor in single_shot
         fresh_session = one_shot and session_factory is not None
         if fresh_session:
@@ -305,7 +315,7 @@ def run_scaled(
 
         for name, fn in runs.items():
             base_ids = _pinned()
-            if i == 0:
+            if not warmed:
                 fn().count()  # untimed warm-up: codegen + footers off the clock
             best, n = None, 0
             for _ in range(1 if one_shot else 2):
@@ -322,6 +332,7 @@ def run_scaled(
             out[f"scale_{name}_x{factor}_rows"] = float(n)
             if progress is not None:
                 progress(f"scale_{name}_x{factor}", out[f"scale_{name}_x{factor}"])
+        warmed = True
         shutil.rmtree(f"{stage_root}/docs_x{factor}", ignore_errors=True)
         shutil.rmtree(f"{stage_root}/emb_x{factor}", ignore_errors=True)
     shutil.rmtree(stage_root, ignore_errors=True)

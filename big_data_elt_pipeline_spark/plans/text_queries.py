@@ -17,7 +17,7 @@ from big_data_elt_pipeline_spark.functions import text as TX
 from big_data_elt_pipeline_spark.operators import dedup as DD
 from big_data_elt_pipeline_spark.operators import sampling as SMP
 from big_data_elt_pipeline_spark.operators import similarity as SIM
-from big_data_elt_pipeline_spark.plans.queries import register
+from big_data_elt_pipeline_spark.plans.queries import bench_iters, register
 from big_data_elt_pipeline_spark.sources.tpch import read_table
 
 # --- shared SQL fragments (mirrors of functions/text.py) -------------------
@@ -1869,7 +1869,8 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/similarity.embedding_covariance`` / ``pca_power_iteration``."""
     emb = read_table(spark, sf_dir, "embeddings")
     cov = SIM.embedding_covariance(emb, _COV_DIM)
-    return SIM.pca_power_iteration(cov, _COV_DIM, iters=_PCA_ITERS).orderBy("i")
+    iters = bench_iters("SPARK_GRAFT_BENCH_ITERS_PCA", _PCA_ITERS)
+    return SIM.pca_power_iteration(cov, _COV_DIM, iters=iters).orderBy("i")
 
 
 # --------------------------------------------------------------------------
@@ -1955,8 +1956,9 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/similarity.kmeans_lloyd_fixed_point``; reference twin
     src/ml/segmentation.py."""
     emb = read_table(spark, sf_dir, "embeddings")
+    iters = bench_iters("SPARK_GRAFT_BENCH_ITERS_KMEANS", _KM_ITERS)
     return SIM.kmeans_lloyd_fixed_point(
-        emb, _KM_DIM, k=_KM_K, iters=_KM_ITERS
+        emb, _KM_DIM, k=_KM_K, iters=iters
     ).orderBy("cluster_id", "i")
 
 
