@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "curation_recipe", "knn_graph_mutual", "knn_semantic_clusters",
     # round 9
     "bpe_doc_tokens",
+    "ccnet_perplexity_buckets", "retrieval_eval",
+    "tokenizer_fertility", "vocab_coverage",
 ]
 
 

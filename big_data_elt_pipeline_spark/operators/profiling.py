@@ -10,7 +10,7 @@ second job, no per-column scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -131,3 +131,119 @@ def embedding_audit(
         F.col("value"),
     )
     return long_counts.unionByName(pct)
+
+
+def token_fertility_by_lang(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(lang, n_docs, ws_tokens, bpe_tokens, n_chars, fertility,
+    chars_per_token): tokenizer-efficiency audit per detected language —
+    the standard multilingual-tokenizer health check (fertility =
+    subword tokens per whitespace word; a language whose fertility blows
+    up is being shredded by the vocabulary and will eat a multiple of
+    its fair token budget at training time).
+
+    Exactness: all sums are exact bigints; the two ratios are single
+    correctly-rounded divisions of exact integers. Scale: map-only
+    feature extraction (lang_id + two regex counts inside the row) into
+    one language-domain-bounded aggregation — the doc_stats shape."""
+    from big_data_elt_pipeline_spark.functions.text import (
+        bpe_token_count,
+        lang_id,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    per_doc = docs.select(
+        lang_id(t).alias("lang"),
+        token_count(t).alias("ws"),
+        bpe_token_count(t).alias("bpe"),
+        F.length(t).cast("long").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "n_chars",
+            F.try_divide(
+                F.col("bpe_tokens").cast("double"), F.col("ws_tokens").cast("double")
+            ).alias("fertility"),
+            F.try_divide(
+                F.col("n_chars").cast("double"), F.col("bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """(top_k, n_words, covered_tokens, total_tokens, share): what share
+    of all token OCCURRENCES the top-k most frequent words cover — the
+    Zipf-curve summary that sizes vocabulary budgets and flags
+    boilerplate-dominated corpora (a share(100) near 1.0 means the corpus
+    is template noise).
+
+    Scale shape: the wordcount is the canonical partial-agg groupBy; the
+    top-max(ks) cut is ``orderBy(freq desc, word asc).limit(...)`` —
+    Spark's TakeOrderedAndProject, a DISTRIBUTED top-k that never sorts
+    the vocabulary globally (the naive rank-over-global-window form
+    single-partitions a billion-word vocabulary). Only the max(ks)-row
+    result takes a window; totals ride a broadcast row. Determinism: the
+    (freq desc, word asc) total order makes every prefix exact."""
+    from big_data_elt_pipeline_spark.functions.text import tokens
+
+    kmax = max(ks)
+    words = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    total = F.broadcast(
+        wc.agg(
+            F.sum("freq").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        )
+    )
+    top = wc.orderBy(F.desc("freq"), F.asc("word")).limit(kmax)
+    w = (
+        Window.orderBy(F.desc("freq"), F.asc("word"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = top.select(
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))).alias("r"),
+        F.sum("freq").over(w).cast("long").alias("cum"),
+    )
+    kdim = F.explode(F.array(*[F.lit(k) for k in ks])).alias("top_k")
+    return (
+        ranked.select(kdim, "r", "cum")
+        .filter(F.col("r") <= F.col("top_k"))
+        .groupBy("top_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.max("cum").alias("covered_tokens"),
+        )
+        .crossJoin(total)
+        .select(
+            F.col("top_k").cast("long").alias("top_k"),
+            "n_words",
+            "covered_tokens",
+            "total_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("top_k")
+    )

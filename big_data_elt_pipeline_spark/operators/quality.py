@@ -235,6 +235,61 @@ def lm_scores(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    ref_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = LM_BUCKETS,
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.4): rank
+    the corpus by LM perplexity and split it into equal thirds — head
+    (most fluent) feeds high-quality mixtures, tail is the usual discard.
+    One row per bucket: (bucket, n_docs, share, mean_nll).
+
+    Exactness: nll is the 6-dp-snapped ``lm_scores`` value; the two cut
+    points are EXACT interpolated tertiles from the bounded value
+    histogram (``quantized_percentiles`` — state bounded by the nll value
+    domain, not the corpus); bucket means divide an exact DECIMAL(25,6)
+    sum by an exact count WITHOUT re-rounding (a round() on the quotient
+    could land on a half boundary where engines disagree — the
+    classify._nano_update lesson; the raw correctly-rounded division is
+    deterministic in both engines).
+
+    Scale: everything is ``lm_scores``' shape plus one 3-group aggregate;
+    the tertile thresholds ride along as a broadcast single row.
+    """
+    scored = lm_scores(docs, ref_mod, id_col, text_col, buckets)
+    th = F.broadcast(
+        quantized_percentiles(scored, "nll", [1 / 3, 2 / 3]).agg(
+            F.min(F.when(F.col("p") < 0.5, F.col("value"))).alias("t1"),
+            F.max(F.when(F.col("p") > 0.5, F.col("value"))).alias("t2"),
+        )
+    )
+    n_row = F.broadcast(scored.agg(F.count(F.lit(1)).alias("n_total")))
+    bucket = (
+        F.when(F.col("nll") <= F.col("t1"), F.lit("1_head"))
+        .when(F.col("nll") <= F.col("t2"), F.lit("2_middle"))
+        .otherwise(F.lit("3_tail"))
+    )
+    return (
+        scored.crossJoin(th)
+        .select(bucket.alias("bucket"), F.col("nll").cast("decimal(25,6)").alias("nll"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.sum("nll").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_nll"),
+        )
+        .crossJoin(n_row)
+        .select(
+            "bucket",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total").cast("double")).alias("share"),
+            "mean_nll",
+        )
+    )
+
+
 def quantized_percentiles(df: DataFrame, col: str, ps: list[float]) -> DataFrame:
     """(p, value) rows: EXACT interpolated percentiles of ``col`` computed
     from a value histogram instead of Spark's ``percentile`` aggregate.

@@ -154,3 +154,117 @@ def rrf_fuse(
         .select(query_id_col, id_col, lr, vr, "rrf_score", "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking quality evaluation: exact MAP / nDCG@k against deterministic
+# relevance labels — the eval half of the retrieval surface (a retrieval
+# stack without metrics can't be tuned).
+# --------------------------------------------------------------------------
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The nDCG discount table 1/log2(r+1), r = 1..k, snapped to 12 dp.
+    log2 is transcendental (not IEEE-exact across engines), so the
+    discounts are computed ONCE here and embedded as identical LITERALS
+    in both the Spark plan and the SQL oracle — cross-engine equality by
+    construction, the BM25 log-quantization idiom applied to a
+    k-row constant table."""
+    import math
+
+    return [round(1.0 / math.log2(r + 1), 12) for r in range(1, k + 1)]
+
+
+def idcg_prefix(k: int) -> list[float]:
+    """IDCG@m for m = 1..k: exact prefix sums of the 12-dp discount
+    literals (summed in DECIMAL so the table itself is exact, then
+    embedded as literals in both engines)."""
+    from decimal import Decimal
+
+    acc, out = Decimal(0), []
+    for d in ndcg_discounts(k):
+        acc += Decimal(str(d))
+        out.append(float(acc))
+    return out
+
+
+def ranking_eval(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, n_rel, ap, ndcg): average precision and nDCG at ``k``
+    of the BM25 ranking, against the deterministic conjunctive relevance
+    label *document contains EVERY query term* (computable from the same
+    token relation the ranker uses — no human labels, same idea as the
+    planted-marker classifier fixtures).
+
+    Exactness: P@r = hits/r is an exact integer division; AP terms and
+    DCG discounts are 12-dp-snapped DECIMAL(25,12) sums (associative, so
+    partitioning-independent); the final divisions (by min(R, k) and by
+    the IDCG literal) are single correctly-rounded IEEE ops. Discount and
+    IDCG tables are shared literals (``ndcg_discounts``/``idcg_prefix``).
+    A query with zero relevant documents pins ap = ndcg = NULL.
+
+    Scale shape: inherits ``bm25_topk`` (the one corpus-sized shuffle is
+    the posting-list groupBy); relevance is one semi-join of the distinct
+    (doc, term) relation against the broadcast query terms + a
+    query-bounded count — everything after ranking is |queries| * k rows.
+    """
+    ranked = bm25_topk(docs, queries, k=k)
+    qt = tokenize(queries, "query_id", "query_text").distinct()
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    dterms = tokenize(docs, "doc_id", "text").distinct()
+    rel = (
+        dterms.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+        .select("query_id", "doc_id", F.lit(1).alias("isr"))
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
+    idcg = F.array(*[F.lit(v) for v in idcg_prefix(k)])
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    zero = F.lit(0).cast("decimal(25,12)")
+    rr = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .withColumn("hits", F.sum(F.coalesce("isr", F.lit(0))).over(w))
+        .select(
+            "query_id",
+            F.when(
+                F.col("isr").isNotNull(),
+                F.round(
+                    F.col("hits").cast("double") / F.col("rank").cast("double"), 12
+                ).cast("decimal(25,12)"),
+            ).otherwise(zero).alias("ap_term"),
+            F.when(
+                F.col("isr").isNotNull(),
+                F.element_at(disc, F.col("rank")).cast("decimal(25,12)"),
+            ).otherwise(zero).alias("dcg_term"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("ap_term").alias("ap_num"), F.sum("dcg_term").alias("dcg"))
+    )
+    return (
+        queries.select("query_id")
+        .join(rr, "query_id", "left")
+        .join(nrel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.try_divide(
+                F.col("ap_num").cast("double"),
+                F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+            ).alias("ap"),
+            F.try_divide(
+                F.col("dcg").cast("double"),
+                F.element_at(idcg, F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -1039,8 +1039,9 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nll <= exact corpus median (the head/middle boundary).
 # --------------------------------------------------------------------------
 
-_LM_SQL = f"""
-WITH tokd AS (
+# WITH-body fragment (tokd..med) shared by the filter and the CCNet
+# head/middle/tail bucket query — ends at the per-doc ``scored`` relation.
+_LM_CTES = f"""tokd AS (
     SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents
 ),
 sh AS (
@@ -1072,12 +1073,51 @@ scored AS (
                  / CAST(count(*) AS DOUBLE), 6) AS nll
     FROM feats f LEFT JOIN model m USING (b), dflt d
     GROUP BY doc_id
-),
+)"""
+
+_LM_SQL = f"""
+WITH {_LM_CTES},
 med AS (SELECT quantile_cont(nll, 0.5) AS med_nll FROM scored)
 SELECT doc_id, n_bigrams, nll, nll <= med_nll AS keep
 FROM scored, med
 ORDER BY doc_id
 """
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH {_LM_CTES},
+th AS (SELECT quantile_cont(nll, {1 / 3!r}) AS t1,
+              quantile_cont(nll, {2 / 3!r}) AS t2
+       FROM scored),
+ntot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM scored),
+bk AS (
+    SELECT CASE WHEN nll <= t1 THEN '1_head'
+                WHEN nll <= t2 THEN '2_middle'
+                ELSE '3_tail' END AS bucket,
+           CAST(nll AS DECIMAL(25,6)) AS nlld
+    FROM scored, th
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS DOUBLE) / CAST(max(ntot.n_total) AS DOUBLE) AS share,
+       CAST(sum(nlld) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_nll
+FROM bk, ntot
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register("ccnet_perplexity_buckets", _PPL_BUCKETS_SQL)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity partition (Wenzek et al. 2020
+    §4.4): the corpus split into equal thirds by LM nll, with per-bucket
+    doc counts, shares, and mean nll. Thresholds are EXACT interpolated
+    tertiles from the bounded nll value histogram (never a corpus-sized
+    percentile buffer); bucket means divide exact DECIMAL sums without a
+    re-round (the half-boundary landmine). Contract in
+    ``operators/quality.perplexity_buckets``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return QL.perplexity_buckets(docs).orderBy("bucket")
 
 
 @register("lm_perplexity_filter", _LM_SQL)

@@ -1062,6 +1062,17 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # debuts (streaming model scoring, rows-only by documented contract with
 # the stream==batch pytest pin) for ``stream_dedup`` (executed r06-r08;
 # keeps its equals-batch pytest + local sweep).
+# Round-9 second wave (same-round seating, so no never-gated debt
+# accrues): IN ``ccnet_perplexity_buckets`` (head/middle/tail tertile
+# partition — Wenzek'20 §4.4, exact histogram tertiles),
+# ``retrieval_eval`` (exact MAP/nDCG@10 of BM25 vs conjunctive ground
+# truth; shared 12-dp discount/IDCG literal tables),
+# ``tokenizer_fertility`` (per-language subword fertility audit),
+# ``vocab_coverage`` (top-k token-occurrence share via distributed
+# TakeOrdered). OUT ``dedup_substrings`` / ``dedup_span_removal`` (green
+# r07-r08, code unchanged this round; the family keeps BOTH incremental
+# forms gated and the r9 A/B exhibit), ``tpch_q2`` / ``tpch_q20`` (green
+# r07-r08; q9 keeps the family seat).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1079,8 +1090,8 @@ _GATE_ORDER = [
     # LLM-data-pipeline: text stats, dedup, similarity search, governance
     "kmeans_centroids", "classifier_auc",
     "curation_recipe", "dsir_select",
-    "dedup_substrings",
-    "dedup_span_removal",
+    "ccnet_perplexity_buckets", "retrieval_eval",
+    "tokenizer_fertility", "vocab_coverage",
     "lang_id_report", "dedup_incremental_substrings",
     "dedup_incremental_span_removal",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
@@ -1105,7 +1116,7 @@ _GATE_ORDER = [
     # green; q2/q9/q20 keep the family's gate presence after their r7
     # debut; all 22 stay in the local parity sweep)
     "logreg_quality_model",
-    "tpch_q2", "tpch_q9", "tpch_q20",
+    "tpch_q9",
     # ML / graph / recursive
     "pagerank_centrality", "revenue_chain_recursive",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these

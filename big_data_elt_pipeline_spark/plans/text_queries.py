@@ -1210,6 +1210,201 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=10)
 
 
+# --------------------------------------------------------------------------
+# retrieval_eval: exact MAP / nDCG@10 of the BM25 ranking against the
+# deterministic conjunctive relevance label (doc contains EVERY query
+# term). The discount and IDCG tables are 12-dp literals shared between
+# both engines (log2 is transcendental — the BM25 log-quantization idiom
+# applied to a constant table).
+# --------------------------------------------------------------------------
+
+# 'dup' is the corpus's one rare marker word (df ~5%), so the two dup
+# queries have small exact relevant sets (R ~12-20) that BM25's idf chases
+# but does not perfectly recover; the common-terms query has R ~200 and
+# exercises the min(R, k) normalizer.
+_EVAL_QUERIES = [
+    ("e_common", "vector hash join group"),
+    ("e_dup_scan", "dup scan filter"),
+    ("e_dup_win", "dup window merge"),
+]
+_EVAL_K = 10
+
+
+def _retrieval_eval_sql() -> str:
+    from big_data_elt_pipeline_spark.operators.retrieval import (
+        idcg_prefix,
+        ndcg_discounts,
+    )
+
+    q_values = "q(query_id, query_text) AS (VALUES " + ", ".join(
+        f"('{qid}', '{qt}')" for qid, qt in _EVAL_QUERIES
+    ) + ")"
+    disc = ", ".join(
+        f"({r + 1}, {d!r})" for r, d in enumerate(ndcg_discounts(_EVAL_K))
+    )
+    icg = ", ".join(
+        f"({m + 1}, {v!r})" for m, v in enumerate(idcg_prefix(_EVAL_K))
+    )
+    return f"""
+WITH {_bm25_ctes(q_values, _EVAL_K, "ranked")},
+nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+       FROM qterms GROUP BY query_id),
+dterms AS (SELECT DISTINCT doc_id, term FROM tokens),
+rel AS (
+    SELECT c.query_id, c.doc_id FROM (
+        SELECT qterms.query_id, dterms.doc_id, count(*) AS nt
+        FROM dterms JOIN qterms USING (term) GROUP BY 1, 2
+    ) c JOIN nq USING (query_id) WHERE c.nt = nq.n_terms
+),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         FROM rel GROUP BY query_id),
+disc(rank, d) AS (VALUES {disc}),
+icg(m, idcg) AS (VALUES {icg}),
+rr AS (
+    SELECT r.query_id, r.rank,
+           CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isr
+    FROM ranked r
+    LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+),
+cum AS (
+    SELECT query_id, rank, isr,
+           sum(isr) OVER (PARTITION BY query_id ORDER BY rank) AS hits
+    FROM rr
+),
+agg AS (
+    SELECT c.query_id,
+           sum(CASE WHEN isr = 1
+               THEN CAST(round(CAST(hits AS DOUBLE) / CAST(rank AS DOUBLE), 12)
+                         AS DECIMAL(25,12))
+               ELSE CAST(0 AS DECIMAL(25,12)) END) AS ap_num,
+           sum(CASE WHEN isr = 1 THEN CAST(d.d AS DECIMAL(25,12))
+               ELSE CAST(0 AS DECIMAL(25,12)) END) AS dcg
+    FROM cum c JOIN disc d USING (rank)
+    GROUP BY c.query_id
+)
+SELECT q.query_id,
+       coalesce(nrel.n_rel, 0) AS n_rel,
+       CAST(agg.ap_num AS DOUBLE)
+           / CAST(least(nrel.n_rel, {_EVAL_K}) AS DOUBLE) AS ap,
+       CAST(agg.dcg AS DOUBLE) / i.idcg AS ndcg
+FROM q
+LEFT JOIN agg USING (query_id)
+LEFT JOIN nrel USING (query_id)
+LEFT JOIN icg i ON i.m = least(nrel.n_rel, {_EVAL_K})
+ORDER BY query_id
+"""
+
+
+@register("retrieval_eval", _retrieval_eval_sql())
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP/nDCG@10 of BM25 against conjunctive ground truth — the eval
+    half of the retrieval surface. AP terms and DCG discounts accumulate
+    as 12-dp DECIMAL (partitioning-independent); the discount/IDCG tables
+    are identical literals in both engines. Contract in
+    ``operators/retrieval.ranking_eval``."""
+    from big_data_elt_pipeline_spark.operators.retrieval import ranking_eval
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        _EVAL_QUERIES, "query_id string, query_text string"
+    )
+    return ranking_eval(docs, queries, k=_EVAL_K)
+
+
+# --------------------------------------------------------------------------
+# tokenizer_fertility: per-language subword fertility + chars/token — the
+# multilingual tokenizer-efficiency audit (a language with exploding
+# fertility eats a multiple of its fair training-token budget).
+# --------------------------------------------------------------------------
+
+_FERTILITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text, {_TOK.format(c='text')} AS tok FROM documents
+),
+st AS (
+    SELECT CAST(len(tok) AS BIGINT) AS ws,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE}')) AS BIGINT) AS bpe,
+           CAST(length(text) AS BIGINT) AS chars,
+           {_LANG_SCORES}
+    FROM base
+),
+per AS (SELECT {_LANG_CASE} AS lang, ws, bpe, chars FROM st)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CASE WHEN sum(ws) = 0 THEN NULL
+            ELSE CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END AS fertility,
+       CASE WHEN sum(bpe) = 0 THEN NULL
+            ELSE CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) END AS chars_per_token
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("tokenizer_fertility", _FERTILITY_SQL)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish tokens per whitespace
+    word) and chars/token: map-only per-row features into one
+    language-domain-bounded aggregate; ratios are single exact-integer
+    divisions (try_divide mirrors the SQL zero guard). Contract in
+    ``operators/profiling.token_fertility_by_lang``."""
+    from big_data_elt_pipeline_spark.operators.profiling import (
+        token_fertility_by_lang,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return token_fertility_by_lang(docs)
+
+
+# --------------------------------------------------------------------------
+# vocab_coverage: token-occurrence share of the top-k most frequent words
+# — the Zipf-curve summary that sizes vocabulary budgets and flags
+# boilerplate-dominated corpora.
+# --------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH words AS (
+    SELECT t.w AS word
+    FROM documents, unnest({_TOK.format(c='text')}) AS t(w)
+    WHERE t.w <> ''
+),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total_tokens FROM wc),
+top AS (SELECT word, freq FROM wc ORDER BY freq DESC, word ASC LIMIT 1000),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY freq DESC, word ASC) AS r,
+           sum(freq) OVER (ORDER BY freq DESC, word ASC) AS cum
+    FROM top
+),
+k(top_k) AS (VALUES (10), (100), (1000))
+SELECT CAST(k.top_k AS BIGINT) AS top_k,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(max(cum) AS BIGINT) AS covered_tokens,
+       max(tot.total_tokens) AS total_tokens,
+       CAST(max(cum) AS DOUBLE) / CAST(max(tot.total_tokens) AS DOUBLE) AS share
+FROM ranked, k, tot
+WHERE ranked.r <= k.top_k
+GROUP BY k.top_k
+ORDER BY top_k
+"""
+
+
+@register("vocab_coverage", _VOCAB_COVERAGE_SQL)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of all token occurrences covered by the top-{10,100,1000}
+    words under the (freq desc, word asc) total order. The top-k cut is
+    TakeOrderedAndProject (distributed top-k — never a global sort of the
+    vocabulary); only the 1000-row result takes a window. Contract in
+    ``operators/profiling.vocab_coverage``."""
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs)
+
+
 _BLOCK_SQL = """
 WITH toks AS (
     SELECT doc_id,

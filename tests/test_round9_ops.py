@@ -119,3 +119,137 @@ def test_bpe_train_survives_pair_space_exhaustion(spark):
     # the converged state survives: one fully-merged symbol per word
     state = syms.collect()
     assert len(state) == 1 and state[0].sym == "ab</w>"
+
+
+# ------------------------------------------------------------- second wave
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF_SMOKE, "documents").cache()
+
+
+def test_perplexity_buckets_partition_laws(spark, docs):
+    from big_data_elt_pipeline_spark.operators.quality import (
+        perplexity_buckets,
+    )
+
+    rows = {r.bucket: r for r in perplexity_buckets(docs).collect()}
+    assert set(rows) == {"1_head", "2_middle", "3_tail"}
+    n = docs.count()
+    # buckets partition the corpus into near-equal thirds (ties at the
+    # exact tertile thresholds can shift a few docs across the cut)
+    assert sum(r.n_docs for r in rows.values()) == n
+    for r in rows.values():
+        assert abs(r.n_docs - n / 3) <= max(5, 0.05 * n)
+        assert abs(r.share - r.n_docs / n) < 1e-12
+    # head is the most fluent (lowest mean nll), tail the least
+    assert rows["1_head"].mean_nll < rows["2_middle"].mean_nll
+    assert rows["2_middle"].mean_nll < rows["3_tail"].mean_nll
+
+
+def test_ranking_eval_hand_case(spark):
+    from big_data_elt_pipeline_spark.operators.retrieval import ranking_eval
+
+    # 4 docs; query 'cat dog': docs 1,2 contain both (relevant), 3 only
+    # 'cat', 4 neither. BM25 ranks by the shared rare terms.
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog house"),
+            (2, "cat dog dog tree"),
+            (3, "cat fish"),
+            (4, "bird stone wall"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "cat dog")], "query_id string, query_text string"
+    )
+    got = ranking_eval(docs, queries, k=10).collect()[0]
+    assert got.n_rel == 2
+    assert 0.0 <= got.ap <= 1.0 and 0.0 <= got.ndcg <= 1.0
+    # both relevant docs carry the rare 'dog' term, so they outrank doc 3
+    # -> perfect ranking: AP = nDCG = 1 exactly
+    assert got.ap == 1.0 and got.ndcg == 1.0
+
+
+def test_ranking_eval_bounds_on_corpus(spark, docs):
+    from big_data_elt_pipeline_spark.operators.retrieval import ranking_eval
+    from big_data_elt_pipeline_spark.plans.text_queries import _EVAL_QUERIES
+
+    queries = spark.createDataFrame(
+        _EVAL_QUERIES, "query_id string, query_text string"
+    )
+    for r in ranking_eval(docs, queries, k=10).collect():
+        assert r.n_rel > 0  # fixture guarantees a nonempty relevant set
+        assert 0.0 <= r.ap <= 1.0
+        assert 0.0 <= r.ndcg <= 1.0
+
+
+def test_idcg_prefix_is_exact_decimal_sum():
+    from decimal import Decimal
+
+    from big_data_elt_pipeline_spark.operators.retrieval import (
+        idcg_prefix,
+        ndcg_discounts,
+    )
+
+    d = ndcg_discounts(10)
+    assert d[0] == 1.0  # 1/log2(2)
+    acc = Decimal(0)
+    for m, v in enumerate(idcg_prefix(10)):
+        acc += Decimal(str(d[m]))
+        assert v == float(acc)
+
+
+def test_token_fertility_reconciles_with_per_doc_counts(spark, docs):
+    from big_data_elt_pipeline_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+    from big_data_elt_pipeline_spark.operators.profiling import (
+        token_fertility_by_lang,
+    )
+    from pyspark.sql import functions as F
+
+    rows = token_fertility_by_lang(docs).collect()
+    tot = docs.agg(
+        F.sum(token_count(F.col("text"))).alias("ws"),
+        F.sum(bpe_token_count(F.col("text"))).alias("bpe"),
+        F.sum(F.length("text").cast("long")).alias("ch"),
+    ).collect()[0]
+    assert sum(r.ws_tokens for r in rows) == tot.ws
+    assert sum(r.bpe_tokens for r in rows) == tot.bpe
+    assert sum(r.n_chars for r in rows) == tot.ch
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.fertility == r.bpe_tokens / r.ws_tokens
+        assert r.chars_per_token == r.n_chars / r.bpe_tokens
+
+
+def test_vocab_coverage_laws(spark, docs):
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_coverage
+
+    rows = {r.top_k: r for r in vocab_coverage(docs).collect()}
+    assert list(sorted(rows)) == [10, 100, 1000]
+    # shares are monotone in k; coverage never exceeds the total
+    assert rows[10].share <= rows[100].share <= rows[1000].share <= 1.0
+    for r in rows.values():
+        assert r.n_words <= r.top_k
+        assert r.covered_tokens <= r.total_tokens
+        assert r.share == r.covered_tokens / r.total_tokens
+    # this corpus's vocabulary is ~30 words: top-100 already covers it all
+    assert rows[100].share == 1.0
+
+
+def test_vocab_coverage_hand_case(spark):
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    rows = {r.top_k: r for r in vocab_coverage(docs, ks=(1, 2, 3)).collect()}
+    assert rows[1].covered_tokens == 3  # 'a'
+    assert rows[2].covered_tokens == 5  # 'a' + 'b'
+    assert rows[3].covered_tokens == 6
+    assert rows[3].share == 1.0
