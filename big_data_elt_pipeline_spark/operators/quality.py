@@ -225,6 +225,14 @@ def lm_scores(
                 F.sum("nll_term").cast("double") / F.count(F.lit(1)).cast("double"), 6
             ).alias("nll"),
         )
+        # every consumer instantiates the scored relation at least twice
+        # (the median/threshold branch + the output); without lineage
+        # truncation each instantiation re-runs the corpus scan, the
+        # shingle explode and the model build (measured: 20 exchanges in
+        # the filter's plan, 74 in the tertile-bucket composite). The
+        # checkpoint stores one row per document — the relation every
+        # consumer needs materialized anyway.
+        .localCheckpoint(eager=False)
     )
     med = F.broadcast(quantized_median(scored, "nll"))
     return scored.crossJoin(med).select(
@@ -259,7 +267,12 @@ def perplexity_buckets(
     Scale: everything is ``lm_scores``' shape plus one 3-group aggregate;
     the tertile thresholds ride along as a broadcast single row.
     """
-    scored = lm_scores(docs, ref_mod, id_col, text_col, buckets)
+    # lm_scores checkpoints its per-doc relation; one more (cheap) lazy
+    # checkpoint here truncates the median branch too, so the tertile
+    # histogram, the count and the bucket pass all read stored rows
+    scored = lm_scores(docs, ref_mod, id_col, text_col, buckets).localCheckpoint(
+        eager=False
+    )
     th = F.broadcast(
         quantized_percentiles(scored, "nll", [1 / 3, 2 / 3]).agg(
             F.min(F.when(F.col("p") < 0.5, F.col("value"))).alias("t1"),

@@ -221,6 +221,11 @@ def ranking_eval(
         .join(F.broadcast(nq), "query_id")
         .filter(F.col("nt") == F.col("n_terms"))
         .select("query_id", "doc_id", F.lit(1).alias("isr"))
+        # rel is |queries| x R rows but its LINEAGE holds a corpus scan
+        # (the distinct doc-term relation); it is instantiated twice
+        # (the ranked join + the n_rel count) — the lazy checkpoint makes
+        # that one corpus scan instead of two
+        .localCheckpoint(eager=False)
     )
     nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
     disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
