@@ -247,3 +247,108 @@ def vocab_coverage(
         )
         .orderBy("top_k")
     )
+
+
+# ln(2) as a shared literal: log2(x) = ln(x) / ln(2) with the snapped-ln
+# idiom (BM25/LM discipline) keeps entropy cross-engine exact — both
+# engines receive this identical constant rather than computing their own.
+LN2 = 0.6931471805599453
+
+
+def source_mixture(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, n_docs, doc_share, ws_tokens, token_share, entropy_bits):
+    the mixture-design diversity audit — per-source corpus shares plus the
+    Shannon entropy (bits) of the document distribution over sources, the
+    number every data-mixing recipe (UniMax / temperature reweighting)
+    starts from. entropy_bits repeats on every row (a corpus-level scalar
+    carried alongside the per-source breakdown, value-hashable as one
+    relation).
+
+    Exactness: shares are single divisions of exact bigints; the entropy
+    terms are ``round(ln(share), 6)`` on the SOURCE-BOUNDED table (the
+    BM25 snapped-transcendental idiom), multiplied and re-snapped to 12
+    dp, summed as DECIMAL, divided by the shared LN2 literal — both
+    engines compute byte-identical bits. Scale: one partial-agg groupBy
+    over the source domain; everything after is source-bounded."""
+    per = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long"))
+        .cast("long")
+        .alias("ws_tokens"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_docs").cast("long").alias("t_docs"),
+            F.sum("ws_tokens").cast("long").alias("t_tokens"),
+        )
+    )
+    shared = per.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("t_docs").cast("double")).alias("doc_share"),
+        "ws_tokens",
+        (F.col("ws_tokens").cast("double") / F.col("t_tokens").cast("double")).alias("token_share"),
+    )
+    ent = F.broadcast(
+        shared.select(
+            F.round(
+                F.col("doc_share") * F.round(F.log(F.col("doc_share")), 6), 12
+            )
+            .cast("decimal(25,12)")
+            .alias("term")
+        )
+        .agg((-F.sum("term").cast("double") / F.lit(LN2)).alias("entropy_bits"))
+    )
+    return shared.crossJoin(ent).orderBy("source")
+
+
+def vocab_drift(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ONE summary row — (n_words_a, n_words_b, shared_words,
+    vocab_jaccard, l1_distance): distribution shift between the two
+    deterministic corpus halves (doc_id parity, the train/val split
+    audit). l1_distance = sum |p_a(w) - p_b(w)| over the union vocabulary
+    (0 = identical distributions, 2 = disjoint) — the standard drift gate
+    before trusting a held-out split.
+
+    Exactness: per-word shares are exact-bigint divisions; each |diff| is
+    12-dp-snapped into a DECIMAL sum (associative); vocabulary Jaccard is
+    pure integer arithmetic. Scale: two wordcount partial aggregations +
+    one full-outer join keyed on word — vocabulary-sized, the wordcount
+    shape."""
+    words = docs.select(
+        (F.col(id_col) % 2 == 0).alias("a"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("a", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    side_tot = wc.groupBy("a").agg(F.sum("cnt").alias("tot"))
+    wa = (
+        wc.filter("a").join(side_tot.filter("a"), "a")
+        .select("word", (F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("pa"))
+    )
+    wb = (
+        wc.filter(~F.col("a")).join(side_tot.filter(~F.col("a")), "a")
+        .select("word", (F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("pb"))
+    )
+    joined = wa.join(wb, "word", "full_outer").select(
+        F.col("pa").isNotNull().alias("in_a"),
+        F.col("pb").isNotNull().alias("in_b"),
+        F.round(
+            F.abs(F.coalesce("pa", F.lit(0.0)) - F.coalesce("pb", F.lit(0.0))), 12
+        ).cast("decimal(25,12)").alias("d"),
+    )
+    return joined.agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("n_words_a"),
+        F.sum(F.col("in_b").cast("long")).cast("long").alias("n_words_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).cast("long").alias("shared_words"),
+        (
+            F.sum((F.col("in_a") & F.col("in_b")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("vocab_jaccard"),
+        F.sum("d").cast("double").alias("l1_distance"),
+    )

@@ -1073,6 +1073,16 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # r07-r08, code unchanged this round; the family keeps BOTH incremental
 # forms gated and the r9 A/B exhibit), ``tpch_q2`` / ``tpch_q20`` (green
 # r07-r08; q9 keeps the family seat).
+# Round-9 third pass (same-round seating): IN ``source_mixture``
+# (per-source shares + Shannon entropy of the source distribution — the
+# mixture-design diversity scalar; snapped-ln on the bounded source
+# table, shared ln(2) literal) and ``vocab_drift`` (L1 distance between
+# the doc_id-parity halves' word distributions — the train/val shift
+# gate). OUT ``dedup_incremental_substrings`` (green r07-r08; the
+# incremental family keeps ``dedup_incremental_span_removal``, which
+# composes the same span kernel) and ``fact_achats`` (green r01-r08; the
+# reference pipeline keeps five gated seats: silver_achats, dim_clients,
+# client_features, client_scores, top_clients).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1092,7 +1102,7 @@ _GATE_ORDER = [
     "curation_recipe", "dsir_select",
     "ccnet_perplexity_buckets", "retrieval_eval",
     "tokenizer_fertility", "vocab_coverage",
-    "lang_id_report", "dedup_incremental_substrings",
+    "lang_id_report", "source_mixture", "vocab_drift",
     "dedup_incremental_span_removal",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
@@ -1107,9 +1117,9 @@ _GATE_ORDER = [
     "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
     # reference pipeline: silver
     "silver_achats",
-    # reference pipeline: gold + serving (ca_monthly rotated out r8 —
-    # r03-r07 green; retained in the local parity sweep)
-    "fact_achats", "dim_clients",
+    # reference pipeline: gold + serving (ca_monthly rotated out r8,
+    # fact_achats r9 — both multi-round green; local parity sweep)
+    "dim_clients",
     "client_features", "client_scores",
     "top_clients",
     # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round

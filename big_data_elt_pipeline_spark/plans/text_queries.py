@@ -1405,6 +1405,102 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs)
 
 
+# --------------------------------------------------------------------------
+# source_mixture: per-source corpus shares + Shannon entropy (bits) of the
+# source distribution — the number every data-mixing recipe starts from.
+# ln is snapped on the source-bounded table (BM25 idiom); log2 conversion
+# divides by a shared ln(2) literal rather than trusting engine log2.
+# --------------------------------------------------------------------------
+
+# the shared ln(2) literal — import keeps the two engines' constant one
+from big_data_elt_pipeline_spark.operators.profiling import LN2 as _LN2  # noqa: E402
+
+_SOURCE_MIXTURE_SQL = f"""
+WITH per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOK.format(c='text')})) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS t_tokens FROM per),
+sh AS (
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
+           ws_tokens,
+           CAST(ws_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS token_share
+    FROM per, tot
+),
+ent AS (
+    SELECT -CAST(sum(CAST(round(doc_share * round(ln(doc_share), 6), 12)
+                          AS DECIMAL(25,12))) AS DOUBLE) / {_LN2!r} AS entropy_bits
+    FROM sh
+)
+SELECT source, n_docs, doc_share, ws_tokens, token_share, entropy_bits
+FROM sh, ent
+ORDER BY source
+"""
+
+
+@register("source_mixture", _SOURCE_MIXTURE_SQL)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design diversity audit: per-source doc/token shares plus
+    the Shannon entropy (bits) of the source distribution, carried on
+    every row as the corpus-level scalar. One source-domain-bounded
+    partial-agg groupBy; entropy terms snapped on the bounded table.
+    Contract in ``operators/profiling.source_mixture``."""
+    from big_data_elt_pipeline_spark.operators.profiling import source_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_mixture(docs).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# vocab_drift: L1 distance between the word distributions of the two
+# doc_id-parity corpus halves — the train/val distribution-shift gate.
+# --------------------------------------------------------------------------
+
+_VOCAB_DRIFT_SQL = f"""
+WITH words AS (
+    SELECT (doc_id % 2 = 0) AS a, t.w AS word
+    FROM documents, unnest({_TOK.format(c='text')}) AS t(w)
+    WHERE t.w <> ''
+),
+wc AS (SELECT a, word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY a, word),
+st AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS tot FROM wc GROUP BY a),
+wa AS (SELECT word, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS pa
+       FROM wc JOIN st USING (a) WHERE a),
+wb AS (SELECT word, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS pb
+       FROM wc JOIN st USING (a) WHERE NOT a),
+j AS (
+    SELECT (pa IS NOT NULL) AS in_a, (pb IS NOT NULL) AS in_b,
+           CAST(round(abs(coalesce(pa, 0.0) - coalesce(pb, 0.0)), 12)
+                AS DECIMAL(25,12)) AS d
+    FROM wa FULL OUTER JOIN wb USING (word)
+)
+SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_words_a,
+       CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_words_b,
+       CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS shared_words,
+       CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS vocab_jaccard,
+       CAST(sum(d) AS DOUBLE) AS l1_distance
+FROM j
+"""
+
+
+@register("vocab_drift", _VOCAB_DRIFT_SQL)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between the doc_id-parity corpus halves: union
+    vocabulary sizes, vocabulary Jaccard, and the L1 distance between the
+    two word distributions (0 identical, 2 disjoint) — the audit run
+    before trusting a held-out split. Two wordcount partial aggregations
+    + one vocabulary-keyed full-outer join; |diff| terms are 12-dp
+    DECIMAL sums. Contract in ``operators/profiling.vocab_drift``."""
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_drift
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_drift(docs)
+
+
 _BLOCK_SQL = """
 WITH toks AS (
     SELECT doc_id,

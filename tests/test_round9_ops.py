@@ -253,3 +253,68 @@ def test_vocab_coverage_hand_case(spark):
     assert rows[2].covered_tokens == 5  # 'a' + 'b'
     assert rows[3].covered_tokens == 6
     assert rows[3].share == 1.0
+
+
+def test_source_mixture_laws(spark, docs):
+    from big_data_elt_pipeline_spark.operators.profiling import source_mixture
+
+    rows = source_mixture(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-9
+    # entropy is a corpus scalar repeated per row, within [0, log2(k)]
+    import math
+
+    ents = {r.entropy_bits for r in rows}
+    assert len(ents) == 1
+    h = ents.pop()
+    assert 0.0 <= h <= math.log2(len(rows)) + 1e-9
+
+
+def test_source_mixture_uniform_hand_case(spark):
+    from big_data_elt_pipeline_spark.operators.profiling import source_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "w x", ["s1", "s2", "s3", "s4"][i % 4]) for i in range(16)],
+        "doc_id long, text string, source string",
+    )
+    rows = source_mixture(docs).collect()
+    # uniform over 4 sources -> exactly 2 bits (up to the 6-dp ln snap)
+    assert abs(rows[0].entropy_bits - 2.0) < 1e-5
+    for r in rows:
+        assert r.doc_share == 0.25
+
+
+def test_vocab_drift_identical_halves(spark):
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_drift
+
+    # both parities carry the same text -> identical distributions
+    docs = spark.createDataFrame(
+        [(i, "alpha beta beta gamma") for i in range(10)],
+        "doc_id long, text string",
+    )
+    r = vocab_drift(docs).collect()[0]
+    assert r.n_words_a == r.n_words_b == r.shared_words == 3
+    assert r.vocab_jaccard == 1.0
+    assert r.l1_distance == 0.0
+
+
+def test_vocab_drift_disjoint_halves(spark):
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_drift
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb" if i % 2 == 0 else "cc dd") for i in range(10)],
+        "doc_id long, text string",
+    )
+    r = vocab_drift(docs).collect()[0]
+    assert r.shared_words == 0 and r.vocab_jaccard == 0.0
+    assert abs(r.l1_distance - 2.0) < 1e-9  # total variation x2: disjoint
+
+
+def test_vocab_drift_bounds_on_corpus(spark, docs):
+    from big_data_elt_pipeline_spark.operators.profiling import vocab_drift
+
+    r = vocab_drift(docs).collect()[0]
+    assert 0.0 <= r.l1_distance <= 2.0
+    assert 0.0 <= r.vocab_jaccard <= 1.0
+    assert r.shared_words <= min(r.n_words_a, r.n_words_b)
