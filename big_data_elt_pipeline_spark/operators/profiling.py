@@ -277,7 +277,10 @@ def source_mixture(
         F.sum(F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long"))
         .cast("long")
         .alias("ws_tokens"),
-    )
+        # the source-bounded relation is instantiated in four plan
+        # branches (totals, shares, entropy, output); the lazy checkpoint
+        # makes the corpus scan happen once (the lm_scores discipline)
+    ).localCheckpoint(eager=False)
     tot = F.broadcast(
         per.agg(
             F.sum("n_docs").cast("long").alias("t_docs"),
