@@ -133,7 +133,7 @@ BENCH_QUERIES = [
     "bpe_doc_tokens",
     "ccnet_perplexity_buckets", "retrieval_eval",
     "tokenizer_fertility", "vocab_coverage",
-    "source_mixture", "vocab_drift",
+    "source_mixture", "vocab_drift", "dedup_minhash_recall",
 ]
 
 

@@ -1083,6 +1083,12 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # composes the same span kernel) and ``fact_achats`` (green r01-r08; the
 # reference pipeline keeps five gated seats: silver_achats, dim_clients,
 # client_features, client_scores, top_clients).
+# Round-9 fourth pass (same-round seating): IN ``dedup_minhash_recall``
+# (measured recall of LSH candidate generation vs the lossless
+# prefix-filter truth — the eval that justifies the band/row config;
+# 0.95-0.97 on the twin corpus, subset law pinned). OUT ``dim_clients``
+# (green r01-r08; the reference pipeline keeps four gated seats:
+# silver_achats, client_features, client_scores, top_clients).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1103,6 +1109,7 @@ _GATE_ORDER = [
     "ccnet_perplexity_buckets", "retrieval_eval",
     "tokenizer_fertility", "vocab_coverage",
     "lang_id_report", "source_mixture", "vocab_drift",
+    "dedup_minhash_recall",
     "dedup_incremental_span_removal",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
@@ -1118,8 +1125,7 @@ _GATE_ORDER = [
     # reference pipeline: silver
     "silver_achats",
     # reference pipeline: gold + serving (ca_monthly rotated out r8,
-    # fact_achats r9 — both multi-round green; local parity sweep)
-    "dim_clients",
+    # fact_achats + dim_clients r9 — all multi-round green; local sweep)
     "client_features", "client_scores",
     "top_clients",
     # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round

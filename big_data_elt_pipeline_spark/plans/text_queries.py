@@ -624,6 +624,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dedup_minhash_recall: measured recall of the MinHash+LSH candidate
+# generator against the lossless prefix-filtered truth at the same
+# threshold — the eval that justifies the band/row configuration. Oracle
+# composes the two standalone pair oracles as derived tables.
+# --------------------------------------------------------------------------
+
+_MINHASH_RECALL_SQL = f"""
+WITH t AS (SELECT id1, id2 FROM ({_NGRAM_JACCARD_SQL})),
+m AS (SELECT id1, id2 FROM ({_minhash_sql()})),
+j AS (
+    SELECT (t.id1 IS NOT NULL) AS in_t, (m.id1 IS NOT NULL) AS in_m
+    FROM t FULL OUTER JOIN m USING (id1, id2)
+)
+SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN in_t AND in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN in_t AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+       CAST(sum(CASE WHEN in_m AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_spurious,
+       CAST(sum(CASE WHEN in_t AND in_m THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+FROM j
+"""
+
+
+@register("dedup_minhash_recall", _MINHASH_RECALL_SQL)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash+LSH candidates vs the lossless exact-Jaccard
+    truth on the perturbed twin corpus (threshold 0.5): both sides verify
+    exact Jaccard, so precision is 1.0 by construction and n_spurious
+    pins the subset law — recall is the one number the LSH configuration
+    owes you. Contract in ``operators/dedup.minhash_recall_eval``."""
+    return DD.minhash_recall_eval(_docs2(spark, sf_dir), threshold=0.5)
+
+
+# --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
 

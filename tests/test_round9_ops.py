@@ -318,3 +318,25 @@ def test_vocab_drift_bounds_on_corpus(spark, docs):
     assert 0.0 <= r.l1_distance <= 2.0
     assert 0.0 <= r.vocab_jaccard <= 1.0
     assert r.shared_words <= min(r.n_words_a, r.n_words_b)
+
+
+def test_minhash_recall_subset_law(spark, docs):
+    from big_data_elt_pipeline_spark.operators.dedup import (
+        minhash_recall_eval,
+    )
+
+    perturbed = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(perturbed)
+    r = minhash_recall_eval(corpus, threshold=0.5).collect()[0]
+    # MinHash verifies exact Jaccard on the same shingles: found pairs
+    # are a subset of the lossless truth (precision 1.0 by construction)
+    assert r.n_spurious == 0
+    assert r.n_hit == r.n_candidates
+    assert r.n_hit + r.n_missed == r.n_truth
+    assert r.recall == r.n_hit / r.n_truth
+    # the twin corpus plants ~n near-dup pairs; 4x4 LSH at t=0.5 should
+    # recover the bulk of them (observed 0.95-0.97 at sf0.001/sf0.01)
+    assert r.recall >= 0.85
