@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "ccnet_perplexity_buckets", "retrieval_eval",
     "tokenizer_fertility", "vocab_coverage",
     "source_mixture", "vocab_drift", "dedup_minhash_recall",
+    "doc_length_quantiles_by_lang",
 ]
 
 

@@ -368,6 +368,72 @@ def quantized_percentiles(df: DataFrame, col: str, ps: list[float]) -> DataFrame
     )
 
 
+def grouped_quantized_percentiles(
+    df: DataFrame, group_col: str, col: str, ps: list[float]
+) -> DataFrame:
+    """(group, p, value): ``quantized_percentiles`` generalized to one
+    histogram pass PER GROUP — per-language length distributions,
+    per-source score spreads, any grouped exact percentile a 100 TB
+    corpus audit needs. Same bit-compatible weighted interpolation and
+    the same scale contract: aggregation state is bounded by |groups| x
+    |value domain| (the values must be quantized), never by the corpus;
+    the cumulative window partitions BY GROUP over distinct values only.
+
+    A group whose index straddles two values interpolates exactly as the
+    global kernel does; a single-value group returns that value at every
+    p (index 0 everywhere)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        group_col,
+        F.col(col).cast("double").alias("v"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(w).alias("hi"),
+    )
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    pdim = F.broadcast(
+        df.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+        )
+    )
+    idx = F.col("p") * (F.col("n") - F.lit(1)).cast("double")
+    lo_i = F.floor(idx).cast("long")
+    hi_i = F.ceil(idx).cast("long")
+    sel = (
+        cum.join(n, group_col)
+        .crossJoin(pdim)
+        .groupBy(group_col, "p")
+        .agg(
+            F.min(
+                F.when((F.col("lo") <= lo_i) & (lo_i < F.col("hi")), F.col("v"))
+            ).alias("l"),
+            F.min(
+                F.when((F.col("lo") <= hi_i) & (hi_i < F.col("hi")), F.col("v"))
+            ).alias("u"),
+            F.max("n").alias("n"),
+        )
+    )
+    oidx = F.col("p") * (F.col("n") - F.lit(1)).cast("double")
+    olo = F.floor(oidx)
+    ohi = F.ceil(oidx)
+    return sel.select(
+        group_col,
+        "p",
+        F.when(olo == ohi, F.col("l"))
+        .otherwise(
+            (ohi.cast("double") - oidx) * F.col("l")
+            + (oidx - olo.cast("double")) * F.col("u")
+        )
+        .alias("value"),
+    )
+
+
 def quantized_median(df: DataFrame, col: str) -> DataFrame:
     """Single-row (med_nll) wrapper over ``quantized_percentiles`` at
     p = 0.5 (see there for the formula and the scale rationale)."""

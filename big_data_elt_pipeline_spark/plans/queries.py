@@ -1089,6 +1089,12 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # 0.95-0.97 on the twin corpus, subset law pinned). OUT ``dim_clients``
 # (green r01-r08; the reference pipeline keeps four gated seats:
 # silver_achats, client_features, client_scores, top_clients).
+# Round-9 fifth pass (same-round seating): IN
+# ``doc_length_quantiles_by_lang`` (the GROUPED generalization of the
+# bounded-state percentile kernel — per-language length quartiles from
+# one grouped value histogram, equality-with-percentile() pytest). OUT
+# ``revenue_chain_recursive`` (green r06-r08; the recursive-CTE shape
+# keeps its pytest + the local parity sweep).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1113,7 +1119,8 @@ _GATE_ORDER = [
     "dedup_incremental_span_removal",
     "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
     "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
-    "url_domain_filter", "doc_length_quantiles", "embedding_covariance",
+    "url_domain_filter", "doc_length_quantiles",
+    "doc_length_quantiles_by_lang", "embedding_covariance",
     "pca_top_component",
     # BPE family: train + the r9-debut apply side
     "bpe_merges", "bpe_vocab", "bpe_doc_tokens",
@@ -1133,8 +1140,8 @@ _GATE_ORDER = [
     # debut; all 22 stay in the local parity sweep)
     "logreg_quality_model",
     "tpch_q9",
-    # ML / graph / recursive
-    "pagerank_centrality", "revenue_chain_recursive",
+    # ML / graph
+    "pagerank_centrality",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
     # for a rows-only record; value semantics pinned by pytest contracts
     "ann_ivf_topk", "audio_features", "image_features",

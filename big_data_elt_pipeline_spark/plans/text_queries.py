@@ -1522,6 +1522,41 @@ FROM j
 """
 
 
+_LEN_BY_LANG_SQL = f"""
+WITH base AS (
+    SELECT lang, CAST(len({_TOK.format(c='text')}) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT lang, CAST(0.25 AS DOUBLE) AS p, quantile_cont(n_tokens, 0.25) AS value
+FROM base GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.5 AS DOUBLE), quantile_cont(n_tokens, 0.5) FROM base GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.75 AS DOUBLE), quantile_cont(n_tokens, 0.75) FROM base GROUP BY lang
+ORDER BY lang, p
+"""
+
+
+@register("doc_length_quantiles_by_lang", _LEN_BY_LANG_SQL)
+def q_doc_length_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quartiles from ONE grouped value
+    histogram — the grouped generalization of the bounded-state
+    percentile kernel (state bounded by |langs| x |length domain|, never
+    a per-group percentile buffer; exact interpolated values matching
+    quantile_cont). Contract in
+    ``operators/quality.grouped_quantized_percentiles``."""
+    from big_data_elt_pipeline_spark.operators.quality import (
+        grouped_quantized_percentiles,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return grouped_quantized_percentiles(
+        docs, "lang", "n_tokens", [0.25, 0.5, 0.75]
+    ).orderBy("lang", "p")
+
+
 @register("vocab_drift", _VOCAB_DRIFT_SQL)
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution shift between the doc_id-parity corpus halves: union

@@ -340,3 +340,44 @@ def test_minhash_recall_subset_law(spark, docs):
     # the twin corpus plants ~n near-dup pairs; 4x4 LSH at t=0.5 should
     # recover the bulk of them (observed 0.95-0.97 at sf0.001/sf0.01)
     assert r.recall >= 0.85
+
+
+def test_grouped_percentiles_match_spark_percentile(spark):
+    import random
+
+    from big_data_elt_pipeline_spark.operators.quality import (
+        grouped_quantized_percentiles,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (["g1", "g2", "g3"][i % 3], float(rng.randint(0, 50)))
+        for i in range(300)
+    ] + [("g_single", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.p): r.value
+        for r in grouped_quantized_percentiles(
+            df, "g", "v", [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    # reference: Spark's own percentile() per group (buffers values —
+    # the form the kernel exists to avoid at scale)
+    ref = {
+        (r.g, p): r[f"p{i}"]
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {p})").alias(f"p{i}")
+                for i, p in enumerate([0.1, 0.5, 0.9])
+            ]
+        )
+        .collect()
+        for i, p in enumerate([0.1, 0.5, 0.9])
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == ref[k], k
+    # single-value group returns that value at every p
+    for p in (0.1, 0.5, 0.9):
+        assert got[("g_single", p)] == 42.0
