@@ -203,7 +203,11 @@ def ranking_eval(
     partitioning-independent); the final divisions (by min(R, k) and by
     the IDCG literal) are single correctly-rounded IEEE ops. Discount and
     IDCG tables are shared literals (``ndcg_discounts``/``idcg_prefix``).
-    A query with zero relevant documents pins ap = ndcg = NULL.
+    A query with zero relevant documents pins ap = ndcg = NULL via an
+    explicit ``n_rel = 0`` guard applied BEFORE the min(R, k) clamp —
+    n_rel is coalesced to 0 first, so neither engine ever evaluates
+    least(NULL, k) (whose NULL-skipping is engine/version-dependent) or
+    an IDCG lookup at index 0.
 
     Scale shape: inherits ``bm25_topk`` (the one corpus-sized shuffle is
     the posting-list groupBy); relevance is one semi-join of the distinct
@@ -259,16 +263,31 @@ def ranking_eval(
         queries.select("query_id")
         .join(rr, "query_id", "left")
         .join(nrel, "query_id", "left")
+        # coalesce FIRST: every downstream use sees a defined n_rel, so the
+        # least()/element_at() clamps never meet a NULL (F.col("n_rel")
+        # inside the same select would still bind to the raw join column)
+        .withColumn("n_rel0", F.coalesce("n_rel", F.lit(0)).cast("long"))
         .select(
             "query_id",
-            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
-            F.try_divide(
-                F.col("ap_num").cast("double"),
-                F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+            F.col("n_rel0").alias("n_rel"),
+            F.when(
+                F.col("n_rel0") > 0,
+                F.try_divide(
+                    F.col("ap_num").cast("double"),
+                    F.least(F.col("n_rel0"), F.lit(k)).cast("double"),
+                ),
             ).alias("ap"),
-            F.try_divide(
-                F.col("dcg").cast("double"),
-                F.element_at(idcg, F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            F.when(
+                F.col("n_rel0") > 0,
+                F.try_divide(
+                    F.col("dcg").cast("double"),
+                    F.element_at(
+                        idcg,
+                        F.greatest(
+                            F.least(F.col("n_rel0"), F.lit(k)), F.lit(1)
+                        ).cast("int"),
+                    ),
+                ),
             ).alias("ndcg"),
         )
         .orderBy("query_id")

@@ -642,8 +642,10 @@ SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
        CAST(sum(CASE WHEN in_t AND in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        CAST(sum(CASE WHEN in_t AND NOT in_m THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
        CAST(sum(CASE WHEN in_m AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_spurious,
-       CAST(sum(CASE WHEN in_t AND in_m THEN 1 ELSE 0 END) AS DOUBLE)
-           / CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+       CASE WHEN sum(CASE WHEN in_t THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN in_t AND in_m THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS recall
 FROM j
 """
 
@@ -719,11 +721,19 @@ def _mu_ctes(src: str, n_bits: int) -> str:
     ``similarity.component_means`` (DECIMAL(25,9) sums of 9-dp-snapped
     values, one exact double division; the embedding_covariance mean
     kernel sliced to the bucketed prefix)."""
+    # non-finite guard mirrors similarity.component_means: NULL/NaN/overflow
+    # components map to NULL (skipped by sum) in BOTH engines — DuckDB's
+    # CAST(NaN AS DECIMAL) would otherwise error where Spark silently NULLs
+    comp = f"CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)"
+    guarded = (
+        f"CASE WHEN {comp} IS NOT NULL AND NOT isnan({comp}) "
+        f"AND abs({comp}) <= 1e308 "
+        f"THEN CAST(round({comp}, 9) AS DECIMAL(25,9)) END"
+    )
     return f"""nmu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {src}),
 mudim AS (
     SELECT t.i AS i,
-           CAST(sum(CAST(round(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE), 9)
-                         AS DECIMAL(25,9))) AS DOUBLE)
+           CAST(sum({guarded}) AS DOUBLE)
                / CAST(max(nmu.n) AS DOUBLE) AS mu
     FROM {src}, unnest(range(0, {n_bits})) AS t(i), nmu
     GROUP BY t.i
@@ -1316,16 +1326,22 @@ agg AS (
                ELSE CAST(0 AS DECIMAL(25,12)) END) AS dcg
     FROM cum c JOIN disc d USING (rank)
     GROUP BY c.query_id
+),
+base AS (
+    SELECT q.query_id, agg.ap_num, agg.dcg,
+           coalesce(nrel.n_rel, 0) AS n_rel
+    FROM q
+    LEFT JOIN agg USING (query_id)
+    LEFT JOIN nrel USING (query_id)
 )
-SELECT q.query_id,
-       coalesce(nrel.n_rel, 0) AS n_rel,
-       CAST(agg.ap_num AS DOUBLE)
-           / CAST(least(nrel.n_rel, {_EVAL_K}) AS DOUBLE) AS ap,
-       CAST(agg.dcg AS DOUBLE) / i.idcg AS ndcg
-FROM q
-LEFT JOIN agg USING (query_id)
-LEFT JOIN nrel USING (query_id)
-LEFT JOIN icg i ON i.m = least(nrel.n_rel, {_EVAL_K})
+SELECT b.query_id, b.n_rel,
+       CASE WHEN b.n_rel > 0
+            THEN CAST(b.ap_num AS DOUBLE)
+                 / CAST(least(b.n_rel, {_EVAL_K}) AS DOUBLE)
+       END AS ap,
+       CASE WHEN b.n_rel > 0 THEN CAST(b.dcg AS DOUBLE) / i.idcg END AS ndcg
+FROM base b
+LEFT JOIN icg i ON i.m = greatest(least(b.n_rel, {_EVAL_K}), 1)
 ORDER BY query_id
 """
 

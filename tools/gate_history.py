@@ -47,17 +47,20 @@ def build() -> dict:
                 and rec.get("spark_rows") >= 0
             )
             if full or rows_only:
-                h = history.setdefault(name, {"rounds": [], "mode": None})
-                h["rounds"].append(rnd)
-                h["mode"] = "oracle" if full else (h["mode"] or "rows_only")
+                # mode is tracked PER ROUND so a query that later moves to
+                # the rows-only annex reports the contract of its latest
+                # green round, not a sticky historical maximum (a past
+                # oracle round must not overstate the current contract)
+                h = history.setdefault(name, {"rounds": {}})
+                h["rounds"][rnd] = "oracle" if full else "rows_only"
     out = {}
     for name in registered:
         h = history.get(name)
         out[name] = {
             "latest_green": max(h["rounds"]) if h else None,
-            "rounds": sorted(set(h["rounds"])) if h else [],
+            "rounds": sorted(h["rounds"]) if h else [],
             "mode": (
-                h["mode"] if h
+                h["rounds"][max(h["rounds"])] if h
                 else ("oracle_local_only" if oracles.get(name) else "rows_only_local_only")
             ),
         }
