@@ -1095,6 +1095,39 @@ from big_data_elt_pipeline_spark.plans import text_queries  # noqa: E402,F401
 # one grouped value histogram, equality-with-percentile() pytest). OUT
 # ``revenue_chain_recursive`` (green r06-r08; the recursive-CTE shape
 # keeps its pytest + the local parity sweep).
+# Round-10 rotation (the r9 verdict's prescription #1: freshness). With
+# the r01-r09 union at 169/169 and correctness saturated, the main rot
+# risk is queries whose last DRIVER-green round is <= r4 while the code
+# under them keeps being refactored — 46 such. This round seats the 33
+# stalest oracle-backed ones (every r2/r3 member + the named r4 cohort)
+# plus the 5 stale rows-only queries via the annex, keeping ONE gated
+# representative per family that debuted r8-r9 (curation_recipe,
+# dsir_select, retrieval_eval, vocab_drift, doc_length_quantiles_by_lang,
+# bpe_doc_tokens, knn_semantic_clusters, hybrid_rrf_topk,
+# cms_heavy_hitters, corpus_split, kmeans_centroids, stream_doc_scoring).
+# OUT (all r8/r9 driver-green, local sweep retained): classifier_auc,
+# ccnet_perplexity_buckets, tokenizer_fertility, vocab_coverage,
+# lang_id_report, source_mixture, dedup_minhash_recall,
+# dedup_incremental_span_removal, c4/lm/bloom/gopher/url filters,
+# nb_lang_classifier, temperature_mixture, doc_length_quantiles,
+# embedding_covariance, pca_top_component, bpe_merges, bpe_vocab,
+# embedding_audit, knn_graph_mutual, ann_quantized_topk, unimax_budget,
+# priority_sample, silver_achats, client_features, client_scores,
+# top_clients, logreg_quality_model, tpch_q9, pagerank_centrality, and
+# the r9 annex six (ann_ivf_topk, audio_features, image_features,
+# hll_monthly_distinct, stream_attribution, stream_enrich — multimodal
+# keeps gated coverage via the seated oracle-backed multimodal_features).
+# Round-10 second pass (same-round seating of the round's new queries —
+# no never-gated debt): IN ``unigram_vocab`` / ``unigram_segment`` (the
+# unigram-LM tokenizer family: EM-trained piece log-probs + Viterbi
+# segmentation, oracle-exact) and ``shard_manifest`` /
+# ``shard_assignment`` (deterministic training-shard export: hash-ordered
+# global order, token-budget shards, per-shard manifest with content
+# hash). OUT four of the freshly re-seated stale members with retained
+# family coverage: ``serving_daily`` (A4 keeps serving_weekly seated),
+# ``silver_clients`` (P-family keeps both dirty-silver seats),
+# ``union_scale`` (U-family keeps set_ops_users seated) and
+# ``repeat_rate`` (scalar-KPI family keeps kpis_extended seated).
 # --------------------------------------------------------------------------
 
 GATE_LIMIT = 50
@@ -1103,50 +1136,35 @@ GATE_LIMIT = 50
 # oracle can exist); allowed in the gate window so the driver executes
 # them. Anything else rows-only in the window is still an error.
 ROWS_ONLY_ANNEX = frozenset({
-    "ann_ivf_topk", "audio_features", "image_features",
-    "hll_monthly_distinct", "stream_attribution", "stream_doc_scoring",
-    "stream_enrich",
+    "kpis_approx", "ml_kmeans_segments", "ml_repurchase_predictor",
+    "stream_tumbling", "stream_user_totals", "stream_doc_scoring",
 })
 
 _GATE_ORDER = [
-    # LLM-data-pipeline: text stats, dedup, similarity search, governance
-    "kmeans_centroids", "classifier_auc",
-    "curation_recipe", "dsir_select",
-    "ccnet_perplexity_buckets", "retrieval_eval",
-    "tokenizer_fertility", "vocab_coverage",
-    "lang_id_report", "source_mixture", "vocab_drift",
-    "dedup_minhash_recall",
-    "dedup_incremental_span_removal",
-    "c4_quality_filter", "lm_perplexity_filter", "bloom_decontaminate",
-    "gopher_quality_filter", "nb_lang_classifier", "temperature_mixture",
-    "url_domain_filter", "doc_length_quantiles",
-    "doc_length_quantiles_by_lang", "embedding_covariance",
-    "pca_top_component",
-    # BPE family: train + the r9-debut apply side
-    "bpe_merges", "bpe_vocab", "bpe_doc_tokens",
-    # r9 debuts: embedding hygiene + centered-bucket kNN graph/clusters
-    "embedding_audit", "knn_graph_mutual", "knn_semantic_clusters",
-    # r8 wave: quantized ANN, hybrid retrieval, sketches, sampling, split
-    "ann_quantized_topk", "hybrid_rrf_topk",
-    "unimax_budget", "cms_heavy_hitters", "priority_sample", "corpus_split",
-    # reference pipeline: silver
-    "silver_achats",
-    # reference pipeline: gold + serving (ca_monthly rotated out r8,
-    # fact_achats + dim_clients r9 — all multi-round green; local sweep)
-    "client_features", "client_scores",
-    "top_clients",
-    # OLAP / join zoo (q6/q8/q11/q19/q21 rotated out r8 — multi-round
-    # green; q2/q9/q20 keep the family's gate presence after their r7
-    # debut; all 22 stay in the local parity sweep)
-    "logreg_quality_model",
-    "tpch_q9",
-    # ML / graph
-    "pagerank_centrality",
+    # stale r2 cohort (last driver-green r02)
+    "dedup_simhash", "events_sliding", "incremental_ca_monthly",
+    "salted_distinct_products", "silver_dirty_achats", "silver_dirty_clients",
+    # stale r3 cohort
+    "ca_product", "calendar_dense_monthly", "cube_sales",
+    "events_daily_share", "events_props", "events_session_window",
+    "kpis_extended", "multimodal_features", "pivot_event_counts",
+    "quality_counters_clients", "serving_weekly", "set_ops_users",
+    "to_reactivate", "top_opportunities", "tpch_q1_sql",
+    # stale r4 cohort
+    "dedup_exact", "dedup_ngram_jaccard", "doc_packing", "embedding_neardup",
+    "grouping_sets_sales", "mixture_sample", "pii_scrub", "tpch_q3",
+    "serving_daily", "silver_clients", "union_scale", "repeat_rate",
+    # fresh-family keeps: one gated representative per r8/r9-debut family
+    "curation_recipe", "dsir_select", "retrieval_eval", "vocab_drift",
+    "doc_length_quantiles_by_lang", "bpe_doc_tokens",
+    "knn_semantic_clusters", "hybrid_rrf_topk", "cms_heavy_hitters",
+    "corpus_split", "kmeans_centroids",
     # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
-    # for a rows-only record; value semantics pinned by pytest contracts
-    "ann_ivf_topk", "audio_features", "image_features",
-    "hll_monthly_distinct",
-    "stream_attribution", "stream_doc_scoring", "stream_enrich",
+    # for a rows-only record; value semantics pinned by pytest contracts.
+    # Five are the r01-green rows-only cohort back for fresh evidence;
+    # stream_doc_scoring keeps its r9-debut seat.
+    "kpis_approx", "ml_kmeans_segments", "ml_repurchase_predictor",
+    "stream_tumbling", "stream_user_totals", "stream_doc_scoring",
 ]
 
 
