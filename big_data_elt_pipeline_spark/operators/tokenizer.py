@@ -231,3 +231,286 @@ def bpe_segment(
         ).alias("pieces")
     )
     return words.join(pieces, "word").select(id_col, "word", "pieces")
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-class) segmentation — the second tokenizer
+# family (Kudo 2018, "Subword Regularization: Improving Neural Network
+# Translation Models with Multiple Subword Candidates"). BPE is greedy
+# bottom-up merging; the unigram model instead scores every segmentation
+# of a word by the sum of per-piece log-probabilities and keeps the
+# Viterbi-best path. Reference implementations run an imperative
+# forward DP per word; here the DP is UNROLLED RELATIONAL ROUNDS over the
+# end-position axis — round j computes the best path ending at character
+# j for EVERY word at once (one bounded join + one min-struct survivor),
+# so the trained table and the segmentation are value-hashable
+# cross-engine and nothing ever leaves the cluster.
+#
+# Scale shape: everything after the wordcount runs on the VOCABULARY
+# relation (distinct words), exactly like BPE above — the corpus is
+# touched once. The candidate relation (word, start, piece) is bounded by
+# |vocab| * max_word_len * max_piece_len; each DP round joins the
+# frontier (<= |vocab| rows) to the candidates ending at that position
+# and keeps one survivor per word via min(struct(neg_score, path)) — the
+# skew-safe argmin idiom, no hot keys because partitions are per-word.
+# --------------------------------------------------------------------------
+
+UNI_MAX_PIECE = 4    # max piece length considered by the seed vocabulary
+UNI_MAX_WORD = 12    # DP rounds; words longer than this segment as <unk>
+UNI_VOCAB_TOP = 32   # multi-char pieces kept by the seed cut
+UNI_UNK = "<unk>"
+UNI_SEP = "\x1f"     # path separator (unit separator; never in tokens)
+
+
+def _uni_words(docs: DataFrame, text_col: str, max_word: int = UNI_MAX_WORD) -> DataFrame:
+    """(word, freq) for words short enough to segment (<= UNI_MAX_WORD);
+    longer words are the documented <unk> path."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= max_word))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _uni_candidates(words: DataFrame) -> DataFrame:
+    """(word, freq, start, piece): every substring of every vocabulary
+    word with length 1..UNI_MAX_PIECE — the shared relation both the seed
+    counts and the DP rounds read. Bounded by
+    |vocab| * UNI_MAX_WORD * UNI_MAX_PIECE rows."""
+    return words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("word") - 1),
+                    lambda s: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(UNI_MAX_PIECE)),
+                            lambda k: F.struct(
+                                s.alias("start"),
+                                F.substr(
+                                    F.col("word"), s + 1, k
+                                ).alias("piece"),
+                                k.alias("klen"),
+                            ),
+                        ),
+                        lambda st: st.start + st.klen <= F.length("word"),
+                    ),
+                )
+            )
+        ).alias("c"),
+    ).select("word", "freq", F.col("c.start").alias("start"), F.col("c.piece").alias("piece"))
+
+
+def unigram_seed_vocab(
+    docs: DataFrame, text_col: str = "text", max_word: int = UNI_MAX_WORD
+) -> DataFrame:
+    """(piece, seed_count, logp): the seed unigram vocabulary — ALL single
+    characters (coverage guarantee: every word stays segmentable after
+    pruning, the SentencePiece invariant) plus the top UNI_VOCAB_TOP
+    multi-character substrings by frequency-weighted occurrence count
+    (the suffix-array seed approximation of Kudo 2018 §3.2, as one
+    substring-explode + wordcount-shaped groupBy). logp = round(ln(count /
+    total), 6) — the snapped-transcendental idiom (BM25/source_mixture
+    discipline), so both engines hold byte-identical doubles.
+
+    The multi-char cut is orderBy(count desc, piece asc).limit(K) —
+    Spark's distributed TakeOrderedAndProject, never a global sort."""
+    cand = _uni_candidates(_uni_words(docs, text_col, max_word))
+    counts = cand.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("seed_count")
+    )
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("seed_count"), F.asc("piece"))
+        .limit(UNI_VOCAB_TOP)
+    )
+    vocab = chars.unionAll(multi)
+    tot = F.broadcast(vocab.agg(F.sum("seed_count").cast("long").alias("t")))
+    return vocab.crossJoin(tot).select(
+        "piece",
+        "seed_count",
+        F.round(
+            F.log(F.col("seed_count").cast("double") / F.col("t").cast("double")),
+            6,
+        ).alias("logp"),
+    )
+
+
+def _uni_viterbi(words: DataFrame, vocab: DataFrame, max_word: int = UNI_MAX_WORD) -> DataFrame:
+    """(word, freq, path, n_pieces): Viterbi-best segmentation of every
+    vocabulary word under ``vocab`` (piece, logp) — the forward DP
+    unrolled as UNI_MAX_WORD relational rounds over the end position.
+
+    Round j keeps, per word, the minimum (neg_score, path) struct over
+    the <= UNI_MAX_PIECE ways of reaching position j from an earlier
+    frontier — neg_score is a DECIMAL(25,6) sum of 6-dp logp literals
+    (associative, partitioning-independent) and the path string breaks
+    exact ties deterministically, so the survivor is a total-order argmin
+    in BOTH engines. Frontiers are vocabulary-sized; each round is
+    checkpointed eagerly like the BPE rounds (lineage would otherwise
+    deepen exponentially)."""
+    cand = _uni_candidates(words).join(
+        F.broadcast(vocab.select("piece", "logp")), "piece"
+    ).select(
+        "word",
+        "start",
+        "piece",
+        (F.lit(0).cast("decimal(25,6)") - F.round("logp", 6).cast("decimal(25,6)"))
+        .alias("w"),
+        (F.col("start") + F.length("piece")).alias("end"),
+    ).localCheckpoint(eager=True)
+    # frontier at e: best (neg_score, path) per word whose prefix of
+    # length e is segmented; e = 0 is the empty prefix. Each round is ONE
+    # join (the pooled last-UNI_MAX_PIECE frontiers against the
+    # candidates ending at j) + one min-struct survivor, not a join per
+    # reachable predecessor — frontiers carry their end position so the
+    # pool is a union, which Spark unions for free.
+    frontier = {
+        0: words.select(
+            "word",
+            F.lit(0).alias("e"),
+            F.lit(0).cast("decimal(25,6)").alias("ns"),
+            F.lit("").alias("path"),
+        ).localCheckpoint(eager=True)
+    }
+    for j in range(1, max_word + 1):
+        prevs = [
+            frontier[i] for i in range(max(0, j - UNI_MAX_PIECE), j) if i in frontier
+        ]
+        if not prevs:
+            continue
+        pool = prevs[0]
+        for p in prevs[1:]:
+            pool = pool.unionAll(p)
+        step = pool.join(
+            cand.filter(F.col("end") == j).withColumnRenamed("start", "e"),
+            ["word", "e"],
+        ).select(
+            "word",
+            (F.col("ns") + F.col("w")).cast("decimal(25,6)").alias("ns"),
+            F.when(F.col("path") == "", F.col("piece"))
+            .otherwise(F.concat("path", F.lit(UNI_SEP), "piece"))
+            .alias("path"),
+        )
+        best = (
+            step.groupBy("word")
+            .agg(F.min(F.struct("ns", "path")).alias("b"))
+            .select(
+                "word",
+                F.lit(j).alias("e"),
+                F.col("b.ns").alias("ns"),
+                F.col("b.path").alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier[j] = best
+    done = None
+    for j in range(1, max_word + 1):
+        if j not in frontier:
+            continue
+        fin = frontier[j].join(
+            words.filter(F.length("word") == j), "word"
+        ).select("word", "freq", "path")
+        done = fin if done is None else done.unionAll(fin)
+    return done.select(
+        "word",
+        "freq",
+        "path",
+        F.size(F.split("path", UNI_SEP)).cast("long").alias("n_pieces"),
+    )
+
+
+def unigram_train(
+    docs: DataFrame, text_col: str = "text", max_word: int = UNI_MAX_WORD
+) -> tuple[DataFrame, DataFrame]:
+    """(final vocab, seed vocab): one hard-EM (Viterbi) re-estimation round
+    over the seed unigram vocabulary — the bounded-round variant of Kudo
+    2018's EM loop (expected counts replaced by Viterbi-path counts, the
+    standard hard-EM approximation; rounds are bounded exactly like the
+    kmeans/logreg/pca trainers here). Final probabilities are add-one
+    smoothed over the WHOLE vocabulary — ln((viterbi_count + 1) /
+    (total + |vocab|)) — so pieces the Viterbi pass never used (including
+    the coverage-guarantee single characters) keep a finite, deterministic
+    log-prob instead of ln(0).
+
+    Returns (piece, seed_count, viterbi_count, logp) ordered by piece."""
+    seed = unigram_seed_vocab(docs, text_col, max_word).localCheckpoint(eager=False)
+    seg = _uni_viterbi(_uni_words(docs, text_col, max_word), seed, max_word)
+    vcounts = (
+        seg.select("freq", F.explode(F.split("path", UNI_SEP)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("viterbi_count"))
+    )
+    smoothed = seed.join(vcounts, "piece", "left").select(
+        "piece",
+        "seed_count",
+        F.coalesce("viterbi_count", F.lit(0)).cast("long").alias("viterbi_count"),
+    ).localCheckpoint(eager=False)
+    tot = F.broadcast(
+        smoothed.agg(
+            F.sum("viterbi_count").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+    )
+    final = smoothed.crossJoin(tot).select(
+        "piece",
+        "seed_count",
+        "viterbi_count",
+        F.round(
+            F.log(
+                (F.col("viterbi_count") + F.lit(1)).cast("double")
+                / (F.col("t") + F.col("v")).cast("double")
+            ),
+            6,
+        ).alias("logp"),
+    )
+    return final, seed
+
+
+def unigram_doc_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word: int = UNI_MAX_WORD,
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, n_unk, pieces_per_word): per-document
+    token counts under the TRAINED unigram model — train (seed + one
+    Viterbi-EM round), then segment every distinct corpus word under the
+    final log-probs and join the per-word piece counts back to the doc
+    word relation (the ``bpe_doc_tokens`` apply-side shape). Words longer
+    than UNI_MAX_WORD segment as one ``<unk>`` piece — the documented
+    fallback, counted separately so the audit can see it."""
+    final, _ = unigram_train(docs, text_col, max_word)
+    final = final.localCheckpoint(eager=False)
+    seg = _uni_viterbi(_uni_words(docs, text_col, max_word), final, max_word).select(
+        "word", "n_pieces"
+    )
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    per = words.join(F.broadcast(seg), "word", "left").select(
+        id_col,
+        F.coalesce("n_pieces", F.lit(1)).cast("long").alias("np"),
+        F.when(F.col("n_pieces").isNull(), 1).otherwise(0).cast("long").alias("unk"),
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.sum("unk").cast("long").alias("n_unk"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_pieces",
+            "n_unk",
+            (F.col("n_pieces").cast("double") / F.col("n_words").cast("double"))
+            .alias("pieces_per_word"),
+        )
+        .orderBy(id_col)
+    )

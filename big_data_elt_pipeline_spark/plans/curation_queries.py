@@ -1947,6 +1947,202 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# unigram_vocab / unigram_segment: the SECOND tokenizer family (Kudo 2018
+# unigram LM, SentencePiece-class) — seed substring vocabulary, one hard-EM
+# (Viterbi) re-estimation round, Viterbi-best segmentation. The per-word
+# forward DP is unrolled as rounds over the END-POSITION axis (round j =
+# best path ending at char j for every word at once), so both the trained
+# table and the segmentation are value-hashable. Oracle = generated
+# unrolled DP CTEs (the BPE/PCA idiom); the min-struct survivor maps to a
+# row_number() pick over the identical (neg_score, path) total order.
+# --------------------------------------------------------------------------
+
+def _uni_dp_ctes(tag: str, vocab_cte: str, max_word: int, max_piece: int) -> str:
+    """The Viterbi DP CTE chain under the (piece, logp) relation
+    ``vocab_cte``: c{tag} (weighted candidates), f{tag}_0..f{tag}_max_word
+    (frontiers), seg{tag} (per-word best path). Mirrors
+    ``tokenizer._uni_viterbi`` — DECIMAL(25,6) neg-score sums of 6-dp logp
+    snaps, ties broken by path ASC, identical in both engines."""
+    out = f""",
+c{tag} AS MATERIALIZED (
+    SELECT c.word, c.start AS s, c.e, c.piece,
+           CAST(0 AS DECIMAL(25,6)) - CAST(round(v.logp, 6) AS DECIMAL(25,6)) AS w
+    FROM cand c JOIN {vocab_cte} v USING (piece)
+),
+f{tag}_0 AS (SELECT word, 0 AS e, CAST(0 AS DECIMAL(25,6)) AS ns, '' AS path
+             FROM words)"""
+    for j in range(1, max_word + 1):
+        pool = "\n        UNION ALL\n        ".join(
+            f"SELECT word, e, ns, path FROM f{tag}_{i}"
+            for i in range(max(0, j - max_piece), j)
+        )
+        out += f""",
+f{tag}_{j} AS MATERIALIZED (
+    SELECT word, {j} AS e, ns, path FROM (
+        SELECT word, ns, path,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY ns ASC, path ASC) AS rn
+        FROM (
+            SELECT p.word AS word,
+                   CAST(p.ns + c.w AS DECIMAL(25,6)) AS ns,
+                   CASE WHEN p.path = '' THEN c.piece
+                        ELSE p.path || chr(31) || c.piece END AS path
+            FROM ({pool}) p
+            JOIN c{tag} c ON c.word = p.word AND c.s = p.e AND c.e = {j}
+        )
+    ) WHERE rn = 1
+)"""
+    finals = "\n        UNION ALL\n        ".join(
+        f"SELECT word, e, path FROM f{tag}_{j}" for j in range(1, max_word + 1)
+    )
+    out += f""",
+seg{tag} AS MATERIALIZED (
+    SELECT w.word, w.freq, f.path,
+           CAST(len(str_split(f.path, chr(31))) AS BIGINT) AS n_pieces
+    FROM words w
+    JOIN ({finals}) f ON f.word = w.word AND f.e = length(w.word)
+)"""
+    return out
+
+
+def _uni_base_ctes() -> str:
+    """words / cand / seed vocabulary / smoothed final vocabulary — the
+    shared training prefix of both unigram queries."""
+    from big_data_elt_pipeline_spark.operators.tokenizer import (
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        UNI_VOCAB_TOP,
+    )
+
+    return f"""words AS MATERIALIZED (
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest({_TOK.format(c='text')}) AS word FROM documents
+    ) WHERE word <> '' AND length(word) <= {UNI_MAX_WORD}
+    GROUP BY word
+),
+cand AS MATERIALIZED (
+    SELECT w.word, w.freq, CAST(s.i AS INT) AS start,
+           substr(w.word, CAST(s.i AS INT) + 1, CAST(k.j AS INT)) AS piece,
+           CAST(s.i + k.j AS INT) AS e
+    FROM words w,
+         unnest(range(0, length(w.word))) AS s(i),
+         unnest(range(1, {UNI_MAX_PIECE + 1})) AS k(j)
+    WHERE s.i + k.j <= length(w.word)
+),
+counts AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS seed_count
+           FROM cand GROUP BY piece),
+vocab0 AS MATERIALIZED (
+    SELECT piece, seed_count FROM counts WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, seed_count FROM (
+        SELECT piece, seed_count FROM counts WHERE length(piece) > 1
+        ORDER BY seed_count DESC, piece ASC LIMIT {UNI_VOCAB_TOP}
+    )
+),
+vtot AS (SELECT CAST(sum(seed_count) AS BIGINT) AS t FROM vocab0),
+seedv AS MATERIALIZED (
+    SELECT piece, seed_count,
+           round(ln(CAST(seed_count AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS logp
+    FROM vocab0, vtot
+){_uni_dp_ctes("1", "seedv", UNI_MAX_WORD, UNI_MAX_PIECE)},
+vc AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS viterbi_count FROM (
+        SELECT freq, unnest(str_split(path, chr(31))) AS piece FROM seg1
+    ) GROUP BY piece
+),
+sm AS MATERIALIZED (
+    SELECT s.piece, s.seed_count,
+           coalesce(vc.viterbi_count, 0) AS viterbi_count
+    FROM seedv s LEFT JOIN vc USING (piece)
+),
+tot2 AS (SELECT CAST(sum(viterbi_count) AS BIGINT) AS t,
+                CAST(count(*) AS BIGINT) AS v FROM sm),
+finalv AS MATERIALIZED (
+    SELECT piece, CAST(seed_count AS BIGINT) AS seed_count,
+           CAST(viterbi_count AS BIGINT) AS viterbi_count,
+           round(ln(CAST(viterbi_count + 1 AS DOUBLE)
+                    / CAST(t + v AS DOUBLE)), 6) AS logp
+    FROM sm, tot2
+)"""
+
+
+def _unigram_vocab_sql() -> str:
+    return f"""
+WITH {_uni_base_ctes()}
+SELECT piece, seed_count, viterbi_count, logp
+FROM finalv
+ORDER BY piece
+"""
+
+
+def _unigram_segment_sql() -> str:
+    from big_data_elt_pipeline_spark.operators.tokenizer import (
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+    )
+
+    return f"""
+WITH {_uni_base_ctes()}{_uni_dp_ctes("2", "finalv", UNI_MAX_WORD, UNI_MAX_PIECE)},
+dwords AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id, unnest({_TOK.format(c='text')}) AS word FROM documents
+    ) WHERE word <> ''
+),
+per AS (
+    SELECT d.doc_id,
+           coalesce(s.n_pieces, 1) AS np,
+           CASE WHEN s.n_pieces IS NULL THEN 1 ELSE 0 END AS unk
+    FROM dwords d LEFT JOIN seg2 s USING (word)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(np) AS BIGINT) AS n_pieces,
+       CAST(sum(unk) AS BIGINT) AS n_unk,
+       CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pieces_per_word
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("unigram_vocab", _unigram_vocab_sql())
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM vocabulary — (piece, seed_count,
+    viterbi_count, logp) after one hard-EM round: seed substring counts,
+    Viterbi-best resegmentation of every vocabulary word under the seed
+    probabilities, add-one-smoothed re-estimation. The forward DP runs as
+    unrolled relational rounds over the end position, never per-row
+    Python. Contract in ``operators/tokenizer.unigram_train``."""
+    from big_data_elt_pipeline_spark.operators import tokenizer as TK
+
+    docs = read_table(spark, sf_dir, "documents")
+    final, _ = TK.unigram_train(
+        docs,
+        max_word=bench_iters("SPARK_GRAFT_BENCH_ITERS_UNIGRAM", TK.UNI_MAX_WORD),
+    )
+    return final.orderBy("piece")
+
+
+@register("unigram_segment", _unigram_segment_sql())
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the TRAINED unigram model — train
+    (seed + one Viterbi-EM round), segment every distinct corpus word
+    under the final log-probs, join piece counts back to the doc-word
+    relation (the ``bpe_doc_tokens`` apply-side shape); over-length words
+    count as one <unk> piece. bench.py may shorten the DP round count via
+    SPARK_GRAFT_BENCH_ITERS_UNIGRAM to measure the per-round shape; the
+    correctness driver and parity tests never set it. Contract in
+    ``operators/tokenizer.unigram_doc_tokens``."""
+    from big_data_elt_pipeline_spark.operators import tokenizer as TK
+
+    docs = read_table(spark, sf_dir, "documents")
+    return TK.unigram_doc_tokens(
+        docs,
+        max_word=bench_iters("SPARK_GRAFT_BENCH_ITERS_UNIGRAM", TK.UNI_MAX_WORD),
+    )
+
+
+# --------------------------------------------------------------------------
 # curation_recipe: the end-to-end modern curation pipeline (RefinedWeb /
 # FineWeb shape) — URL filter -> C4 line cleaning -> Gopher rules -> LM
 # fluency cut -> exact dedup — SEQUENTIALLY, each stage over the previous
