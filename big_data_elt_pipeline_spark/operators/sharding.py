@@ -1,0 +1,162 @@
+"""Deterministic training-shard export (beyond-reference surface).
+
+The last mile of a pretraining data pipeline: after curation, dedup,
+packing and splitting, the corpus must be written out as a fixed set of
+token-budget shards whose membership and order are REPLAYABLE
+BYTE-IDENTICALLY — retraining from a re-export must see exactly the same
+shards, and a per-shard manifest (doc count, token sum, boundary keys,
+content hash) must prove it without re-reading the data.
+
+Determinism comes from three choices:
+
+1. **Hash-ordered global order.** Documents are ordered by
+   ``md5(doc_id)`` (tie-broken by doc_id) — a deterministic, data-
+   independent shuffle that decorrelates ingestion order from training
+   order (the standard "hash order = cheap global shuffle" trick), stable
+   across engines, partitionings and re-runs.
+2. **Token-budget shard boundaries from a DISTRIBUTED prefix sum.** A
+   naive global running sum is a single-partition window — the one shape
+   that cannot scale. Instead the hash order is bucketed by its first
+   byte (256 ordered buckets): a per-bucket windowed running sum runs in
+   parallel (buckets are hash-balanced, no hot keys), the 256-row bucket
+   totals take one tiny running sum, and the broadcast offsets make the
+   per-doc global cumulative sum exact. shard_id = (cum - 1) // budget —
+   identical to the single-window form by associativity of integer
+   addition, verified against the oracle's global-window SQL.
+3. **Order-sensitive content hash.** Each shard's manifest hash is
+   md5 over the member document fingerprints concatenated in shard
+   order. The collect is SHARD-bounded (a shard holds at most
+   budget / min_doc_tokens documents — a design constant, not a corpus
+   fraction), so the aggregation state is bounded like the percentile
+   histograms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHARD_TOKEN_BUDGET = 2048
+_N_BUCKETS = 256  # first hash byte; prefix-sum fan-in is 256 rows
+
+
+def shard_assignment(
+    docs: DataFrame,
+    budget: int = SHARD_TOKEN_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, okey, n_tokens, cum_tokens, shard_id, pos_in_shard):
+    the deterministic shard assignment under the hash order.
+
+    A document belongs to the shard containing its LAST token
+    (shard_id = (cum_tokens - 1) // budget): over-budget documents
+    straddle a boundary and land in the later shard — shards stay within
+    one document of the budget, and every document has exactly one home.
+
+    Scale shape: one map pass (hash + token count), one windowed sum per
+    hash bucket (256 balanced partitions), one 256-row running sum
+    broadcast back, one shard-partitioned row_number. No global window,
+    no driver state."""
+    from big_data_elt_pipeline_spark.functions.text import token_count
+
+    okey = F.md5(F.col(id_col).cast("string"))
+    base = docs.select(
+        F.col(id_col),
+        okey.alias("okey"),
+        F.conv(F.substring(okey, 1, 2), 16, 10).cast("int").alias("bkt"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("doc_fp"),
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = base.withColumn("wcum", F.sum("n_tokens").over(wb))
+    btot = base.groupBy("bkt").agg(F.sum("n_tokens").alias("btok"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # the offset relation is _N_BUCKETS rows — the only "global" window
+    # in the plan runs over 256 rows, then broadcasts
+    off = btot.select(
+        "bkt", F.coalesce(F.sum("btok").over(wo), F.lit(0)).alias("off")
+    )
+    cum = within.join(F.broadcast(off), "bkt").select(
+        id_col,
+        "okey",
+        "n_tokens",
+        "doc_fp",
+        (F.col("off") + F.col("wcum")).cast("long").alias("cum_tokens"),
+    )
+    shard = F.floor((F.col("cum_tokens") - 1) / F.lit(budget)).cast("long")
+    ws = Window.partitionBy("shard_id").orderBy("okey", id_col)
+    return (
+        cum.withColumn("shard_id", shard)
+        .withColumn("pos_in_shard", F.row_number().over(ws).cast("long"))
+        .select(
+            id_col, "okey", "n_tokens", "doc_fp",
+            "cum_tokens", "shard_id", "pos_in_shard",
+        )
+    )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    budget: int = SHARD_TOKEN_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, first_key, last_key, content_hash):
+    the per-shard manifest — the replayability proof. content_hash is
+    md5 over member doc fingerprints (md5(text)) concatenated in shard
+    order, so ANY change in membership, order, or document content
+    changes the hash; boundary keys make binary-search routing possible
+    without reading members. Aggregation state is shard-bounded (see
+    module docstring)."""
+    a = shard_assignment(docs, budget, id_col, text_col)
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("okey").alias("first_key"),
+            F.max("okey").alias("last_key"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("okey", id_col, "doc_fp"))
+                        ),
+                        lambda s: s.doc_fp,
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def export_shards(
+    docs: DataFrame,
+    path: str,
+    budget: int = SHARD_TOKEN_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[str, DataFrame]:
+    """Write the corpus as shard_id-partitioned parquet plus a
+    ``_manifest`` parquet relation; returns (path, manifest). The writer
+    is the S5 parquet sink (partition pruning on shard_id = the training
+    loader reads one shard per task); re-exporting the same corpus
+    produces byte-identical shard MEMBERSHIP and manifest hashes (pinned
+    by pytest), which is the property a resumable training run needs."""
+    from big_data_elt_pipeline_spark.io import write_parquet
+
+    a = shard_assignment(docs, budget, id_col, text_col)
+    data = a.join(docs.select(id_col, text_col), id_col).select(
+        id_col, "okey", "n_tokens", "pos_in_shard", text_col, "shard_id"
+    )
+    write_parquet(data, f"{path}/shards", partition_by=["shard_id"])
+    m = shard_manifest(docs, budget, id_col, text_col)
+    write_parquet(m, f"{path}/_manifest")
+    return path, m

@@ -1153,9 +1153,10 @@ _GATE_ORDER = [
     # stale r4 cohort
     "dedup_exact", "dedup_ngram_jaccard", "doc_packing", "embedding_neardup",
     "grouping_sets_sales", "mixture_sample", "pii_scrub", "tpch_q3",
-    "union_scale", "repeat_rate",
-    # round-10 debuts (same-round seating): the unigram-LM tokenizer family
+    # round-10 debuts (same-round seating): the unigram-LM tokenizer
+    # family + the deterministic training-shard export
     "unigram_vocab", "unigram_segment",
+    "shard_assignment", "shard_manifest",
     # fresh-family keeps: one gated representative per r8/r9-debut family
     "curation_recipe", "dsir_select", "retrieval_eval", "vocab_drift",
     "doc_length_quantiles_by_lang", "bpe_doc_tokens",

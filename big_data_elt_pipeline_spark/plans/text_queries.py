@@ -1163,6 +1163,89 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# shard_assignment / shard_manifest: deterministic training-shard export —
+# hash-ordered global order, token-budget shard boundaries from a
+# distributed (bucketed) prefix sum, and the per-shard manifest whose
+# content hash proves replayability. The oracle uses DuckDB's simple
+# global window; the Spark plan's two-level prefix sum must equal it
+# exactly (integer addition is associative), which is exactly what the
+# value-hash gate checks.
+# --------------------------------------------------------------------------
+
+_SHARD_BUDGET = 2048
+
+_SHARD_CTES = f"""base AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS okey,
+           CAST(len({_TOK.format(c='text')}) AS BIGINT) AS n_tokens,
+           md5(text) AS doc_fp
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, okey, n_tokens, doc_fp,
+           CAST(sum(n_tokens) OVER (ORDER BY okey, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM base
+),
+asg AS (
+    SELECT doc_id, okey, n_tokens, doc_fp, cum_tokens,
+           CAST((cum_tokens - 1) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+    FROM cum
+)"""
+
+_SHARD_ASSIGN_SQL = f"""
+WITH {_SHARD_CTES}
+SELECT doc_id, okey, n_tokens, cum_tokens, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id
+            ORDER BY okey, doc_id) AS BIGINT) AS pos_in_shard
+FROM asg
+ORDER BY okey, doc_id
+"""
+
+_SHARD_MANIFEST_SQL = f"""
+WITH {_SHARD_CTES}
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(okey) AS first_key,
+       max(okey) AS last_key,
+       md5(string_agg(doc_fp, '' ORDER BY okey, doc_id)) AS content_hash
+FROM asg
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@register("shard_assignment", _SHARD_ASSIGN_SQL)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment under the md5(doc_id) hash order:
+    shard_id = (global cumulative tokens - 1) // budget, computed as a
+    two-level bucketed prefix sum (256 balanced window partitions + one
+    256-row offset relation broadcast back) — never a global window.
+    Contract in ``operators/sharding.shard_assignment``."""
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        SH.shard_assignment(docs, budget=_SHARD_BUDGET)
+        .drop("doc_fp")
+        .orderBy("okey", "doc_id")
+    )
+
+
+@register("shard_manifest", _SHARD_MANIFEST_SQL)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the deterministic export: doc count, token
+    sum, boundary keys, and the order-sensitive md5 content hash over the
+    member document fingerprints — any change in membership, order, or
+    document bytes changes the hash. Contract in
+    ``operators/sharding.shard_manifest``."""
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = read_table(spark, sf_dir, "documents")
+    return SH.shard_manifest(docs, budget=_SHARD_BUDGET)
+
+
+# --------------------------------------------------------------------------
 # Round 6: BM25 ranked retrieval (operators/retrieval.py)
 # --------------------------------------------------------------------------
 

@@ -183,6 +183,78 @@ def _imp_bpe_depth(words: dict[str, int], limit: int) -> int:
     return limit
 
 
+# --------------------------------------------------------------------------
+# deterministic shard export (operators/sharding.py)
+# --------------------------------------------------------------------------
+
+def test_shard_export_replays_byte_identically(spark, tmp_path):
+    """Exporting the same corpus twice yields identical shard membership
+    AND identical manifest content hashes — the replayability contract a
+    resumable training run depends on."""
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    outs = []
+    for i in (1, 2):
+        path, _ = SH.export_shards(docs, str(tmp_path / f"run{i}"))
+        shards = spark.read.parquet(f"{path}/shards")
+        manifest = spark.read.parquet(f"{path}/_manifest")
+        members = sorted(
+            (r["shard_id"], r["doc_id"], r["pos_in_shard"])
+            for r in shards.select("shard_id", "doc_id", "pos_in_shard").collect()
+        )
+        mrows = sorted(tuple(r) for r in manifest.collect())
+        outs.append((members, mrows))
+    assert outs[0] == outs[1]
+
+
+def test_shard_manifest_hash_is_order_and_content_sensitive(spark):
+    """Perturbing one document's text changes exactly that shard's
+    content hash (and nothing else's); membership stays fixed because
+    assignment depends only on doc_id and token counts."""
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = {r["shard_id"]: r["content_hash"] for r in SH.shard_manifest(docs).collect()}
+    victim = docs.orderBy("doc_id").first()["doc_id"]
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    mut = {r["shard_id"]: r["content_hash"] for r in SH.shard_manifest(mutated).collect()}
+    changed = [s for s in base if base[s] != mut.get(s)]
+    assert len(changed) == 1
+    # token count unchanged ('!' glues to the last token), so membership
+    # and every other shard's hash stay put
+    assert set(base) == set(mut)
+
+
+def test_shard_assignment_equals_global_prefix_sum(spark):
+    """The two-level bucketed prefix sum must equal the naive global
+    running sum exactly (integer associativity) — pinned directly rather
+    than only through the DuckDB oracle."""
+    from big_data_elt_pipeline_spark.functions.text import token_count
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["shard_id"])
+        for r in SH.shard_assignment(docs).collect()
+    }
+    rows = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        token_count(F.col("text")).alias("n"),
+    ).collect()
+    cum = 0
+    for r in sorted(rows, key=lambda r: (r["okey"], r["doc_id"])):
+        cum += r["n"]
+        assert got[r["doc_id"]] == (cum, (cum - 1) // SH.SHARD_TOKEN_BUDGET)
+
+
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_bpe_merge_depth_exceeds_oracle_round_count(spark, sf):
     from big_data_elt_pipeline_spark.functions.text import tokens
