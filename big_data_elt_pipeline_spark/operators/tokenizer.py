@@ -258,7 +258,6 @@ def bpe_segment(
 UNI_MAX_PIECE = 4    # max piece length considered by the seed vocabulary
 UNI_MAX_WORD = 12    # DP rounds; words longer than this segment as <unk>
 UNI_VOCAB_TOP = 32   # multi-char pieces kept by the seed cut
-UNI_UNK = "<unk>"
 UNI_SEP = "\x1f"     # path separator (unit separator; never in tokens)
 
 

@@ -194,6 +194,57 @@ def hotkey_survivor_exhibit(spark: SparkSession, n_rows: int = 32_000_000,
     return out
 
 
+def knn_scale_pin(
+    spark: SparkSession,
+    sf_dir: str,
+    factors: tuple[int, ...] = (1, 4, 16, 64),
+    progress=None,
+) -> dict[str, float]:
+    """Post-centering scale pin for the bucketed embedding SELF-JOIN
+    family (r9 verdict #2): ``knn_graph`` (the operator the r9 centering
+    fix was FOR) and ``embedding_neardup`` on the ±1-masked scaled corpus,
+    with the ``component_means`` job broken out separately — the means
+    pass is one corpus scan + a dims-bounded agg, so its cost must stay a
+    small additive slice while the bucket self-join dominates and scales
+    near-linearly (buckets stay balanced because copy 0's means-centered
+    bits split ~half/half and the ±1 masks scatter the other copies).
+
+    Single-shot per factor (the x64-pin discipline: bounds the curve, not
+    quotable to 2 dp) after one untimed warm-up at the first factor.
+    Returns ``knnpin_{means,knn_graph,neardup}_x{f}`` seconds plus
+    ``_rows`` audit columns."""
+    import shutil
+    import tempfile
+
+    out: dict[str, float] = {}
+    stage_root = tempfile.mkdtemp(prefix="knn_scale_")
+    warmed = False
+    for factor in factors:
+        scaled_embeddings(spark, sf_dir, factor).write.mode("overwrite").parquet(
+            f"{stage_root}/emb_x{factor}")
+        emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
+        runs = {
+            # the means job alone: the one-row broadcast relation every
+            # bucketed operator builds first (localCheckpoint'ed inside)
+            "means": lambda: S.component_means(emb, 8),
+            "knn_graph": lambda: S.knn_graph(emb, k=5, n_bits=8),
+            "neardup": lambda: S.embedding_neardup(emb, n_bits=10),
+        }
+        for name, fn in runs.items():
+            if not warmed:
+                fn().count()
+            t0 = time.perf_counter()
+            n = fn().count()
+            out[f"knnpin_{name}_x{factor}"] = round(time.perf_counter() - t0, 4)
+            out[f"knnpin_{name}_x{factor}_rows"] = float(n)
+            if progress is not None:
+                progress(f"knnpin_{name}_x{factor}", out[f"knnpin_{name}_x{factor}"])
+        warmed = True
+        shutil.rmtree(f"{stage_root}/emb_x{factor}", ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return out
+
+
 def run_scaled(
     spark: SparkSession, sf_dir: str, factors: tuple[int, ...] = (1, 4, 16),
     single_shot: tuple[int, ...] = (),
