@@ -521,3 +521,149 @@ def classification_report(
             F.col("precision") + F.col("recall"),
         ).alias("f1"),
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, n_pos, mean_score, frac_pos, gap, ece): the reliability
+    diagram of a probabilistic score against a binary outcome, plus the
+    expected calibration error (Naeini et al. 2015's binned ECE) carried
+    as a corpus-level scalar on every row (the source_mixture pattern) —
+    the audit run on quality/educational-value classifiers before their
+    scores gate corpus admission (an AUC-strong but mis-calibrated score
+    corrupts threshold-based filtering).
+
+    Determinism: the score quantizes STRAIGHT to integer micro-units —
+    ``round(score * 1e6)`` to scale 0. Round-to-INTEGER is the one
+    rounding both engines agree on bit-for-bit: every half boundary
+    (k + 0.5) is exactly representable as a double, so Spark's
+    shortest-repr HALF_UP and DuckDB's true-value half-away-from-zero
+    coincide on every input. (A 6-dp ``round(x, 6)`` was measured to
+    DIVERGE here: its half boundaries are NOT representable, Spark
+    rounds the printed shortest repr while DuckDB rounds the true binary
+    value — one corpus score landed a micro-unit apart. The round-9
+    landmine, avoided by never rounding to a fractional scale.) From
+    micro-units on, everything is integer arithmetic: bin =
+    floor(micro * n_bins / 1e6), per-bin score sums are exact integer
+    micro sums; frac_pos is one exact-int division; each |gap|-weighted
+    ECE term is 12-dp-snapped into a DECIMAL sum — identical under any
+    partitioning and engine.
+
+    Scale shape: one partial-aggregated groupBy over the BIN domain
+    (bounded by n_bins); totals and the ECE scalar ride broadcast
+    one-row relations."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    micro = F.round(s * F.lit(1_000_000.0)).cast("long")
+    b = F.least(
+        F.floor((micro * F.lit(n_bins)).cast("double") / F.lit(1_000_000.0))
+        .cast("long"),
+        F.lit(n_bins - 1),
+    )
+    g = (
+        scored.filter(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), micro.alias("micro"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(F.col("micro").cast("decimal(25,0)")).alias("sm"),
+        )
+        .localCheckpoint(eager=False)  # instantiated by the table AND the
+        # ECE scalar — one aggregation, not one per plan branch
+    )
+    tot = F.broadcast(g.agg(F.sum("n").cast("long").alias("nn")))
+    mean_score = (
+        F.col("sm").cast("double") / F.col("n").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    table = g.crossJoin(tot).select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("frac_pos"),
+        (
+            F.col("n_pos").cast("double") / F.col("n").cast("double") - mean_score
+        ).alias("gap"),
+        (F.col("n").cast("double") / F.col("nn").cast("double")).alias("w"),
+    )
+    ece = F.broadcast(
+        table.select(
+            F.round(F.abs(F.col("gap")) * F.col("w"), 12)
+            .cast("decimal(25,12)")
+            .alias("term")
+        ).agg(F.sum("term").cast("double").alias("ece"))
+    )
+    return (
+        table.crossJoin(ece)
+        .select("bin", "n", "n_pos", "mean_score", "frac_pos", "gap", "ece")
+        .orderBy("bin")
+    )
+
+
+def agreement_report(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """ONE row — (n, n_agree, po, pe, kappa): inter-rater agreement
+    between two categorical labelers (Cohen 1960), the
+    classifier-vs-classifier audit (e.g. a trained language classifier
+    against the n-gram heuristic: high kappa means the cheap heuristic
+    can pre-filter for the expensive model). po = observed agreement,
+    pe = chance agreement from the two marginals, kappa = (po - pe) /
+    (1 - pe) with the degenerate pe = 1 case pinned NULL via try_divide
+    in both engines.
+
+    Determinism: counts are exact bigints; each marginal product
+    (na/n)*(nb/n) is two correctly-rounded divisions + one multiply,
+    12-dp-snapped into a DECIMAL sum over the label domain. Scale shape:
+    two label-bounded groupBys + one label-sized join — the
+    classification_report shape, no corpus shuffle."""
+    a, bc = F.col(a_col), F.col(b_col)
+    base = pairs.select(a.alias("a"), bc.alias("b")).localCheckpoint(eager=False)
+    tot = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("a") == F.col("b")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )
+    ma = base.groupBy(F.col("a").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    mb = base.groupBy(F.col("b").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    pe = F.broadcast(
+        ma.join(mb, "label")
+        .crossJoin(tot)
+        .select(
+            F.round(
+                (F.col("na").cast("double") / F.col("n").cast("double"))
+                * (F.col("nb").cast("double") / F.col("n").cast("double")),
+                12,
+            )
+            .cast("decimal(25,12)")
+            .alias("term")
+        )
+        .agg(F.coalesce(F.sum("term"), F.lit(0).cast("decimal(25,12)"))
+             .cast("double").alias("pe"))
+    )
+    return tot.crossJoin(pe).select(
+        "n",
+        "n_agree",
+        (F.col("n_agree").cast("double") / F.col("n").cast("double")).alias("po"),
+        "pe",
+        F.try_divide(
+            F.col("n_agree").cast("double") / F.col("n").cast("double")
+            - F.col("pe"),
+            F.lit(1.0) - F.col("pe"),
+        ).alias("kappa"),
+    )

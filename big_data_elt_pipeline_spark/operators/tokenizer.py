@@ -317,7 +317,16 @@ def unigram_seed_vocab(
 
     The multi-char cut is orderBy(count desc, piece asc).limit(K) —
     Spark's distributed TakeOrderedAndProject, never a global sort."""
-    cand = _uni_candidates(_uni_words(docs, text_col, max_word))
+    return _seed_from_words(_uni_words(docs, text_col, max_word))
+
+
+def _seed_from_words(words: DataFrame) -> DataFrame:
+    """``unigram_seed_vocab`` over a prebuilt (word, freq) relation — the
+    composed operators checkpoint ONE words relation and feed it to the
+    seed count, the EM pass and the final segmentation, so the corpus
+    wordcount runs once instead of once per stage (the lm_scores
+    one-corpus-scan discipline)."""
+    cand = _uni_candidates(words)
     counts = cand.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("seed_count")
     )
@@ -437,8 +446,18 @@ def unigram_train(
     log-prob instead of ln(0).
 
     Returns (piece, seed_count, viterbi_count, logp) ordered by piece."""
-    seed = unigram_seed_vocab(docs, text_col, max_word).localCheckpoint(eager=False)
-    seg = _uni_viterbi(_uni_words(docs, text_col, max_word), seed, max_word)
+    words = _uni_words(docs, text_col, max_word).localCheckpoint(eager=False)
+    return _train_from_words(words, max_word)
+
+
+def _train_from_words(
+    words: DataFrame, max_word: int = UNI_MAX_WORD
+) -> tuple[DataFrame, DataFrame]:
+    """``unigram_train`` over a prebuilt (ideally checkpointed) words
+    relation — seed counts, the EM Viterbi pass and the re-estimation all
+    read the SAME relation, so composers pay one corpus wordcount."""
+    seed = _seed_from_words(words).localCheckpoint(eager=False)
+    seg = _uni_viterbi(words, seed, max_word)
     vcounts = (
         seg.select("freq", F.explode(F.split("path", UNI_SEP)).alias("piece"))
         .groupBy("piece")
@@ -483,11 +502,10 @@ def unigram_doc_tokens(
     word relation (the ``bpe_doc_tokens`` apply-side shape). Words longer
     than UNI_MAX_WORD segment as one ``<unk>`` piece — the documented
     fallback, counted separately so the audit can see it."""
-    final, _ = unigram_train(docs, text_col, max_word)
+    uwords = _uni_words(docs, text_col, max_word).localCheckpoint(eager=False)
+    final, _ = _train_from_words(uwords, max_word)
     final = final.localCheckpoint(eager=False)
-    seg = _uni_viterbi(_uni_words(docs, text_col, max_word), final, max_word).select(
-        "word", "n_pieces"
-    )
+    seg = _uni_viterbi(uwords, final, max_word).select("word", "n_pieces")
     words = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word") != "")

@@ -1584,11 +1584,14 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUC_LONGFORM_CHARS = 300  # ~corpus median; balanced classes
 
 
-def _auc_sql() -> str:
+def _qy_ctes() -> str:
+    """st/rt/base CTEs producing (q = 6-dp quality score, y = long-form
+    label) — the shared evaluation base of classifier_auc AND
+    classifier_calibration (identical score + label derivation by
+    construction, not by copy)."""
     from big_data_elt_pipeline_spark.plans.text_queries import _count_in_sql
 
-    return f"""
-WITH st AS (
+    return f"""st AS (
     SELECT CAST(len(tok) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST({_count_in_sql('tok', TX.STOPWORDS)} AS BIGINT) AS n_stop,
@@ -1608,7 +1611,12 @@ base AS (
                + 0.2 * (1.0 - least(punct_r * 10.0, 1.0)), 0.0), 1.0), 6) AS q,
            CASE WHEN n_chars >= {_AUC_LONGFORM_CHARS} THEN 1 ELSE 0 END AS y
     FROM rt
-),
+)"""
+
+
+def _auc_sql() -> str:
+    return f"""
+WITH {_qy_ctes()},
 g AS (SELECT q, count(*) AS n, sum(y) AS p FROM base GROUP BY q),
 r AS (
     SELECT n, p,
@@ -1640,6 +1648,136 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") >= _AUC_LONGFORM_CHARS).cast("int").alias("y"),
     )
     return CL.roc_auc(scored, "score", "y")
+
+
+# --------------------------------------------------------------------------
+# classifier_calibration: the reliability diagram + binned ECE of the same
+# score/label pair classifier_auc ranks — AUC measures ordering,
+# calibration measures whether the score VALUE means what a threshold
+# assumes (the audit before a quality score gates corpus admission).
+# Shares the q/y derivation with classifier_auc via _qy_ctes.
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CAL_SQL_TAIL = f"""
+mb AS (
+    SELECT least(CAST(floor((CAST(round(q * 1000000.0) AS BIGINT)
+                             * {_CAL_BINS}) / 1000000.0) AS BIGINT),
+                 {_CAL_BINS - 1}) AS bin,
+           q, y
+    FROM base
+),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             sum(CAST(q AS DECIMAL(25,6))) AS sq
+      FROM mb GROUP BY bin),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
+tbl AS (
+    SELECT bin, n, n_pos,
+           CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS gap,
+           CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS w
+    FROM g, tot
+),
+ece AS (SELECT CAST(sum(CAST(round(abs(gap) * w, 12) AS DECIMAL(25,12)))
+               AS DOUBLE) AS ece FROM tbl)
+SELECT bin, n, n_pos, mean_score, frac_pos, gap, e.ece
+FROM tbl, ece e
+ORDER BY bin
+"""
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH {_qy_ctes()},{_CAL_SQL_TAIL}"""
+
+
+@register("classifier_calibration", _calibration_sql())
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + ECE of the heuristic quality score against the
+    long-form label (the classifier_auc pair): bin assignment in exact
+    micro-units, per-bin mean score as a DECIMAL sum, ECE as 12-dp-snapped
+    decimal terms — value-hashable end to end. Contract in
+    ``operators/classify.calibration_table``."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.quality_score(F.col("text")).alias("score"),
+        (F.length("text") >= _AUC_LONGFORM_CHARS).cast("int").alias("y"),
+    )
+    return CL.calibration_table(scored, "score", "y", n_bins=_CAL_BINS)
+
+
+# --------------------------------------------------------------------------
+# classifier_agreement: Cohen's kappa between the trained NB language
+# classifier and the n-gram heuristic lang_id on the SAME held-out split —
+# the classifier-vs-classifier audit (high kappa => the cheap heuristic
+# can pre-filter for the expensive model). Oracle composes the full NB
+# train/predict SQL as a derived table plus the heuristic CASE.
+# --------------------------------------------------------------------------
+
+def _agreement_sql() -> str:
+    from big_data_elt_pipeline_spark.plans.text_queries import (
+        _LANG_CASE,
+        _LANG_SCORES,
+    )
+
+    return f"""
+WITH nbp AS (SELECT doc_id, predicted FROM ({_NB_SQL})),
+heur AS (
+    SELECT doc_id, {_LANG_CASE} AS g FROM (
+        SELECT doc_id, {_LANG_SCORES}
+        FROM (SELECT doc_id, {_TOK.format(c=f'({_NB_SEED_SQL})')} AS tok
+              FROM documents WHERE doc_id % 5 = 0)
+    )
+),
+pairs AS (
+    SELECT n.predicted AS a, h.g AS b
+    FROM nbp n JOIN heur h USING (doc_id)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM pairs),
+ma AS (SELECT a AS label, CAST(count(*) AS BIGINT) AS na FROM pairs GROUP BY a),
+mbr AS (SELECT b AS label, CAST(count(*) AS BIGINT) AS nb FROM pairs GROUP BY b),
+pe AS (
+    SELECT CAST(coalesce(sum(CAST(round(
+               (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+           AS DECIMAL(25,12))), CAST(0 AS DECIMAL(25,12))) AS DOUBLE) AS pe
+    FROM ma JOIN mbr USING (label), tot
+)
+SELECT t.n, t.n_agree,
+       CAST(t.n_agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
+       p.pe,
+       CASE WHEN 1.0 - p.pe <> 0.0
+            THEN (CAST(t.n_agree AS DOUBLE) / CAST(t.n AS DOUBLE) - p.pe)
+                 / (1.0 - p.pe)
+       END AS kappa
+FROM tot t, pe p
+"""
+
+
+@register("classifier_agreement", _agreement_sql())
+def q_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the engine-trained NB language classifier and
+    the heuristic lang_id on the held-out fifth (both over the seeded
+    text, so both see the planted signal). Marginal chance-agreement
+    terms are 12-dp-snapped decimal sums over the label domain; kappa's
+    degenerate pe = 1 case pins NULL in both engines. Contract in
+    ``operators/classify.agreement_report``."""
+    docs = _nb_seed_spark(read_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    classes, model = CL.nb_train(train, "lang")
+    pred = CL.nb_predict(held, classes, model)
+    pairs = pred.select("doc_id", "predicted").join(
+        held.select("doc_id", TX.lang_id(F.col("text")).alias("g")), "doc_id"
+    )
+    return CL.agreement_report(pairs, "predicted", "g")
 
 
 # --------------------------------------------------------------------------
