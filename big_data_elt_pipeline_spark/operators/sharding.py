@@ -88,7 +88,13 @@ def shard_assignment(
         "doc_fp",
         (F.col("off") + F.col("wcum")).cast("long").alias("cum_tokens"),
     )
-    shard = F.floor((F.col("cum_tokens") - 1) / F.lit(budget)).cast("long")
+    # long-arithmetic integer division (ADVICE r10): the registered oracle
+    # computes (cum_tokens - 1) // budget exactly; floor(double-div) would
+    # convert the cumulative token count to double and can round across a
+    # shard boundary once cum_tokens exceeds 2^53 — `div` matches DuckDB's
+    # `//` (both truncate toward zero) at ANY scale, keeping the module's
+    # "identical by associativity of integer addition" claim true
+    shard = F.expr(f"CAST((cum_tokens - 1) div {int(budget)} AS BIGINT)")
     ws = Window.partitionBy("shard_id").orderBy("okey", id_col)
     return (
         cum.withColumn("shard_id", shard)

@@ -1215,9 +1215,11 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = base.withColumn(
         "cum_tokens", F.sum(F.least(F.col("n_tokens"), F.lit(_PACK_CAPACITY))).over(w)
     )
-    # integer floor-division in BOTH engines: DuckDB CAST(double AS BIGINT)
-    # ROUNDS while Spark .cast("long") truncates — // and F.floor agree
-    bin_in_shard = F.floor((F.col("cum_tokens") - 1) / F.lit(_PACK_CAPACITY)).cast("long")
+    # integer division in BOTH engines (ADVICE r10): `div` stays in long
+    # arithmetic like DuckDB's `//`, where floor(double-div) converts the
+    # cumulative sum long->double and can round across a bin boundary past
+    # 2^53 (both operators truncate toward zero, agreeing at every edge)
+    bin_in_shard = F.expr(f"CAST((cum_tokens - 1) div {_PACK_CAPACITY} AS BIGINT)")
     return cum.select(
         "doc_id", "n_tokens", "shard",
         bin_in_shard.alias("bin_in_shard"),

@@ -104,6 +104,61 @@ def test_knn_graph_auto_equals_explicit_derived(spark):
     assert auto == explicit and len(auto) > 0
 
 
+# --------------------------------------------------------------------------
+# ADVICE r10 pins
+# --------------------------------------------------------------------------
+
+def test_shard_division_is_long_arithmetic(spark):
+    """ADVICE r10 (sharding.py): shard_id must use integer division, not
+    floor(double-div) — past 2^53 the long->double conversion can round a
+    cumulative token count across a shard boundary. Pin the expression the
+    operators now use against Python's exact // at the danger boundary."""
+    budget = 2048
+    danger = [
+        2**53 - 1, 2**53, 2**53 + 1, 2**53 + 2,
+        # a value where float(x) rounds UP across a multiple of budget:
+        # (x-1)/budget in double != (x-1)//budget exactly
+        (2**53 // budget) * budget + budget, 2**62 + budget - 1,
+    ]
+    df = spark.createDataFrame([(x,) for x in danger], "cum_tokens long")
+    got = {
+        r["cum_tokens"]: r["shard"]
+        for r in df.selectExpr(
+            "cum_tokens", f"CAST((cum_tokens - 1) div {budget} AS BIGINT) AS shard"
+        ).collect()
+    }
+    for x in danger:
+        assert got[x] == (x - 1) // budget, (x, got[x], (x - 1) // budget)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_unigram_bench_round_count_covers_every_fixture_word(spark, sf):
+    """ADVICE r10 (bench.py): SPARK_GRAFT_BENCH_ITERS_UNIGRAM=8 claims the
+    8-round bench values equal the full-12-round oracle. That rests on NO
+    fixture word being 9-12 chars long (the override also tightens the
+    _uni_words length filter, which would change vocabulary membership).
+    Pin the precondition the way the BPE depth test pins _BPE_ROUNDS — if
+    a testdata regeneration introduces longer words, this fails loudly
+    instead of silently invalidating the bench-equals-oracle claim."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.text import tokens
+
+    longest = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .agg(F.max(F.length("w")).alias("m"))
+        .head()["m"]
+    )
+    assert longest <= 8, (
+        f"corpus {sf} has a {longest}-char word: the bench unigram override "
+        "(8 DP rounds) no longer equals the 12-round oracle — raise "
+        "SPARK_GRAFT_BENCH_ITERS_UNIGRAM or drop the override"
+    )
+
+
 def test_derive_bits_short_vectors_capped(spark):
     """Vectors shorter than the uncapped width: the min-length cap keeps
     sign_bucket from indexing past the array (ANSI element_at would

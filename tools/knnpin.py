@@ -38,6 +38,33 @@ def main() -> None:
     t0 = time.time()
     pts = knn_scale_pin(spark, args.sf, factors=factors,
                         progress=lambda k, v: print(f"{k}: {v:.2f}s", flush=True))
+
+    # bucket-balance audit: the candidate pair space (sum of squared
+    # bucket sizes) at the derived knn width per factor — the quantity the
+    # wall-time claim rides on. Must track ~linear in n across factors.
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+    from big_data_elt_pipeline_spark.plans.scale_bench import scaled_embeddings
+
+    audit = {}
+    for f_ in factors:
+        emb = scaled_embeddings(spark, args.sf, f_)
+        bits = S.derive_bits(emb, S.KNN_TARGET_BUCKET_ROWS)
+        mu = F.broadcast(S.component_means(emb, bits))
+        hist = (
+            emb.crossJoin(mu)
+            .select(S.sign_bucket(F.col("embedding"), bits, F.col("__mus")).alias("b"))
+            .groupBy("b").count()
+            .agg(F.count("*").alias("n_buckets"),
+                 F.sum(F.col("count") * F.col("count")).alias("pairs"),
+                 F.max("count").alias("max_bucket"))
+            .head()
+        )
+        audit[f"x{f_}"] = {
+            "n_bits": bits, "n_buckets": hist["n_buckets"],
+            "pair_space": int(hist["pairs"]), "max_bucket": hist["max_bucket"],
+        }
     try:
         la1 = os.getloadavg()[0]
     except OSError:
@@ -50,6 +77,7 @@ def main() -> None:
         "elapsed_s": round(time.time() - t0, 1),
         "host_load1": la1,
         "points": {k: v for k, v in sorted(pts.items())},
+        "knn_bucket_audit": audit,
     }
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=False)
