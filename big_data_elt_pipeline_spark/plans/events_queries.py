@@ -1,8 +1,12 @@
 """Event-stream queries (batch oracles + true streaming, SURVEY.md §7 ph.6).
 
-``stream_tumbling`` has no SQL oracle (incremental execution is not
-SQL-expressible) — the driver records its weaker rows-only check; its batch
-twin ``events_tumbling`` is the exactness anchor for the same aggregation.
+Incremental EXECUTION is not SQL-expressible, but since r11 the streaming
+rows carry hash evidence anyway: ``stream_tumbling`` returns the
+stream-vs-batch-twin comparison relation (oracle asserts n_mismatch = 0
+over the finalized-window contract) and ``stream_user_totals``'s final
+state is an associative integer-cents fold the oracle recomputes directly
+on the raw events table. Only ``stream_doc_scoring`` (model inference)
+remains rows-only by contract.
 """
 
 from __future__ import annotations
@@ -124,9 +128,33 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.session_window_rollup(events_df(spark, sf_dir), gap="30 minutes")
 
 
-@register("stream_tumbling", None)  # incremental execution — rows-only check
+@register("stream_tumbling", _E + """,
+wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM ev),
+b AS (
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM ev GROUP BY 1, 2
+),
+fin AS (SELECT b.* FROM b, wm WHERE window_start + INTERVAL 1 HOUR <= wm.w)
+SELECT CAST(count(*) AS BIGINT) AS n_stream,
+       CAST(count(*) AS BIGINT) AS n_finalized,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(sum(CAST(total_value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       min(window_start) AS first_window,
+       max(window_start) AS last_window
+FROM fin
+""")
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return EV.stream_tumbling_revenue(spark, sf_dir)
+    """Streaming tumbling aggregate under HASH evidence (r10 verdict #4):
+    returns the stream-vs-batch-twin comparison relation — the oracle
+    recomputes the finalized-window relation in SQL (append-mode contract:
+    window end <= max event time - watermark) and asserts n_mismatch = 0,
+    so the driver hash certifies stream == cross-engine batch instead of
+    trusting a rows-only record. See ``streaming.events
+    .stream_tumbling_evidence``; raw stream output stays pinned by
+    tests/test_streaming.py."""
+    return EV.stream_tumbling_evidence(spark, sf_dir)
 
 
 @register("incremental_ca_monthly", """
@@ -155,8 +183,23 @@ def q_incremental_ca_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_ca_monthly(spark, achats, f"{tmp}/src", f"{tmp}/state", chunks=3)
 
 
-@register("stream_user_totals", None)  # stateful incremental — rows-only check
+@register("stream_user_totals", """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round_even(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY user_id
+""")
 def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming totals under a FULL direct oracle (r10 verdict
+    #4): the applyInPandasWithState operator accumulates integer cents
+    with pandas' half-even rounding (``(value*100).round()``), so its
+    final per-user state is exactly ``sum(round_even(value*100))`` — an
+    associative integer fold DuckDB evaluates identically on the raw
+    events table regardless of micro-batch boundaries. The driver hash
+    now certifies every (user_id, n, total_value) row of the final state
+    cross-engine; batch-boundary invariance stays pinned by
+    tests/test_streaming.py."""
     from big_data_elt_pipeline_spark.streaming.stateful import user_running_totals_stream
 
     return user_running_totals_stream(spark, sf_dir)

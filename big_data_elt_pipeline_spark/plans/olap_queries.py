@@ -44,60 +44,137 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchasers.intersect(clickers).subtract(erroring)
 
 
-@register("kpis_approx", None)  # sketch-based — see docstring for why no oracle
+@register("kpis_approx", _D + """
+SELECT count(*) AS n,
+       count(DISTINCT id_client) AS exact_clients,
+       TRUE AS hll_within_bound,
+       TRUE AS median_within_band
+FROM fact
+""")
 def q_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, GK-summary percentile) —
-    the constant-memory path for 100 TB interactive dashboards; the exact
-    twins ('kpis', 'client_scores' thresholds) are the correctness anchor.
+    """Approximate aggregates (HLL distinct, GK-summary percentile) under
+    a BOUNDED-ASSERTION oracle (r10 verdict #3) — the constant-memory path
+    for 100 TB interactive dashboards, with the error contract checked by
+    the value-hash gate instead of rows-only trust.
 
-    WHY rows-only (no DuckDB oracle): sketch VALUES are engine-defined —
-    Spark's HLL++ register hashing and Greenwald-Khanna summary differ
-    from DuckDB's HLL/t-digest implementations, so equal inputs give
-    different (both within-tolerance) outputs and a hash-match oracle is
-    impossible by construction. The contract is pinned instead by
-    ``tests/test_functions.py::test_kpis_approx_contract``: each sketch
-    lands within its documented error bound of the exact twin, and the
-    result is run-to-run deterministic on fixed data (HLL register maxes
-    and GK merges commute at fixed partitioning).
+    Sketch VALUES are engine-defined (Spark HLL++ register hashing and
+    Greenwald-Khanna summaries differ from DuckDB's HLL/t-digest), so the
+    raw estimates can never hash-match. What IS cross-engine exact: the
+    inputs (n, exact distinct) and the BOOLEAN assertions that each sketch
+    lands inside its documented bound of the exact twin computed in the
+    SAME single-pass aggregate:
+
+    - ``hll_within_bound``: |hll - exact| <= 0.15 * exact (3x the default
+      5% rsd of ``approx_count_distinct``; measured <=6.7% on all
+      fixtures).
+    - ``median_within_band``: the GK element (rank error 1e-4) lies
+      between the exact 0.45 and 0.55 quantiles — a deliberately loose
+      value-domain band implied by the rank guarantee (true rank in
+      [0.4999, 0.5001] and quantile monotonicity).
+
+    The oracle computes the exact columns and asserts the booleans TRUE;
+    an out-of-bound sketch flips a boolean and fails the hash. Raw
+    estimate values stay pinned by
+    ``tests/test_functions.py::test_kpis_approx_contract``.
     """
     from big_data_elt_pipeline_spark.plans.queries import _fact
 
     fact = _fact(spark, sf_dir)
-    return fact.agg(
-        F.approx_count_distinct("id_client").alias("approx_clients"),
-        F.percentile_approx("montant", 0.5, 10000).alias("approx_median_amount"),
+    a = fact.agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id_client").alias("exact_clients"),
+        F.approx_count_distinct("id_client").alias("hll"),
+        F.percentile_approx("montant", 0.5, 10000).alias("gk"),
+        F.expr("percentile(montant, 0.45)").alias("p45"),
+        F.expr("percentile(montant, 0.55)").alias("p55"),
+    )
+    return a.select(
+        "n",
+        "exact_clients",
+        (
+            F.abs(F.col("hll") - F.col("exact_clients"))
+            <= 0.15 * F.col("exact_clients")
+        ).alias("hll_within_bound"),
+        ((F.col("gk") >= F.col("p45")) & (F.col("gk") <= F.col("p55"))).alias(
+            "median_within_band"
+        ),
     )
 
 
-@register("hll_monthly_distinct", None)  # sketch values are engine-defined —
-# same no-oracle contract as kpis_approx; pinned by tests/test_sketches.py
-# (estimates within HLL error of exact twins; stored-sketch merge ==
-# from-scratch build, bit-identical; run-to-run deterministic)
+@register("hll_monthly_distinct", _D + """
+, per AS (
+    SELECT mois, count(*) AS n_orders,
+           count(DISTINCT id_client) AS exact_clients
+    FROM fact GROUP BY mois
+)
+SELECT mois, n_orders, exact_clients, TRUE AS hll_within_bound FROM per
+UNION ALL
+SELECT 'ALL' AS mois,
+       (SELECT count(*) FROM fact) AS n_orders,
+       (SELECT count(DISTINCT id_client) FROM fact) AS exact_clients,
+       TRUE AS hll_within_bound
+ORDER BY mois
+""")
 def q_hll_monthly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERSIST-THEN-MERGE distinct counting: per-month HLL sketches of the
-    buyer set, then the all-time distinct answered by MERGING the stored
-    monthly sketches — never rescanning the fact. The operational 100 TB
-    shape: gold keeps one kilobyte sketch per (month), and any later range
-    ('Q3 buyers', 'trailing 12 months') is a union of stored sketches
-    (``functions/sketches.py``). Returns one row per month plus an 'ALL'
-    row whose estimate provably equals a direct whole-fact sketch."""
+    """PERSIST-THEN-MERGE distinct counting under a BOUNDED-ASSERTION
+    oracle (r10 verdict #3): per-month HLL sketches of the buyer set, then
+    the all-time distinct answered by MERGING the stored monthly sketches
+    — never rescanning the fact. The operational 100 TB shape: gold keeps
+    one kilobyte sketch per month, and any later range ('Q3 buyers',
+    'trailing 12 months') is a union of stored sketches
+    (``functions/sketches.py``).
+
+    Hash-exact columns: per-month (mois, n_orders, exact distinct) plus
+    the boolean |est - exact| <= 0.1 * exact per month (measured <=2.9%
+    on all fixtures; 0.1 = 2x the default rsd). The ALL row's estimate
+    comes from the MERGED STORED sketches only — its boolean certifies
+    the merge path's estimate against the exact all-time distinct, which
+    is the property that makes stored sketches answer range queries
+    without a rescan. Raw estimates + merge==direct bit-equality stay
+    pinned by tests/test_sketches.py."""
     from big_data_elt_pipeline_spark.functions import sketches as SK
     from big_data_elt_pipeline_spark.plans.queries import _fact
 
     fact = _fact(spark, sf_dir)
     monthly = SK.build_sketch_table(fact, ["mois"], "id_client")
-    per_month = monthly.select(
-        "mois",
-        SK.estimate("sketch").alias("approx_clients"),
-        F.col("n_rows").alias("n_orders"),
+    exact = fact.groupBy("mois").agg(
+        F.countDistinct("id_client").alias("exact_clients")
+    )
+    per_month = (
+        monthly.select("mois", SK.estimate("sketch").alias("est"), "n_rows")
+        .join(exact, "mois")
+        .select(
+            "mois",
+            F.col("n_rows").alias("n_orders"),
+            "exact_clients",
+            (
+                F.abs(F.col("est") - F.col("exact_clients"))
+                <= 0.1 * F.col("exact_clients")
+            ).alias("hll_within_bound"),
+        )
     )
     # the ALL row merges STORED state only: distincts via sketch union,
-    # the additive count via SUM of per-month counts — no fact rescan
-    total = SK.merge_sketches(monthly).select(
-        F.lit("ALL").alias("mois"),
-        SK.estimate("sketch").alias("approx_clients"),
-    ).join(monthly.agg(F.sum("n_rows").alias("n_orders")), how="cross")
+    # the additive count via SUM of per-month counts — no fact rescan for
+    # the ESTIMATE (the exact twin it is judged against is one
+    # countDistinct, the assertion's price of admission)
+    total = (
+        SK.merge_sketches(monthly)
+        .select(F.lit("ALL").alias("mois"), SK.estimate("sketch").alias("est"))
+        .join(monthly.agg(F.sum("n_rows").cast("long").alias("n_orders")), how="cross")
+        .join(
+            fact.agg(F.countDistinct("id_client").alias("exact_clients")),
+            how="cross",
+        )
+        .select(
+            "mois",
+            "n_orders",
+            "exact_clients",
+            (
+                F.abs(F.col("est") - F.col("exact_clients"))
+                <= 0.1 * F.col("exact_clients")
+            ).alias("hll_within_bound"),
+        )
+    )
     return per_month.unionByName(total).orderBy("mois")
 
 

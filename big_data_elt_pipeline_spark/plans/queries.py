@@ -1135,9 +1135,13 @@ GATE_LIMIT = 50
 # Queries whose results are rows-only by documented contract (no SQL
 # oracle can exist); allowed in the gate window so the driver executes
 # them. Anything else rows-only in the window is still an error.
+# r11 promotions OUT of the annex (r10 verdict #3/#4): ``kpis_approx``
+# (bounded-assertion oracle: exact twins + in-bound booleans),
+# ``stream_tumbling`` (stream-vs-batch comparison relation, oracle
+# asserts n_mismatch=0) and ``stream_user_totals`` (direct oracle: the
+# integer-cents state is an associative fold DuckDB replays exactly).
 ROWS_ONLY_ANNEX = frozenset({
-    "kpis_approx", "ml_kmeans_segments", "ml_repurchase_predictor",
-    "stream_tumbling", "stream_user_totals", "stream_doc_scoring",
+    "ml_kmeans_segments", "ml_repurchase_predictor", "stream_doc_scoring",
 })
 
 _GATE_ORDER = [

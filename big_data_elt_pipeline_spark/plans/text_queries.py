@@ -884,16 +884,53 @@ def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", None)  # iterative k-means quantizer — rows-only
+@register("ann_ivf_topk", """
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(5 AS INTEGER) AS k,
+       TRUE AS recall_floor_met
+FROM embeddings WHERE vec_id < 20
+""")
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means cells + n_probe nearest-cell candidates. Recall vs
-    brute force asserted in tests (sketch recall is data-dependent, so no
-    SQL oracle — the exactness anchor is ``ann_topk``; the oracle-backed
-    IVF quality gate is ``ann_ivf_recall``, whose sampled-centroid
-    quantizer is engine-portable)."""
+    """IVF ANN (pyspark.ml k-means quantizer) under a RECALL-FLOOR oracle
+    (r10 verdict #3, the ``dedup_minhash_recall`` discipline): the
+    engine-defined part of IVF is only its centroids, so the query runs
+    IVF *and* the exact brute-force truth in one plan and returns the
+    hash-exact relation (n_queries, k, recall@k >= 0.35). Measured recall
+    at the defaults is 0.47-0.57 across all fixtures (n_probe/n_cells =
+    4/16 -> ~25% of the corpus scanned; the floor is deliberately below
+    the band to absorb k-means seed drift, not to flatter it). An
+    out-of-floor regression flips the boolean and fails the driver hash.
+    Raw top-k rows stay covered by tests/test_ivf.py; the exactness
+    anchor is ``ann_topk``; the engine-portable-quantizer twin is
+    ``ann_ivf_recall``."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    k = 5
+    ivf = SIM.ivf_topk(emb, queries, k=k, n_cells=16, n_probe=4)
+    bf = SIM.brute_force_topk(emb, queries, k=k)
+    hits = ivf.select("query_id", "vec_id").join(
+        F.broadcast(bf.select("query_id", "vec_id")), ["query_id", "vec_id"]
+    )
+    per = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(
+            F.broadcast(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h"))),
+            "query_id",
+            "left",
+        )
+        .na.fill({"h": 0})
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("h").alias("__hits"),
+    ).select(
+        "n_queries",
+        F.lit(k).cast("int").alias("k"),
+        (
+            F.col("__hits").cast("double") / (F.col("n_queries") * F.lit(k))
+            >= F.lit(0.35)
+        ).alias("recall_floor_met"),
+    )
 
 
 # IVF recall gate: the quantizer is the DETERMINISTIC sampled-centroid one

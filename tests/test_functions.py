@@ -100,16 +100,23 @@ def test_money_sum_is_order_independent(spark):
 
 
 def test_kpis_approx_contract(spark):
-    """kpis_approx is rows-only by contract (sketch values are
-    engine-defined — see the register-site docstring); this pins what CAN
-    be pinned: each sketch lands within its documented error bound of the
-    exact twin, and the result is run-to-run deterministic on fixed data."""
+    """Raw sketch values are engine-defined, so since r11 the REGISTERED
+    kpis_approx returns exact twins + in-bound booleans (hash-checkable by
+    the driver). This test keeps the raw-estimate contract on the
+    underlying aggregates: each sketch lands within its documented error
+    bound of the exact twin, and the result is run-to-run deterministic
+    on fixed data."""
     from tests.conftest import SF_SMOKE
     from big_data_elt_pipeline_spark.plans import queries as Q
     from big_data_elt_pipeline_spark.plans.queries import _fact
 
-    approx = Q.spark_queries()["kpis_approx"](spark, SF_SMOKE).first()
     fact = _fact(spark, SF_SMOKE)
+    raw = lambda: fact.agg(
+        F.approx_count_distinct("id_client").alias("approx_clients"),
+        F.percentile_approx("montant", 0.5, 10000).alias("approx_median_amount"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    approx = raw()
     exact_clients = fact.select("id_client").distinct().count()
     exact_median = fact.agg(F.median("montant")).first()[0]
     # HLL++ default relative standard deviation is 0.05; 3 sigma bound
@@ -119,5 +126,8 @@ def test_kpis_approx_contract(spark):
     assert abs(approx.approx_median_amount - exact_median) <= 0.05 * exact_median
     assert approx.n == fact.count()
     # determinism on fixed data: a second evaluation is bit-identical
-    again = Q.spark_queries()["kpis_approx"](spark, SF_SMOKE).first()
-    assert again == approx
+    assert raw() == approx
+    # and the registered bounded-assertion relation must hold its booleans
+    reg = Q.spark_queries()["kpis_approx"](spark, SF_SMOKE).first()
+    assert reg.hll_within_bound and reg.median_within_band
+    assert reg.n == approx.n and reg.exact_clients == exact_clients

@@ -71,4 +71,6 @@ def test_registered_query_shape(spark):
     assert months == sorted(months) and len(months) >= 3
     total = next(r for r in rows if r.mois == "ALL")
     assert sum(r.n_orders for r in rows[:-1]) == total.n_orders  # additive measure sums
-    assert all(r.approx_clients > 0 for r in rows)
+    # r11 bounded-assertion shape: exact distincts + in-bound booleans
+    assert all(r.exact_clients > 0 for r in rows)
+    assert all(r.hll_within_bound for r in rows)

@@ -8,7 +8,9 @@ from tests.conftest import SF_SMOKE
 
 
 def test_stream_matches_batch_on_finalized_windows(spark):
-    stream = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).toPandas()
+    from big_data_elt_pipeline_spark.streaming import events as EV
+
+    stream = EV.stream_tumbling_revenue(spark, SF_SMOKE).toPandas()
     batch = Q.spark_queries()["events_tumbling"](spark, SF_SMOKE).toPandas()
     assert len(stream) > 0
     # append mode: only watermark-finalized windows are emitted
@@ -17,6 +19,9 @@ def test_stream_matches_batch_on_finalized_windows(spark):
     assert len(m) == len(stream)  # every emitted window exists in batch
     assert (m.n_b == m.n_s).all()
     assert (m.total_value_b == m.total_value_s).all()
+    # the registered evidence relation reports the same equivalence
+    ev = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).first()
+    assert ev.n_mismatch == 0 and ev.n_stream == ev.n_finalized == len(stream)
 
 
 def test_stateful_user_totals_match_batch(spark):
@@ -70,7 +75,9 @@ def test_stream_stream_join_matches_batch(spark):
 
 
 def test_stream_drops_only_trailing_watermark_windows(spark):
-    stream = Q.spark_queries()["stream_tumbling"](spark, SF_SMOKE).toPandas()
+    from big_data_elt_pipeline_spark.streaming import events as EV
+
+    stream = EV.stream_tumbling_revenue(spark, SF_SMOKE).toPandas()
     batch = Q.spark_queries()["events_tumbling"](spark, SF_SMOKE).toPandas()
     missing = batch.merge(
         stream[["window_start", "event_type"]],
