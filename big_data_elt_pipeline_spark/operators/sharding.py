@@ -166,3 +166,69 @@ def export_shards(
     m = shard_manifest(docs, budget, id_col, text_col)
     write_parquet(m, f"{path}/_manifest")
     return path, m
+
+
+def read_shard_verified(
+    spark,
+    export_path: str,
+    shard_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The training-loader READ path, verified (r10 verdict #5): read
+    exactly one shard back through the partition-pruned scan
+    (``shard_id`` is the partition column ``export_shards`` wrote — the
+    filter prunes at the directory level, so the scan touches one
+    shard's files no matter how many shards the export holds), recompute
+    the manifest row FROM THE READ-BACK BYTES (doc fingerprints
+    re-hashed from the stored text, concatenated in shard order), and
+    join it against the STORED manifest.
+
+    Returns one row: the read-back (shard_id, n_docs, n_tokens,
+    first_key, last_key, content_hash) plus ``manifest_match`` — true
+    iff every field equals the stored manifest row. Any corruption,
+    partial write, reorder, or membership drift between export and read
+    flips the hash and the boolean."""
+    data = spark.read.parquet(f"{export_path}/shards").filter(
+        F.col("shard_id") == shard_id
+    )
+    got = data.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("okey").alias("first_key"),
+        F.max("okey").alias("last_key"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("okey", id_col, F.md5(F.col(text_col)).alias("fp"))
+                        )
+                    ),
+                    lambda s: s.fp,
+                ),
+            )
+        ).alias("content_hash"),
+    )
+    stored = spark.read.parquet(f"{export_path}/_manifest").filter(
+        F.col("shard_id") == shard_id
+    )
+    s = stored.select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("n_docs").alias("m_docs"),
+        F.col("n_tokens").alias("m_tokens"),
+        F.col("first_key").alias("m_first"),
+        F.col("last_key").alias("m_last"),
+        F.col("content_hash").alias("m_hash"),
+    )
+    return got.join(F.broadcast(s), "shard_id").select(
+        "shard_id", "n_docs", "n_tokens", "first_key", "last_key", "content_hash",
+        (
+            (F.col("n_docs") == F.col("m_docs"))
+            & (F.col("n_tokens") == F.col("m_tokens"))
+            & (F.col("first_key") == F.col("m_first"))
+            & (F.col("last_key") == F.col("m_last"))
+            & (F.col("content_hash") == F.col("m_hash"))
+        ).alias("manifest_match"),
+    )

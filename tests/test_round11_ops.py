@@ -105,6 +105,54 @@ def test_knn_graph_auto_equals_explicit_derived(spark):
 
 
 # --------------------------------------------------------------------------
+# shard_pruned_read: the training-loader read path (r10 verdict #5)
+# --------------------------------------------------------------------------
+
+def test_shard_pruned_read_prunes_partitions_and_verifies(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    SH.export_shards(docs, str(tmp_path), budget=2048)
+    out = SH.read_shard_verified(spark, str(tmp_path), 1)
+    # the shards scan must prune on the partition column, not filter rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard_id" in plan and "shard_id" in plan
+    row = out.head()
+    assert row["manifest_match"] and row["n_docs"] > 0
+    # cross-check against the manifest relation itself
+    m = (
+        spark.read.parquet(f"{tmp_path}/_manifest")
+        .filter(F.col("shard_id") == 1)
+        .head()
+    )
+    assert row["content_hash"] == m["content_hash"]
+    assert row["n_tokens"] == m["n_tokens"]
+
+
+def test_shard_pruned_read_detects_tampering(spark, tmp_path):
+    """Dropping one document from a shard after export must flip
+    manifest_match (count, boundary keys unchanged-or-not — the content
+    hash alone is enough)."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    SH.export_shards(docs, str(tmp_path), budget=2048)
+    shard_dir = f"{tmp_path}/shards/shard_id=1"
+    kept = spark.read.parquet(shard_dir)
+    victim = kept.orderBy("okey").select("doc_id").head()["doc_id"]
+    tampered = kept.filter(F.col("doc_id") != victim).collect()
+    spark.createDataFrame(tampered, kept.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(shard_dir)
+    row = SH.read_shard_verified(spark, str(tmp_path), 1).head()
+    assert not row["manifest_match"]
+
+
+# --------------------------------------------------------------------------
 # ADVICE r10 pins
 # --------------------------------------------------------------------------
 
