@@ -141,6 +141,12 @@ BENCH_QUERIES = [
     # round 10: unigram-LM tokenizer family + deterministic shard export
     "unigram_vocab", "unigram_segment",
     "shard_assignment", "shard_manifest",
+    # round 11: classifier audits (r10 debuts), the verified shard read
+    # path, and the promoted bounded-assertion forms (kpis_approx now
+    # computes exact twins + booleans; ann_ivf_topk runs IVF + brute
+    # force + recall floor in one plan)
+    "classifier_agreement", "classifier_calibration",
+    "shard_pruned_read", "kpis_approx", "ann_ivf_topk",
 ]
 
 

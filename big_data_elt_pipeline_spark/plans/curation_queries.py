@@ -1670,15 +1670,20 @@ mb AS (
 ),
 g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS n_pos,
-             sum(CAST(q AS DECIMAL(25,6))) AS sq
+             -- integer micro-unit sum, NOT a 6-dp decimal sum: the mean
+             -- must replay Spark's exact operation sequence
+             -- (double(sm)/double(n))/1e6 — the decimal form's single
+             -- division sq/n double-rounds DIFFERENTLY in the last ulp
+             -- (caught by the r11 sf0.01 gate sim, Δ=5.5e-17)
+             CAST(sum(CAST(round(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
       FROM mb GROUP BY bin),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
 tbl AS (
     SELECT bin, n, n_pos,
-           CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+           CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_score,
            CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
            CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
-               - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS gap,
+               - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS gap,
            CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS w
     FROM g, tot
 ),

@@ -1144,34 +1144,61 @@ ROWS_ONLY_ANNEX = frozenset({
     "ml_kmeans_segments", "ml_repurchase_predictor", "stream_doc_scoring",
 })
 
+# Round-11 rotation (r10 verdict #2/#3/#4/#5): the FIRST ALL-ORACLE gate —
+# every one of the 50 slots carries the full rows+schema+hash check.
+# IN:
+#   - the 3 never-driver-gated queries: the classifier pair (registered
+#     after the r10 gate ran) and the new ``shard_pruned_read``;
+#   - the complete 12-query <=r4-stale cohort (verdict list, verbatim);
+#   - the 5 r11 annex->oracle promotions debuting their new hashable
+#     shapes (kpis_approx, stream_tumbling, stream_user_totals,
+#     ann_ivf_topk, hll_monthly_distinct);
+#   - the 5 auto-bits ANN-family queries whose code changed this round
+#     (embedding_neardup, ann_lsh_topk, knn_graph_mutual,
+#     knn_semantic_clusters, semantic_dedup — fresh evidence for the
+#     corpus-derived widths);
+#   - the 3 long-division queries changed this round (shard_assignment,
+#     shard_manifest, doc_packing);
+#   - 22 of the 27 r5-stale queries.
+# OUT (r10-green members whose families keep gated coverage): the entire
+# r10 stale-rotation cohort (all earned fresh rows last round), and 5 of
+# the r5-stale with retained coverage: ``events_tumbling`` (its exact
+# relation is recomputed INSIDE gated stream_tumbling's finalized-window
+# oracle), ``dedup_incremental`` (strict subset of the incremental dedup
+# family's r8/r9 rows), ``tpch_q13`` (TPC-H keeps 5 seated rows),
+# ``salted_ca_country`` (salting kept by r10-green
+# salted_distinct_products), ``incremental_ca_country`` (incremental
+# family kept by r10-green incremental_ca_monthly + both gated stream
+# queries). The 3 remaining ROWS_ONLY_ANNEX queries sit OUT this round —
+# their rows-only records are r10-fresh and every slot spent on them
+# would displace an oracle-backed hash check; pytest contracts pin their
+# semantics (documented tradeoff, revisit if the annex goes >2 rounds
+# without a driver row).
 _GATE_ORDER = [
-    # stale r2 cohort (last driver-green r02)
-    "dedup_simhash", "events_sliding", "incremental_ca_monthly",
-    "salted_distinct_products", "silver_dirty_achats", "silver_dirty_clients",
-    # stale r3 cohort
-    "ca_product", "calendar_dense_monthly", "cube_sales",
-    "events_daily_share", "events_props", "events_session_window",
-    "kpis_extended", "multimodal_features", "pivot_event_counts",
-    "quality_counters_clients", "serving_weekly", "set_ops_users",
-    "to_reactivate", "top_opportunities", "tpch_q1_sql",
-    # stale r4 cohort
-    "dedup_exact", "dedup_ngram_jaccard", "doc_packing", "embedding_neardup",
-    "grouping_sets_sales", "mixture_sample", "pii_scrub", "tpch_q3",
-    # round-10 debuts (same-round seating): the unigram-LM tokenizer
-    # family + the deterministic training-shard export
-    "unigram_vocab", "unigram_segment",
-    "shard_assignment", "shard_manifest",
-    # fresh-family keeps: one gated representative per r8/r9-debut family
-    "curation_recipe", "dsir_select", "retrieval_eval", "vocab_drift",
-    "doc_length_quantiles_by_lang", "bpe_doc_tokens",
-    "knn_semantic_clusters", "hybrid_rrf_topk", "cms_heavy_hitters",
-    "corpus_split", "kmeans_centroids",
-    # rows-only annex (see ROWS_ONLY_ANNEX above): driver executes these
-    # for a rows-only record; value semantics pinned by pytest contracts.
-    # Five are the r01-green rows-only cohort back for fresh evidence;
-    # stream_doc_scoring keeps its r9-debut seat.
-    "kpis_approx", "ml_kmeans_segments", "ml_repurchase_predictor",
-    "stream_tumbling", "stream_user_totals", "stream_doc_scoring",
+    # never-driver-gated: classifier audits (r10 debuts) + the r11
+    # training-loader read-path proof
+    "classifier_agreement", "classifier_calibration", "shard_pruned_read",
+    # <=r4-stale cohort, complete (verdict What's-missing #3 list)
+    "anti_join_inactive", "attribution_join", "ca_country",
+    "contamination_check", "doc_keywords", "doc_token_budget",
+    "quality_counters", "range_join_bands", "repeat_rate",
+    "serving_daily", "silver_clients", "union_scale",
+    # r11 annex->oracle promotions (same-round seating of new contracts)
+    "kpis_approx", "stream_tumbling", "stream_user_totals",
+    "ann_ivf_topk", "hll_monthly_distinct",
+    # auto-bits ANN family (code changed r11: corpus-derived widths)
+    "embedding_neardup", "ann_lsh_topk", "knn_graph_mutual",
+    "knn_semantic_clusters", "semantic_dedup",
+    # long-division fix (code changed r11)
+    "shard_assignment", "shard_manifest", "doc_packing",
+    # r5-stale cohort, 22 of 27
+    "asof_event_purchase", "cohort_first_purchase",
+    "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
+    "embedding_stats", "events_enriched", "events_sessionize",
+    "events_unpivot", "grouped_center", "lang_label_audit",
+    "monthly_growth", "rollup_sales_monthly", "scd2_merge",
+    "segment_summary", "serving_distribution", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q22", "tpch_q5", "vocab_topk",
 ]
 
 
@@ -1190,13 +1217,14 @@ def _reorder_registry() -> None:
     gated = {n: _REGISTRY[n] for n in _GATE_ORDER}
     # gated queries must be oracle-backed unless they sit in the documented
     # rows-only annex — an UNdocumented rows-only query in the window would
-    # silently burn a slot on the weaker check
+    # silently burn a slot on the weaker check. (Subset, not equality: a
+    # round may leave annex members out of the window when their rows-only
+    # records are fresh — r11 spends every slot on hash checks.)
     rows_only = {n for n, (_, sql) in gated.items() if sql is None}
-    if rows_only != set(ROWS_ONLY_ANNEX):
+    if not rows_only <= set(ROWS_ONLY_ANNEX):
         raise RuntimeError(
-            "rows-only queries inside the gate window must equal the "
-            f"documented annex: unexpected={sorted(rows_only - ROWS_ONLY_ANNEX)} "
-            f"missing={sorted(ROWS_ONLY_ANNEX - rows_only)}"
+            "rows-only queries inside the gate window must come from the "
+            f"documented annex: unexpected={sorted(rows_only - ROWS_ONLY_ANNEX)}"
         )
     demoted = {n: v for n, v in _REGISTRY.items() if n not in gated}
     _REGISTRY.clear()
