@@ -168,6 +168,67 @@ def export_shards(
     return path, m
 
 
+def pack_training_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level CONTIGUOUS sequence packing — the GPT-style pretraining
+    shape (concatenate the token stream in the deterministic hash order,
+    cut fixed ``seq_len`` windows, let documents STRADDLE sequence
+    boundaries), as opposed to ``doc_packing``'s first-fit whole-document
+    binning. One row per (sequence, document-segment) overlap:
+
+    (seq_id, doc_id, okey, doc_offset, seq_offset, length,
+     is_doc_start, is_doc_end)
+
+    which is exactly what a training loader needs to build input_ids and
+    the cross-document attention-mask boundaries: ``seq_offset`` places
+    the segment inside the sequence, ``doc_offset``/``length`` slice the
+    document's tokens, and the start/end flags mark where BOS/EOS (and
+    attention-mask resets) go.
+
+    Derivation is pure integer arithmetic on the shard-export prefix sum:
+    a document occupying global token interval [cum - n, cum) overlaps
+    sequences (cum - n) div L .. (cum - 1) div L; the overlap with
+    sequence k is [max(cum - n, k*L), min(cum, (k+1)*L)). Zero-token
+    documents carry no tokens and are excluded.
+
+    Scale shape: reuses the 256-bucket DISTRIBUTED prefix sum (no global
+    window); the sequence fan-out is a map-side ``sequence()`` generator
+    bounded by 1 + n_tokens/L rows per document; no new shuffle classes.
+    Replaying a re-export yields byte-identical packing (the
+    ``export_shards`` determinism contract, same order key)."""
+    a = shard_assignment(docs, SHARD_TOKEN_BUDGET, id_col, text_col).filter(
+        F.col("n_tokens") > 0
+    )
+    start = (F.col("cum_tokens") - F.col("n_tokens")).alias("g0")
+    base = a.select(
+        id_col, "okey", "n_tokens", "cum_tokens", start
+    ).withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"g0 div {int(seq_len)}"),
+                F.expr(f"(cum_tokens - 1) div {int(seq_len)}"),
+            )
+        ),
+    )
+    seg_start = F.greatest(F.col("g0"), F.col("seq_id") * F.lit(seq_len))
+    seg_end = F.least(F.col("cum_tokens"), (F.col("seq_id") + 1) * F.lit(seq_len))
+    return base.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        id_col,
+        "okey",
+        (seg_start - F.col("g0")).cast("long").alias("doc_offset"),
+        (seg_start - F.col("seq_id") * F.lit(seq_len)).cast("long").alias("seq_offset"),
+        (seg_end - seg_start).cast("long").alias("length"),
+        (seg_start == F.col("g0")).alias("is_doc_start"),
+        (seg_end == F.col("cum_tokens")).alias("is_doc_end"),
+    )
+
+
 def read_shard_verified(
     spark,
     export_path: str,

@@ -1191,14 +1191,19 @@ _GATE_ORDER = [
     "knn_semantic_clusters", "semantic_dedup",
     # long-division fix (code changed r11)
     "shard_assignment", "shard_manifest", "doc_packing",
-    # r5-stale cohort, 22 of 27
+    # r11 second-wave debut (same-round seating): token-level contiguous
+    # sequence packing — takes the slot of r5-stale ``vocab_topk``
+    # (vocabulary family keeps r10-green vocab_drift + r9 vocab_coverage
+    # and the r10 heavy-hitter seat cms_heavy_hitters)
+    "pack_sequences",
+    # r5-stale cohort, 21 of 27
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
     "embedding_stats", "events_enriched", "events_sessionize",
     "events_unpivot", "grouped_center", "lang_label_audit",
     "monthly_growth", "rollup_sales_monthly", "scd2_merge",
     "segment_summary", "serving_distribution", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q22", "tpch_q5", "vocab_topk",
+    "tpch_q18", "tpch_q22", "tpch_q5",
 ]
 
 

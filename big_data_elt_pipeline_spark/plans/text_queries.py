@@ -1347,6 +1347,46 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.shard_manifest(docs, budget=_SHARD_BUDGET)
 
 
+_SEQ_LEN = 256  # training sequence length for pack_sequences
+
+_PACK_SEQ_SQL = f"""
+WITH {_SHARD_CTES}
+SELECT t.k AS seq_id, doc_id, okey,
+       CAST(greatest(cum_tokens - n_tokens, t.k * {_SEQ_LEN})
+            - (cum_tokens - n_tokens) AS BIGINT) AS doc_offset,
+       CAST(greatest(cum_tokens - n_tokens, t.k * {_SEQ_LEN})
+            - t.k * {_SEQ_LEN} AS BIGINT) AS seq_offset,
+       CAST(least(cum_tokens, (t.k + 1) * {_SEQ_LEN})
+            - greatest(cum_tokens - n_tokens, t.k * {_SEQ_LEN}) AS BIGINT) AS length,
+       greatest(cum_tokens - n_tokens, t.k * {_SEQ_LEN})
+           = cum_tokens - n_tokens AS is_doc_start,
+       least(cum_tokens, (t.k + 1) * {_SEQ_LEN}) = cum_tokens AS is_doc_end
+FROM asg,
+     unnest(generate_series((cum_tokens - n_tokens) // {_SEQ_LEN},
+                            (cum_tokens - 1) // {_SEQ_LEN})) AS t(k)
+WHERE n_tokens > 0
+ORDER BY seq_id, seq_offset
+"""
+
+
+@register("pack_sequences", _PACK_SEQ_SQL)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level contiguous sequence packing (the GPT-style pretraining
+    shape): the corpus token stream in deterministic hash order cut into
+    fixed 256-token sequences, documents straddling boundaries — one row
+    per (sequence, document-segment) with offsets, length, and the
+    BOS/EOS / attention-mask-reset flags a training loader consumes.
+    Pure integer arithmetic on the distributed shard prefix sum; the
+    oracle replays it with the naive global window + generate_series.
+    Contract in ``operators/sharding.pack_training_sequences``."""
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = read_table(spark, sf_dir, "documents")
+    return SH.pack_training_sequences(docs, seq_len=_SEQ_LEN).orderBy(
+        "seq_id", "seq_offset"
+    )
+
+
 _SHARD_READ_ID = 1  # exists at every fixture SF (>= 14 shards at budget 2048)
 
 _SHARD_PRUNED_READ_SQL = f"""

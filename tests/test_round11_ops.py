@@ -105,6 +105,57 @@ def test_knn_graph_auto_equals_explicit_derived(spark):
 
 
 # --------------------------------------------------------------------------
+# pack_sequences: token-level contiguous packing (GPT-style)
+# --------------------------------------------------------------------------
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.text import token_count
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    L = 256
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    seg = SH.pack_training_sequences(docs, seq_len=L).collect()
+
+    # every sequence is exactly full except possibly the last
+    by_seq = {}
+    for r in seg:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(by_seq)
+    for k, rows in by_seq.items():
+        total = sum(r["length"] for r in rows)
+        assert total == L or (k == last and 0 < total <= L), (k, total)
+        # segments tile [0, total) without gaps or overlaps
+        rows.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for r in rows:
+            assert r["seq_offset"] == pos and r["length"] > 0
+            pos += r["length"]
+
+    # per-document: segments tile the document's tokens in order, with
+    # exactly one start flag and one end flag
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    by_doc = {}
+    for r in seg:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["doc_offset"])
+        assert sum(r["length"] for r in rows) == toks[d]
+        assert sum(r["is_doc_start"] for r in rows) == 1 and rows[0]["is_doc_start"]
+        assert sum(r["is_doc_end"] for r in rows) == 1 and rows[-1]["is_doc_end"]
+        pos = 0
+        for r in rows:
+            assert r["doc_offset"] == pos
+            pos += r["length"]
+    # zero-token docs carry no segments; every tokenful doc is packed
+    assert set(by_doc) == {d for d, n in toks.items() if n > 0}
+
+
+# --------------------------------------------------------------------------
 # shard_pruned_read: the training-loader read path (r10 verdict #5)
 # --------------------------------------------------------------------------
 
