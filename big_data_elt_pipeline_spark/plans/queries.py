@@ -1191,15 +1191,17 @@ _GATE_ORDER = [
     "knn_semantic_clusters", "semantic_dedup",
     # long-division fix (code changed r11)
     "shard_assignment", "shard_manifest", "doc_packing",
-    # r11 second-wave debut (same-round seating): token-level contiguous
-    # sequence packing — takes the slot of r5-stale ``vocab_topk``
-    # (vocabulary family keeps r10-green vocab_drift + r9 vocab_coverage
-    # and the r10 heavy-hitter seat cms_heavy_hitters)
-    "pack_sequences",
-    # r5-stale cohort, 21 of 27
+    # r11 second-wave debuts (same-round seating): token-level contiguous
+    # sequence packing and PQ/ADC ANN — they take the slots of r5-stale
+    # ``vocab_topk`` (vocabulary family keeps r10-green vocab_drift + r9
+    # vocab_coverage and the r10 heavy-hitter seat cms_heavy_hitters) and
+    # ``embedding_stats`` (embedding family holds SIX r11 seats: the five
+    # auto-bits queries + ann_pq_topk, plus r9 rows for audit/covariance)
+    "pack_sequences", "ann_pq_topk",
+    # r5-stale cohort, 20 of 27
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
-    "embedding_stats", "events_enriched", "events_sessionize",
+    "events_enriched", "events_sessionize",
     "events_unpivot", "grouped_center", "lang_label_audit",
     "monthly_growth", "rollup_sales_monthly", "scd2_merge",
     "segment_summary", "serving_distribution", "tpch_q16", "tpch_q17",

@@ -1020,6 +1020,75 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ/ADC ANN (Jégou et al. 2011): m-subspace codebooks from the SAME
+# deterministic hash-sampled pick as the fixed-centroid IVF, per-subspace
+# argmin codes, asymmetric-distance scan via an (m x n_cents) LUT join.
+# Every partial distance snaps to DECIMAL(25,9) before the ADC sum, so
+# the whole ranking is value-hashable (the ann_lsh_topk discipline).
+_PQ_M, _PQ_DSUB, _PQ_CENTS, _PQ_K = 8, 8, 16, 5
+
+
+def _pq_subdist_sql(vec: str, cvec: str) -> str:
+    return (
+        f"list_sum(list_transform(range(0, {_PQ_DSUB}), "
+        f"i -> (CAST({vec}[js.j * {_PQ_DSUB} + i + 1] AS DOUBLE)"
+        f" - CAST({cvec}[js.j * {_PQ_DSUB} + i + 1] AS DOUBLE))"
+        f" * (CAST({vec}[js.j * {_PQ_DSUB} + i + 1] AS DOUBLE)"
+        f" - CAST({cvec}[js.j * {_PQ_DSUB} + i + 1] AS DOUBLE))))"
+    )
+
+
+_ANN_PQ_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    ORDER BY {_IVF_HASH}, vec_id
+    LIMIT {_PQ_CENTS}
+),
+js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+codes AS (
+    SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, js.j, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, js.j
+                   ORDER BY {_pq_subdist_sql('e.embedding', 'c.cvec')} ASC,
+                            c.cid ASC) AS rn
+        FROM embeddings e, js, cents c
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT q.vec_id AS query_id, js.j, c.cid AS code,
+           CAST(round({_pq_subdist_sql('q.embedding', 'c.cvec')}, 9)
+                AS DECIMAL(25,9)) AS pd
+    FROM embeddings q, js, cents c
+    WHERE q.vec_id < 16
+),
+scored AS (
+    SELECT l.query_id, co.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adc_l2sq
+    FROM codes co JOIN lut l ON l.j = co.j AND l.code = co.code
+    WHERE l.query_id != co.vec_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id, adc_l2sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_l2sq ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {_PQ_K}
+"""
+
+
+@register("ann_pq_topk", _ANN_PQ_SQL)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance computation: 8
+    one-byte-equivalent codes per 64-dim vector (a 32x memory cut over
+    float32 — the billion-scale in-memory scan recipe), queries scored by
+    m LUT lookups, decimal-snapped partials so the driver hash checks the
+    full ranking. Contract in ``operators/similarity.pq_topk``."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return SIM.pq_topk(
+        emb, queries, k=_PQ_K, m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS
+    )
+
+
 @register("ann_lsh_topk", _ANN_LSH_SQL)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -105,6 +105,76 @@ def test_knn_graph_auto_equals_explicit_derived(spark):
 
 
 # --------------------------------------------------------------------------
+# PQ/ADC ANN (Jégou et al. 2011)
+# --------------------------------------------------------------------------
+
+def test_pq_codes_domain_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = S.pq_codebooks(emb, 16)
+    cids = {c["cid"] for c in books.head()["__cents"]}
+    assert len(cids) == 16
+    codes = S.pq_encode(emb, books, m=8, dsub=8).collect()
+    n = emb.count()
+    assert len(codes) == n * 8  # one code per (vector, subspace)
+    assert {r["j"] for r in codes} == set(range(8))
+    assert {r["code"] for r in codes} <= cids  # codes come from the codebook
+    # a sampled codebook vector's own best code in every subspace is itself
+    by = {}
+    for r in codes:
+        by.setdefault(r["vec_id"], {})[r["j"]] = r["code"]
+    for cid in cids:
+        assert all(code == cid for code in by[cid].values()), (cid, by[cid])
+    # deterministic re-evaluation
+    again = S.pq_encode(emb, books, m=8, dsub=8).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_beats_random_recall(spark):
+    """ADC over 8-byte codes must preserve real neighborhood structure:
+    recall@5 vs exact L2 brute force well above the ~1% random baseline."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    pq = S.pq_topk(emb, queries, k=5)
+    got = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    # exact L2 truth via the cosine brute force won't do — compute L2 here
+    import numpy as np
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for q in range(16):
+        qi = np.where(ids == q)[0][0]
+        d = ((X - X[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        for j in np.argsort(d, kind="stable")[:5]:
+            truth.add((q, int(ids[j])))
+    recall = len(got & truth) / len(truth)
+    # measured 0.1375 on this fixture — the synthetic near-uniform
+    # embeddings are PQ's worst case (no cluster structure for 16 sampled
+    # codebook entries to exploit); the floor asserts structure survives
+    # quantization: random top-5 would score 5/499 ~ 1%
+    assert recall >= 0.05, recall
+    # every query produced exactly k ranked rows
+    from collections import Counter
+
+    per = Counter(q for q, _ in got)
+    assert all(v == 5 for v in per.values()) and len(per) == 16
+
+
+# --------------------------------------------------------------------------
 # pack_sequences: token-level contiguous packing (GPT-style)
 # --------------------------------------------------------------------------
 
