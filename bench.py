@@ -147,7 +147,7 @@ BENCH_QUERIES = [
     # force + recall floor in one plan)
     "classifier_agreement", "classifier_calibration",
     "shard_pruned_read", "kpis_approx", "ann_ivf_topk",
-    "pack_sequences", "ann_pq_topk",
+    "pack_sequences", "ann_pq_topk", "epoch_shuffle",
 ]
 
 

@@ -168,6 +168,48 @@ def export_shards(
     return path, m
 
 
+def epoch_order(
+    docs: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, epoch, ekey, pos): the deterministic per-epoch training
+    order — a seeded global permutation, re-derivable by any worker from
+    (epoch, doc_id) alone. Multi-epoch training must NOT replay one fixed
+    order (order-correlated gradient noise), and a distributed loader
+    cannot materialize a shared shuffled index: hashing ``epoch:doc_id``
+    gives every epoch an independent pseudorandom order with zero
+    coordination (the same public trick as the shard export's hash
+    order, re-keyed per epoch).
+
+    ``pos`` (1-based, dense) comes from the SAME two-level bucketed
+    prefix sum as ``shard_assignment`` — per-bucket row_number over 256
+    hash-balanced partitions plus one 256-row count offset broadcast —
+    never a global window."""
+    ekey = F.md5(F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string")))
+    base = docs.select(
+        F.col(id_col),
+        ekey.alias("ekey"),
+        F.conv(F.substring(ekey, 1, 2), 16, 10).cast("int").alias("bkt"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("ekey", id_col)
+    within = base.withColumn("wpos", F.row_number().over(wb).cast("long"))
+    btot = base.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "bkt", F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off")
+    )
+    return (
+        within.join(F.broadcast(off), "bkt")
+        .select(
+            id_col,
+            F.lit(int(epoch)).cast("int").alias("epoch"),
+            "ekey",
+            (F.col("off") + F.col("wpos")).cast("long").alias("pos"),
+        )
+    )
+
+
 def pack_training_sequences(
     docs: DataFrame,
     seq_len: int = 256,

@@ -1197,14 +1197,19 @@ _GATE_ORDER = [
     # vocab_coverage and the r10 heavy-hitter seat cms_heavy_hitters) and
     # ``embedding_stats`` (embedding family holds SIX r11 seats: the five
     # auto-bits queries + ann_pq_topk, plus r9 rows for audit/covariance)
-    "pack_sequences", "ann_pq_topk",
-    # r5-stale cohort, 20 of 27
+    # ...and the deterministic epoch shuffle completing the loader story
+    # (export -> pruned read -> sequence packing -> per-epoch order); it
+    # takes r5-stale ``serving_distribution``'s slot (histogram family
+    # keeps the property test, client_quartiles' r7 row and the r10
+    # events_daily_share seat)
+    "pack_sequences", "ann_pq_topk", "epoch_shuffle",
+    # r5-stale cohort, 19 of 27
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
     "events_enriched", "events_sessionize",
     "events_unpivot", "grouped_center", "lang_label_audit",
     "monthly_growth", "rollup_sales_monthly", "scd2_merge",
-    "segment_summary", "serving_distribution", "tpch_q16", "tpch_q17",
+    "segment_summary", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q22", "tpch_q5",
 ]
 

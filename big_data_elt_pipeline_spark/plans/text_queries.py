@@ -1456,6 +1456,37 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SHUFFLE_SQL = """
+WITH e AS (SELECT unnest([0, 1]) AS epoch),
+keyed AS (
+    SELECT e.epoch, doc_id,
+           md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ekey
+    FROM documents, e
+)
+SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, ekey,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY ekey, doc_id)
+            AS BIGINT) AS pos
+FROM keyed
+ORDER BY epoch, pos
+"""
+
+
+@register("epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order for epochs 0 and 1: a seeded
+    global permutation from md5(epoch:doc_id), re-derivable by any worker
+    with zero coordination — multi-epoch training must not replay one
+    fixed order, and a distributed loader cannot materialize a shared
+    shuffled index. ``pos`` comes from the 256-bucket two-level prefix
+    sum (no global window); the oracle replays it with the naive global
+    row_number. Contract in ``operators/sharding.epoch_order``."""
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = SH.epoch_order(docs, 0).unionByName(SH.epoch_order(docs, 1))
+    return out.orderBy("epoch", "pos")
+
+
 _SHARD_READ_ID = 1  # exists at every fixture SF (>= 14 shards at budget 2048)
 
 _SHARD_PRUNED_READ_SQL = f"""

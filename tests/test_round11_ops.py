@@ -105,6 +105,28 @@ def test_knn_graph_auto_equals_explicit_derived(spark):
 
 
 # --------------------------------------------------------------------------
+# epoch_shuffle: deterministic per-epoch training order
+# --------------------------------------------------------------------------
+
+def test_epoch_order_is_distinct_permutation_per_epoch(spark):
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    n = docs.count()
+    e0 = {r["doc_id"]: r["pos"] for r in SH.epoch_order(docs, 0).collect()}
+    e1 = {r["doc_id"]: r["pos"] for r in SH.epoch_order(docs, 1).collect()}
+    # dense 1..n permutation over the same id set, per epoch
+    assert set(e0.values()) == set(range(1, n + 1)) == set(e1.values())
+    assert set(e0) == set(e1)
+    # epochs produce genuinely different orders (hash re-key works)
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > n * 0.9, moved
+    # deterministic re-evaluation
+    again = {r["doc_id"]: r["pos"] for r in SH.epoch_order(docs, 0).collect()}
+    assert again == e0
+
+
+# --------------------------------------------------------------------------
 # PQ/ADC ANN (Jégou et al. 2011)
 # --------------------------------------------------------------------------
 
