@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "classifier_agreement", "classifier_calibration",
     "shard_pruned_read", "kpis_approx", "ann_ivf_topk",
     "pack_sequences", "ann_pq_topk", "epoch_shuffle",
+    # round 11, third wave
+    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best",
 ]
 
 

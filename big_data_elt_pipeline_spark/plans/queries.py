@@ -1186,11 +1186,18 @@ _GATE_ORDER = [
     # r11 annex->oracle promotions (same-round seating of new contracts)
     "kpis_approx", "stream_tumbling", "stream_user_totals",
     "ann_ivf_topk", "hll_monthly_distinct",
-    # auto-bits ANN family (code changed r11: corpus-derived widths)
-    "embedding_neardup", "ann_lsh_topk", "knn_graph_mutual",
+    # auto-bits ANN family (code changed r11: corpus-derived widths;
+    # knn_graph_mutual ceded its seat to the third-wave ann_ivfpq_topk —
+    # the changed knn_graph + derive_bits path keeps its r11 row through
+    # knn_semantic_clusters, which calls the identical core)
+    "embedding_neardup", "ann_lsh_topk",
     "knn_semantic_clusters", "semantic_dedup",
-    # long-division fix (code changed r11)
-    "shard_assignment", "shard_manifest", "doc_packing",
+    # long-division fix (code changed r11; ``doc_packing`` ceded its seat
+    # to the third-wave ``dedup_keep_best`` — doc_packing is r10
+    # driver-green, the changed div expression keeps two r11 seats via
+    # shard_assignment/shard_manifest, and pytest pins it at the 2^53
+    # danger values)
+    "shard_assignment", "shard_manifest",
     # r11 second-wave debuts (same-round seating): token-level contiguous
     # sequence packing and PQ/ADC ANN — they take the slots of r5-stale
     # ``vocab_topk`` (vocabulary family keeps r10-green vocab_drift + r9
@@ -1203,13 +1210,26 @@ _GATE_ORDER = [
     # keeps the property test, client_quartiles' r7 row and the r10
     # events_daily_share seat)
     "pack_sequences", "ann_pq_topk", "epoch_shuffle",
+    # r11 third wave: IVF-PQ (the cell-pruned ADC scan — FAISS's IVFx,PQy
+    # composition both halves exist for) debuts in ``knn_graph_mutual``'s
+    # slot (displacement documented at the auto-bits group above), and
+    # MMR diversified rerank (Carbonell & Goldstein 1998 — the missing
+    # stage between ANN candidates and a RAG context window) debuts in
+    # r5-stale ``tpch_q17``'s slot (TPC-H keeps four r11 seats:
+    # q16/q18/q22/q5, plus 17's scalar-subquery shape lives on in gated
+    # q16/q18's semi/anti + grouped-HAVING composition; r05 row + the
+    # local sweep retain it), and quality-aware dedup survivor selection
+    # (the keep-policy that makes dedup a curation step) debuts in
+    # doc_packing's slot (displacement documented at the long-division
+    # group above)
+    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best",
     # r5-stale cohort, 19 of 27
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
     "events_enriched", "events_sessionize",
     "events_unpivot", "grouped_center", "lang_label_audit",
     "monthly_growth", "rollup_sales_monthly", "scd2_merge",
-    "segment_summary", "tpch_q16", "tpch_q17",
+    "segment_summary", "tpch_q16",
     "tpch_q18", "tpch_q22", "tpch_q5",
 ]
 

@@ -421,6 +421,79 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.neardup_clusters(pairs)
 
 
+def _keep_best_sql() -> str:
+    """Oracle: the _clusters_sql component closure, joined to the
+    quality-score chain (the _DOC_STATS_SQL mirror over docs2), survivor
+    per cluster by row_number(quality DESC, doc_id ASC) — DuckDB's window
+    replay of the Spark side's partial-aggregable struct max."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql()}
+),
+edges AS (
+    SELECT id1 AS u, id2 AS v FROM pairs
+    UNION
+    SELECT id2 AS u, id1 AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+{_DOCS2_SQL.strip()},
+qd AS (
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST({_count_in_sql('tok', TX.STOPWORDS)} AS BIGINT) AS n_stopwords,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+    FROM (SELECT doc_id, text, {_TOK.format(c='text')} AS tok FROM docs2)
+),
+q AS (
+    SELECT doc_id,
+           least(greatest(
+               0.5 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.3 * least(CASE WHEN n_tokens > 0
+                   THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   ELSE 0.0 END * 5.0, 1.0)
+               + 0.2 * (1.0 - least(CASE WHEN n_chars > 0
+                   THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                   ELSE 0.0 END * 10.0, 1.0)), 0.0), 1.0) AS quality
+    FROM qd
+),
+mem AS (
+    SELECT l.doc_id, l.cluster_id, q.quality
+    FROM labels l JOIN q ON q.doc_id = l.doc_id
+),
+sel AS (
+    SELECT cluster_id, doc_id, quality,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+           ) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM mem
+)
+SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id != cluster_id AS differs_from_min_id
+FROM sel WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", _keep_best_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters resolved to their best-quality survivor (not the
+    min-id one): the keep/drop policy that makes dedup a CURATION step —
+    the flag column marks exactly the clusters where quality-keep differs
+    from min-id-keep. Contract in ``operators/dedup.quality_survivors``."""
+    docs2 = _docs2(spark, sf_dir)
+    pairs = DD.minhash_dedup(docs2, threshold=0.5).select("id1", "id2")
+    return DD.quality_survivors(docs2, pairs)
+
+
 # --------------------------------------------------------------------------
 # Higher-order array functions over the embedding column
 # --------------------------------------------------------------------------
@@ -1086,6 +1159,179 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 16)
     return SIM.pq_topk(
         emb, queries, k=_PQ_K, m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS
+    )
+
+
+# IVF-PQ: the coarse-quantizer cell join prunes candidates to
+# n_probe/n_cells of the corpus, the PQ LUT pays for the scan — FAISS's
+# IVFx,PQy composition (Jégou et al. 2011 §V). Both quantizers are the
+# deterministic hash-sampled pick, so the full pruned ADC ranking is
+# oracle-checked end to end.
+_ANN_IVFPQ_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    ORDER BY {_IVF_HASH}, vec_id
+    LIMIT {_PQ_CENTS}
+),
+cells AS (
+    SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+    ORDER BY {_IVF_HASH}, vec_id
+    LIMIT {_IVF_CELLS}
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos("e.embedding", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cells c
+    ) WHERE rn = 1
+),
+js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+codes AS (
+    SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, js.j, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, js.j
+                   ORDER BY {_pq_subdist_sql('e.embedding', 'c.cvec')} ASC,
+                            c.cid ASC) AS rn
+        FROM embeddings e, js, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos("q.qvec", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM q CROSS JOIN cells c
+    ) WHERE rn <= {_IVF_PROBE}
+),
+lut AS (
+    SELECT q.query_id, js.j, c.cid AS code,
+           CAST(round({_pq_subdist_sql('q.qvec', 'c.cvec')}, 9)
+                AS DECIMAL(25,9)) AS pd
+    FROM q, js, cents c
+),
+scored AS (
+    SELECT l.query_id, co.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adc_l2sq
+    FROM codes co
+    JOIN assigned a ON a.vec_id = co.vec_id
+    JOIN probes p ON p.cell = a.cell
+    JOIN lut l ON l.query_id = p.query_id AND l.j = co.j AND l.code = co.code
+    WHERE p.query_id != co.vec_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id, adc_l2sq,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_l2sq ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {_PQ_K}
+"""
+
+
+# MMR diversified rerank (Carbonell & Goldstein 1998): k unrolled
+# selection rounds over the bounded candidate relation — the oracle
+# replays each round as a CTE pair (scored pool -> argmax pick), the
+# pagerank bounded-rounds discipline.
+_MMR_K, _MMR_CAND, _MMR_NQ = 5, 20, 8
+_MMR_LAM, _MMR_OM = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+
+
+def _mmr_sql() -> str:
+    head = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < {_MMR_NQ}),
+cand AS (
+    SELECT query_id, vec_id, embedding, cosine FROM (
+        SELECT q.query_id, e.vec_id, e.embedding,
+               {_cos("q.qvec", "e.embedding")} AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos("q.qvec", "e.embedding")} DESC, e.vec_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ) WHERE rn <= {_MMR_CAND}
+),
+sim AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           {_cos("a.embedding", "b.embedding")} AS s
+    FROM cand a JOIN cand b
+      ON b.query_id = a.query_id AND b.vec_id != a.vec_id
+),
+sel1 AS (
+    SELECT query_id, vec_id, cosine, CAST(0.0 AS DOUBLE) AS max_sim,
+           {_MMR_LAM} * cosine AS mmr_score, 1 AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)"""
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        p = r - 1
+        rounds.append(f""",
+pool{r} AS (
+    SELECT c.query_id, c.vec_id, c.cosine, m.ms AS max_sim,
+           {_MMR_LAM} * c.cosine - {_MMR_OM} * m.ms AS mmr_score
+    FROM cand c
+    JOIN (
+        SELECT s.query_id, s.a_id, max(s.s) AS ms
+        FROM sim s JOIN sel{p} t
+          ON t.query_id = s.query_id AND t.vec_id = s.b_id
+        GROUP BY s.query_id, s.a_id
+    ) m ON m.query_id = c.query_id AND m.a_id = c.vec_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sel{p} u
+        WHERE u.query_id = c.query_id AND u.vec_id = c.vec_id
+    )
+),
+sel{r} AS (
+    SELECT * FROM sel{p}
+    UNION ALL
+    SELECT query_id, vec_id, cosine, max_sim, mmr_score, {r} AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY mmr_score DESC, vec_id ASC) AS rn
+        FROM pool{r}
+    ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT query_id, vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+       cosine AS relevance, max_sim, mmr_score
+FROM sel{_MMR_K}
+"""
+    return head + "".join(rounds) + tail
+
+
+@register("mmr_rerank", _mmr_sql())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: exact-cosine candidates, then k MMR rounds over
+    the bounded n_queries x n_cand relation (never corpus-sized — the ANN
+    front end is the scale path; the rerank is candidate-local). Contract
+    in ``operators/similarity.mmr_rerank``."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < _MMR_NQ)
+    return SIM.mmr_rerank(emb, queries, k=_MMR_K, n_cand=_MMR_CAND, lam=0.7)
+
+
+@register("ann_ivfpq_topk", _ANN_IVFPQ_SQL)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: cell-pruned candidates (n_probe/n_cells of the corpus)
+    scored by the m-lookup ADC scan — the billion-vector serving
+    composition both halves exist for. One map pass encodes cell + codes
+    per corpus vector against two broadcast one-row state frames; the scan
+    is two broadcast equi-joins + one partial-aggregated decimal sum.
+    Contract in ``operators/similarity.ivfpq_topk``."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 16)
+    return SIM.ivfpq_topk(
+        emb, queries, k=_PQ_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS,
     )
 
 

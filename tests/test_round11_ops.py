@@ -362,3 +362,195 @@ def test_derive_bits_short_vectors_capped(spark):
     assert S.derive_bits(df, 1) == 6
     out = S.embedding_neardup(df, threshold=0.999)
     assert out.count() > 0  # plan executes without ANSI index errors
+
+
+# --------------------------------------------------------------------------
+# ivfpq_topk: IVF cell pruning x PQ/ADC scan (second-wave r11)
+# --------------------------------------------------------------------------
+
+def test_ivfpq_candidates_come_from_probed_cells(spark):
+    """The pruning contract: every returned neighbor lives in one of the
+    query's n_probe nearest cells (assignment replicated in numpy from the
+    same deterministic centroid pick)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    out = S.ivfpq_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+
+    cents = S.fixed_centroid_cells(emb, 16).head()["__cents"]
+    cell_ids = np.array([c["cell"] for c in cents])
+    C = np.array([c["cvec"] for c in cents], dtype=np.float64)
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cos = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    # ties to the lowest cell id: argsort on (-cos, cell_id)
+    order = np.lexsort((cell_ids[None, :].repeat(len(X), 0), -cos), axis=1)
+    assigned = {int(ids[i]): int(cell_ids[order[i, 0]]) for i in range(len(X))}
+    probes = {
+        int(ids[i]): {int(cell_ids[j]) for j in order[i, :4]}
+        for i in range(len(X))
+        if ids[i] < 16
+    }
+    for r in out:
+        assert assigned[r["vec_id"]] in probes[r["query_id"]], (
+            r["query_id"], r["vec_id"], assigned[r["vec_id"]],
+        )
+
+
+def test_ivfpq_agrees_with_pq_on_shared_pairs(spark):
+    """Same ADC metric on both sides: any (query, neighbor) pair appearing
+    in both the pruned and the full-scan top-5 carries the identical
+    decimal-snapped distance; per query the pruned result holds exactly k
+    ranked rows 1..k and is deterministic across runs."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    ivfpq = S.ivfpq_topk(emb, queries, k=5).collect()
+    pq = S.pq_topk(emb, queries, k=5).collect()
+
+    per = Counter(r["query_id"] for r in ivfpq)
+    assert len(per) == 16 and all(v == 5 for v in per.values())
+    ranks = {(r["query_id"], r["rank"]) for r in ivfpq}
+    assert len(ranks) == 80  # ranks are dense 1..5 per query
+
+    full = {(r["query_id"], r["vec_id"]): r["adc_l2sq"] for r in pq}
+    shared = 0
+    for r in ivfpq:
+        key = (r["query_id"], r["vec_id"])
+        if key in full:
+            shared += 1
+            assert r["adc_l2sq"] == full[key], key
+    assert shared > 0  # the prune keeps some true ADC winners
+
+    again = S.ivfpq_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, ivfpq)) == sorted(map(tuple, again))
+
+
+# --------------------------------------------------------------------------
+# mmr_rerank: diversified top-k (third-wave r11)
+# --------------------------------------------------------------------------
+
+def test_mmr_first_pick_is_relevance_argmax_and_ranks_dense(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = S.mmr_rerank(emb, queries, k=5, n_cand=20).collect()
+
+    per = Counter(r["query_id"] for r in out)
+    assert len(per) == 4 and all(v == 5 for v in per.values())
+    for q in per:
+        picks = sorted(
+            (r for r in out if r["query_id"] == q), key=lambda r: r["mmr_rank"]
+        )
+        assert [r["mmr_rank"] for r in picks] == [1, 2, 3, 4, 5]
+        assert len({r["vec_id"] for r in picks}) == 5  # no repeats
+        assert picks[0]["max_sim"] == 0.0
+        # rank 1 is the plain relevance argmax
+        assert picks[0]["relevance"] == max(r["relevance"] for r in picks)
+
+    bf = S.brute_force_topk(emb, queries, k=1).collect()
+    top1 = {(r["query_id"], r["vec_id"]) for r in bf}
+    got1 = {(r["query_id"], r["vec_id"]) for r in out if r["mmr_rank"] == 1}
+    assert got1 == top1
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark):
+    """The property MMR exists for: a candidate nearly identical to the
+    first selection loses rank 2 to a more distant one even though plain
+    relevance would rank it second."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    # query 100 along e1; doc 2 is the plain-relevance runner-up but a
+    # near-duplicate of first-pick doc 1 (cos ~ 0.99998); doc 3 is a hair
+    # less relevant but angularly distant from doc 1 (cos ~ 0.9756)
+    rows = [
+        (100, [1.0, 0.0, 0.0]),
+        (1, [0.92, 0.1, 0.0]),
+        (2, [0.91, 0.1, 0.0]),
+        (3, [0.9, -0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 100)
+    # plain relevance would rank doc 2 second...
+    bf = S.brute_force_topk(df, q, k=3).collect()
+    assert [r["vec_id"] for r in sorted(bf, key=lambda r: r["rank"])] == [1, 2, 3]
+    # ...MMR flips 2 and 3
+    out = S.mmr_rerank(df, q, k=3, n_cand=3, lam=0.5).collect()
+    by_rank = {r["mmr_rank"]: r["vec_id"] for r in out}
+    assert by_rank == {1: 1, 2: 3, 3: 2}, by_rank
+
+
+# --------------------------------------------------------------------------
+# quality_survivors: quality-aware dedup keep policy (third-wave r11)
+# --------------------------------------------------------------------------
+
+def test_quality_survivors_picks_best_member_not_min_id(spark):
+    from big_data_elt_pipeline_spark.operators import dedup as DD
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs far away to find some food for the long winter ") * 3
+    docs = spark.createDataFrame(
+        [(1, "x."), (2, good), (3, "y!!!!"), (9, "unclustered doc")],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 int, id2 int")
+    out = DD.quality_survivors(docs, pairs).collect()
+    assert len(out) == 1  # one transitive cluster; doc 9 has no pairs
+    row = out[0]
+    assert row["cluster_id"] == 1          # component min
+    assert row["survivor_id"] == 2         # best quality, NOT min id
+    assert row["cluster_size"] == 3
+    assert bool(row["differs_from_min_id"]) is True
+
+
+def test_quality_survivors_survivor_is_cluster_max_quality(spark):
+    """On the real corpus: each survivor is a member of its cluster and
+    carries the cluster-max quality (ties to the lowest id)."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.functions.text import quality_score
+    from big_data_elt_pipeline_spark.operators import dedup as DD
+    from big_data_elt_pipeline_spark.plans.text_queries import _docs2
+
+    docs2 = _docs2(spark, SF_SMOKE)
+    pairs = DD.minhash_dedup(docs2, threshold=0.5).select("id1", "id2")
+    out = DD.quality_survivors(docs2, pairs)
+    clusters = DD.neardup_clusters(pairs).select("doc_id", "cluster_id")
+    q = docs2.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    mem = clusters.join(q, "doc_id")
+    mx = mem.groupBy("cluster_id").agg(F.max("quality").alias("maxq"))
+    joined = out.join(mx, "cluster_id").join(
+        mem.withColumnRenamed("doc_id", "survivor_id"),
+        ["cluster_id", "survivor_id"],
+    )
+    bad = joined.filter(
+        (F.col("survivor_quality") != F.col("maxq"))
+        | (F.col("quality") != F.col("survivor_quality"))
+    ).count()
+    assert bad == 0
+    assert joined.count() == out.count()  # every survivor is a member
