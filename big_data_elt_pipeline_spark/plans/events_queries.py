@@ -1,12 +1,13 @@
 """Event-stream queries (batch oracles + true streaming, SURVEY.md §7 ph.6).
 
-Incremental EXECUTION is not SQL-expressible, but since r11 the streaming
-rows carry hash evidence anyway: ``stream_tumbling`` returns the
-stream-vs-batch-twin comparison relation (oracle asserts n_mismatch = 0
-over the finalized-window contract) and ``stream_user_totals``'s final
-state is an associative integer-cents fold the oracle recomputes directly
-on the raw events table. Only ``stream_doc_scoring`` (model inference)
-remains rows-only by contract.
+Incremental EXECUTION is not SQL-expressible, but since r11 every
+non-model streaming query carries hash evidence anyway:
+``stream_tumbling`` / ``stream_enrich`` / ``stream_attribution`` /
+``stream_dedup`` return stream-vs-batch-twin comparison relations
+(oracle recomputes the checksums and asserts n_mismatch = 0) and
+``stream_user_totals``'s final state is an associative integer-cents
+fold the oracle recomputes directly on the raw events table. Only
+``stream_doc_scoring`` (model inference) remains rows-only by contract.
 """
 
 from __future__ import annotations
@@ -255,28 +256,83 @@ def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_enrich", None)  # stream-static join — rows-only check
+@register("stream_enrich", _E + """,
+dim AS (SELECT c_custkey, c_mktsegment FROM customer),
+e AS (
+    SELECT event_id, coalesce(c_mktsegment, 'unknown') AS segment,
+           event_type, value
+    FROM ev LEFT JOIN dim ON user_id = c_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_stream,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(sum(CAST(round_even(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+            AS BIGINT) AS sum_value_cents,
+       CAST(count(DISTINCT segment) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN segment = 'unknown' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unknown
+FROM e
+""")
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment driven as a real streaming query; its
-    per-(segment, type) rollup equals the ORACLE-exact batch twin
-    ``events_enriched`` (asserted in tests/test_streaming.py)."""
-    return EV.stream_enriched_events(spark, sf_dir)
-
-
-@register("stream_attribution", None)  # stream-stream join — rows-only check
-def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream interval join (purchase→view attribution);
-    batch-equality asserted in tests/test_streaming.py (equals
-    ``attribution_join``, which carries the SQL oracle)."""
-    return EV.stream_attribution_join(spark, sf_dir)
-
-
-@register("stream_dedup", None)  # cross-batch streaming state — rows-only
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming at-least-once repair (dropDuplicatesWithinWatermark over
-    a twice-delivered source); equals batch dropDuplicates — asserted in
+    """Stream-static enrichment under HASH evidence (r11, extending the
+    r10 verdict #4 promotions): the comparison relation between the real
+    streaming query and the batch twin — the oracle recomputes every
+    checksum from events LEFT JOIN customer and asserts n_mismatch = 0,
+    so the driver hash certifies the per-micro-batch broadcast join
+    emitted exactly the batch rows. Raw stream output stays pinned by
     tests/test_streaming.py."""
-    return EV.stream_deduped_events(spark, sf_dir)
+    return EV.stream_enrich_evidence(spark, sf_dir)
+
+
+@register("stream_attribution", _E + """,
+pairs AS (
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0 AS gap_sec
+    FROM ev p JOIN ev v ON p.user_id = v.user_id
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      AND v.ts <= p.ts
+      AND v.ts >= p.ts - INTERVAL 30 MINUTE
+)
+SELECT CAST(count(*) AS BIGINT) AS n_stream,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(purchase_id) AS BIGINT) AS sum_purchase_id,
+       CAST(sum(view_id) AS BIGINT) AS sum_view_id,
+       CAST(sum(CAST(round(gap_sec * 1000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sum_gap_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pairs
+""")
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under HASH evidence: the
+    oracle replays the batch interval join and asserts the streaming
+    result matched it pair for pair (n_mismatch = 0; exact integer id and
+    micros-gap checksums — gap_sec is integer micros / 1e6, so
+    round(gap*1e6) recovers the micros losslessly in both engines)."""
+    return EV.stream_attribution_evidence(spark, sf_dir)
+
+
+@register("stream_dedup", _E + """
+SELECT CAST(count(*) AS BIGINT) AS n_stream,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(sum(CAST(round_even(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+            AS BIGINT) AS sum_value_cents,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM ev
+""")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once repair under HASH evidence: the
+    twice-delivered dropDuplicatesWithinWatermark stream must emit the
+    unique event set exactly once — the oracle recomputes the id/cents/ts
+    checksums from the raw events table (event_id is unique in the
+    fixture, asserted by the n_stream == n_batch == count(*) triple) and
+    asserts n_mismatch = 0. A missed or re-emitted event flips the
+    counts and fails the driver value hash."""
+    return EV.stream_dedup_evidence(spark, sf_dir)
 
 
 @register("event_funnel", _E + """,

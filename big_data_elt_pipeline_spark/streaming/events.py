@@ -476,3 +476,117 @@ def stream_deduped_events(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _evidence_relation(
+    stream: DataFrame, twin: DataFrame, checks: DataFrame
+) -> DataFrame:
+    """(n_stream, n_batch-side checks..., n_mismatch) as one row: the
+    symmetric ``exceptAll`` count is 0 iff stream == twin including
+    duplicates — the ``stream_tumbling_evidence`` discipline shared by
+    every promoted streaming query."""
+    mism = stream.exceptAll(twin).unionByName(twin.exceptAll(stream))
+    return (
+        stream.agg(F.count(F.lit(1)).cast("long").alias("n_stream"))
+        .crossJoin(checks)
+        .crossJoin(mism.agg(F.count(F.lit(1)).cast("long").alias("n_mismatch")))
+    )
+
+
+def stream_dedup_evidence(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming at-least-once repair under hash evidence (the r10
+    verdict #4 discipline, extended r11): run the twice-delivered
+    ``dropDuplicatesWithinWatermark`` stream AND the batch
+    ``dropDuplicates`` twin, return the comparison relation — n_mismatch
+    is the symmetric exceptAll count over all five columns, and the
+    content checksums (exact integer id/cents folds + ts bounds) are
+    recomputed independently by the DuckDB oracle from the raw events
+    table. A missed or duplicated emission flips n_stream/n_mismatch and
+    fails the driver value hash."""
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    s = stream_deduped_events(spark, sf_dir, watermark).select(*cols)
+    # localCheckpoint: Deduplicate feeding ExceptAll trips an analyzer
+    # bind error in Spark 4.1 ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] on the
+    # replaced-with-aggregate branch); materializing the twin sidesteps it
+    twin = (
+        events_df(spark, sf_dir)
+        .select(*cols)
+        .dropDuplicates(["event_id"])
+        .localCheckpoint(eager=True)
+    )
+    checks = twin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.sum(F.bround(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return _evidence_relation(s, twin, checks).select(
+        "n_stream", "n_batch", "n_mismatch",
+        "sum_event_id", "sum_value_cents", "first_ts", "last_ts",
+    )
+
+
+def stream_enrich_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under hash evidence: the per-micro-batch
+    broadcast join must emit exactly the batch join's rows — n_mismatch
+    over (event_id, segment, event_type, value), plus checksums the
+    oracle recomputes from events LEFT JOIN customer."""
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+
+    s = stream_enriched_events(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    twin = enrich_events(events_df(spark, sf_dir), customer)
+    checks = twin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.sum(F.bround(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+        F.count_distinct("segment").cast("long").alias("n_segments"),
+        F.sum((F.col("segment") == "unknown").cast("long"))
+        .cast("long")
+        .alias("n_unknown"),
+    )
+    return _evidence_relation(s, twin, checks).select(
+        "n_stream", "n_batch", "n_mismatch",
+        "sum_event_id", "sum_value_cents", "n_segments", "n_unknown",
+    )
+
+
+def stream_attribution_evidence(
+    spark: SparkSession, sf_dir: str, window_min: int = 30
+) -> DataFrame:
+    """Watermarked stream-stream interval join under hash evidence:
+    the streaming attribution must equal the batch interval join pair for
+    pair — n_mismatch over (purchase_id, view_id, user_id, gap_sec), with
+    exact integer checksums (id sums + the micros gap total, recovered
+    losslessly from gap_sec since it is integer-micros / 1e6)."""
+    from big_data_elt_pipeline_spark.sources.tpch import events_df
+
+    s = stream_attribution_join(spark, sf_dir, window_min=window_min)
+    ev = events_df(spark, sf_dir)
+    twin = attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        window_min=window_min,
+    )
+    checks = twin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum("purchase_id").cast("long").alias("sum_purchase_id"),
+        F.sum("view_id").cast("long").alias("sum_view_id"),
+        F.sum(F.round(F.col("gap_sec") * 1_000_000.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_gap_us"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    return _evidence_relation(s, twin, checks).select(
+        "n_stream", "n_batch", "n_mismatch",
+        "sum_purchase_id", "sum_view_id", "sum_gap_us", "n_users",
+    )
