@@ -1812,6 +1812,20 @@ def _nano_update_sql(w: str, se: str, n: str) -> str:
 
 
 def _logreg_sql() -> str:
+    return f"""
+WITH {_logreg_body()}
+SELECT b AS feature, w AS weight FROM w{CL.LOGREG_ITERS}
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS feature, bw AS weight FROM b{CL.LOGREG_ITERS}
+ORDER BY feature
+"""
+
+
+def _logreg_body() -> str:
+    """The trained-model CTE chain (labeled corpus -> w{N}/b{N}) without
+    the WITH keyword or final SELECT — shared by ``logreg_quality_model``
+    and the ``stream_doc_scoring`` evidence oracle, which appends scoring
+    CTEs over the same converged weights."""
     B = CL.LOGREG_BUCKETS
     rounds = ""
     for r in range(1, CL.LOGREG_ITERS + 1):
@@ -1841,8 +1855,7 @@ b{r} AS MATERIALIZED (
         "n.n")} AS bw
     FROM b{r-1} b, n
 )"""
-    return f"""
-WITH labeled AS (
+    return f"""labeled AS (
     SELECT doc_id AS pid,
            CASE WHEN doc_id % 2 = 1 THEN text || '{_LR_MARK}' ELSE text END AS text,
            CAST(doc_id % 2 AS INT) AS y
@@ -1857,12 +1870,7 @@ feats AS MATERIALIZED (
 ),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
 w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0.0 AS DOUBLE) AS w FROM feats),
-b0 AS (SELECT CAST(0.0 AS DOUBLE) AS bw){rounds}
-SELECT b AS feature, w AS weight FROM w{CL.LOGREG_ITERS}
-UNION ALL
-SELECT CAST(-1 AS BIGINT) AS feature, bw AS weight FROM b{CL.LOGREG_ITERS}
-ORDER BY feature
-"""
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS bw){rounds}"""
 
 
 @register("logreg_quality_model", _logreg_sql())
@@ -2478,19 +2486,65 @@ def q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_doc_scoring", None)  # streaming sink — rows-only contract
+def _stream_scoring_sql() -> str:
+    """Evidence oracle: retrain the logreg weights in SQL (the shared
+    ``_logreg_body`` unrolled rounds), rescore every RAW document
+    relationally (join of the doc's DISTINCT hashed bigrams with the
+    weight table — equals the stream's in-row decimal fold by exact
+    associativity), and emit the comparison-relation checksums."""
+    B = CL.LOGREG_BUCKETS
+    it = CL.LOGREG_ITERS
+    return f"""
+WITH {_logreg_body()},
+model AS (
+    SELECT b AS feature, w AS weight FROM w{it}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS feature, bw AS weight FROM b{it}
+),
+dfeats AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(sh), 1, 15))::BIGINT % {B} AS b
+    FROM (SELECT doc_id, unnest({_shingle_sql(2)}) AS sh
+          FROM (SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents))
+),
+msum AS (
+    SELECT d.doc_id, CAST(sum(CAST(m.weight AS DECIMAL(25,9))) AS DOUBLE) AS sw
+    FROM dfeats d JOIN model m ON m.feature = d.b
+    GROUP BY d.doc_id
+),
+bias AS (SELECT weight AS bw FROM model WHERE feature = -1),
+scored AS (
+    SELECT dd.doc_id,
+           least(greatest(
+               0.25 * (coalesce(m.sw, 0.0) + b.bw) + 0.5, 0.0), 1.0) AS score
+    FROM (SELECT doc_id FROM documents) dd
+    LEFT JOIN msum m USING (doc_id), bias b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_stream,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(CAST(round(score * 1000000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sum_score_nanos,
+       CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_predicted
+FROM scored
+"""
+
+
+@register("stream_doc_scoring", _stream_scoring_sql())
 def q_stream_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hard-sigmoid logreg scoring of a document FILE STREAM: the model
-    (trained batch-side on the planted-label corpus) broadcasts into each
-    micro-batch as a single-row map column and the margin is an exact
-    decimal fold INSIDE the row — stateless append-mode streaming with no
-    watermark, no state store, no shuffle (the stream-static enrichment
-    discipline applied to inference). Stream == batch predictor is
-    asserted row-for-row in pytest; no SQL oracle can express a streaming
-    sink, so this is a documented rows-only entry. Contract in
-    ``streaming/scoring.py``."""
+    """Hard-sigmoid logreg scoring of a document FILE STREAM under HASH
+    evidence (r11 — the last non-model-fit rows-only entry promoted):
+    the model (trained batch-side on the planted-label corpus) broadcasts
+    into each micro-batch as a single-row map column and the margin is an
+    exact decimal fold INSIDE the row — stateless append-mode streaming
+    with no watermark, no state store, no shuffle. The returned relation
+    compares the stream against the batch twin (n_mismatch = symmetric
+    exceptAll) with score/prediction checksums the oracle recomputes by
+    retraining the same fixed-point weights in SQL and rescoring
+    relationally. Contract in ``streaming/scoring.py``."""
     from big_data_elt_pipeline_spark.streaming.scoring import (
-        stream_scored_documents,
+        stream_doc_scoring_evidence,
     )
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2503,5 +2557,7 @@ def q_stream_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
         (F.col("doc_id") % 2).cast("int").alias("y"),
     )
-    model = CL.logreg_train_fixed_point(labeled)
-    return stream_scored_documents(spark, sf_dir, model).orderBy("doc_id")
+    # checkpoint the 251-row model once: the stream AND the batch twin
+    # both consume it — without this the 5-round GD plan runs twice
+    model = CL.logreg_train_fixed_point(labeled).localCheckpoint(eager=True)
+    return stream_doc_scoring_evidence(spark, sf_dir, model)

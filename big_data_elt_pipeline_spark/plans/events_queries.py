@@ -6,8 +6,9 @@ non-model streaming query carries hash evidence anyway:
 ``stream_dedup`` return stream-vs-batch-twin comparison relations
 (oracle recomputes the checksums and asserts n_mismatch = 0) and
 ``stream_user_totals``'s final state is an associative integer-cents
-fold the oracle recomputes directly on the raw events table. Only
-``stream_doc_scoring`` (model inference) remains rows-only by contract.
+fold the oracle recomputes directly on the raw events table; the
+``stream_doc_scoring`` evidence oracle even retrains the fixed-point
+logreg in SQL. No streaming query is rows-only anymore.
 """
 
 from __future__ import annotations

@@ -1138,10 +1138,16 @@ GATE_LIMIT = 50
 # r11 promotions OUT of the annex (r10 verdict #3/#4): ``kpis_approx``
 # (bounded-assertion oracle: exact twins + in-bound booleans),
 # ``stream_tumbling`` (stream-vs-batch comparison relation, oracle
-# asserts n_mismatch=0) and ``stream_user_totals`` (direct oracle: the
-# integer-cents state is an associative fold DuckDB replays exactly).
+# asserts n_mismatch=0), ``stream_user_totals`` (direct oracle: the
+# integer-cents state is an associative fold DuckDB replays exactly),
+# and — fourth/fifth wave — ``stream_enrich`` / ``stream_attribution`` /
+# ``stream_dedup`` / ``stream_doc_scoring`` (comparison relations whose
+# checksums the oracle recomputes; the scoring oracle retrains the
+# fixed-point logreg in SQL). Only the two pyspark.ml fits remain
+# annex-eligible (engine-defined optimizers), plus the real-codec
+# audio/image features outside the gate.
 ROWS_ONLY_ANNEX = frozenset({
-    "ml_kmeans_segments", "ml_repurchase_predictor", "stream_doc_scoring",
+    "ml_kmeans_segments", "ml_repurchase_predictor",
 })
 
 # Round-11 rotation (r10 verdict #2/#3/#4/#5): the FIRST ALL-ORACLE gate —

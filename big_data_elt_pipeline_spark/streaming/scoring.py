@@ -144,3 +144,35 @@ def stream_scored_documents(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_doc_scoring_evidence(
+    spark: SparkSession, sf_dir: str, model: DataFrame
+) -> DataFrame:
+    """Streaming inference under HASH evidence (the r11 discipline
+    applied to the last rows-only stream): run the file-stream scoring
+    AND its batch twin (the SAME map-only ``score_documents`` plan on the
+    batch read — the two must agree row-for-row because the margin is an
+    order-free exact decimal fold), return the comparison relation. The
+    oracle retrains the logreg weights in SQL (the unrolled
+    ``_logreg_body`` rounds), rescoring every document relationally —
+    so the driver hash certifies stream == batch == cross-engine model
+    end to end."""
+    from big_data_elt_pipeline_spark.streaming.events import _evidence_relation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mrow = model_map_row(model).localCheckpoint(eager=True)
+    s = stream_scored_documents(spark, sf_dir, model)
+    twin = score_documents(docs, mrow)
+    checks = twin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.round(F.col("score") * 1_000_000_000.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_score_nanos"),
+        F.sum("predicted").cast("long").alias("n_predicted"),
+    )
+    return _evidence_relation(s, twin, checks).select(
+        "n_stream", "n_batch", "n_mismatch", "sum_score_nanos", "n_predicted"
+    )
