@@ -149,7 +149,7 @@ BENCH_QUERIES = [
     "shard_pruned_read", "kpis_approx", "ann_ivf_topk",
     "pack_sequences", "ann_pq_topk", "epoch_shuffle",
     # round 11, third wave
-    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best",
+    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best", "doc_entropy",
 ]
 
 

@@ -2561,3 +2561,49 @@ def q_stream_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both consume it — without this the 5-round GD plan runs twice
     model = CL.logreg_train_fixed_point(labeled).localCheckpoint(eager=True)
     return stream_doc_scoring_evidence(spark, sf_dir, model)
+
+
+# --------------------------------------------------------------------------
+# doc_entropy: character-level Shannon entropy — the gibberish/binary
+# detector next to the length/stopword/punct heuristics, gopher repetition
+# and lm perplexity filters. Contributions are 6-dp-quantized and summed
+# as DECIMAL (the BM25 log discipline), so the per-doc entropy is
+# value-hashable cross-engine.
+# --------------------------------------------------------------------------
+
+_DOC_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (
+    SELECT doc_id, sum(c) AS n, count(*) AS n_distinct, max(c) AS maxc
+    FROM cc GROUP BY doc_id
+),
+ent AS (
+    SELECT cc.doc_id,
+           CAST(sum(CAST(round(
+               -((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS DECIMAL(25,6))) AS DOUBLE) AS entropy_bits
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_chars,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+       e.entropy_bits,
+       CAST(t.maxc AS DOUBLE) / CAST(t.n AS DOUBLE) AS top_char_share,
+       e.entropy_bits < 2.0 AS low_entropy
+FROM tot t JOIN ent e USING (doc_id)
+"""
+
+
+@register("doc_entropy", _DOC_ENTROPY_SQL)
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy + top-char share + low-entropy flag:
+    the quality signal that catches what the token-ratio heuristics miss
+    (binary blobs, base64 runs, single-symbol spam). Contract in
+    ``operators/quality.char_entropy``."""
+    docs = read_table(spark, sf_dir, "documents")
+    return QL.char_entropy(docs)

@@ -1228,12 +1228,19 @@ _GATE_ORDER = [
     # (the keep-policy that makes dedup a curation step) debuts in
     # doc_packing's slot (displacement documented at the long-division
     # group above)
-    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best",
+    # ...and character-entropy quality scoring (the gibberish/binary
+    # detector the heuristic filter family lacked) debuts in r5-stale
+    # ``grouped_center``'s slot — the centered-means code path it
+    # exhibits standalone is executed INSIDE all four seated auto-bits
+    # ANN queries (component_means feeds every sign bucket), so the
+    # changed-code evidence stays r11-fresh; the standalone query keeps
+    # its r05 row + the local sweep
+    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best", "doc_entropy",
     # r5-stale cohort, 19 of 27
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
     "events_enriched", "events_sessionize",
-    "events_unpivot", "grouped_center", "lang_label_audit",
+    "events_unpivot", "lang_label_audit",
     "monthly_growth", "rollup_sales_monthly", "scd2_merge",
     "segment_summary", "tpch_q16",
     "tpch_q18", "tpch_q22", "tpch_q5",

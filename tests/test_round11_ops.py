@@ -554,3 +554,47 @@ def test_quality_survivors_survivor_is_cluster_max_quality(spark):
     ).count()
     assert bad == 0
     assert joined.count() == out.count()  # every survivor is a member
+
+
+# --------------------------------------------------------------------------
+# char_entropy: gibberish/binary quality signal (fifth-wave r11)
+# --------------------------------------------------------------------------
+
+def test_char_entropy_flags_junk_not_text(spark):
+    import math
+
+    from big_data_elt_pipeline_spark.operators.quality import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaaaaaa"),            # single symbol
+            (2, "ababababababababababab"),              # two symbols, 1 bit
+            (3, "The quick brown fox jumps over the lazy dog."),
+            (4, "abcdefgh"),                            # uniform 8 -> 3 bits
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and bool(out[1]["low_entropy"])
+    assert abs(out[2]["entropy_bits"] - 1.0) < 1e-5 and bool(out[2]["low_entropy"])
+    assert out[3]["entropy_bits"] > 3.5 and not bool(out[3]["low_entropy"])
+    assert abs(out[4]["entropy_bits"] - 3.0) < 1e-5
+    assert out[1]["top_char_share"] == 1.0
+    assert out[4]["top_char_share"] == 0.125
+    # entropy can never exceed log2(alphabet size) (+ 6-dp quantization slack)
+    for r in out.values():
+        assert r["entropy_bits"] <= math.log2(r["n_distinct_chars"]) + 1e-4 or r["n_distinct_chars"] == 1
+
+
+def test_char_entropy_corpus_sane(spark):
+    """Real corpus: every doc is natural text — entropy in (2, 6.5] bits,
+    top-char share below 0.5 (space/e domination stays partial)."""
+    from big_data_elt_pipeline_spark.operators.quality import char_entropy
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = char_entropy(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 2.0 < r["entropy_bits"] <= 6.5, (r["doc_id"], r["entropy_bits"])
+        assert 0.0 < r["top_char_share"] < 0.5
+        assert not bool(r["low_entropy"])
