@@ -565,38 +565,41 @@ def char_entropy(
     top-character share (the single-symbol domination signal) and a
     ``low_entropy`` keep/drop flag at 2.0 bits.
 
-    Scale shape: explode to (doc, char) is a generator (no shuffle); the
-    per-(doc, char) count is bounded by alphabet-per-doc and collapses
-    map-side; everything downstream shuffles only the narrow counted
-    relation. Determinism: p*log2(p) contributions are quantized to 1e-6
-    and summed as DECIMAL (the BM25 log discipline — IEEE log2 is not
+    Scale shape (2 exchanges total): explode to (doc, char) is a
+    generator (no shuffle); the per-(doc, char) count is bounded by
+    alphabet-per-doc and collapses map-side (exchange 1, by (doc, ch));
+    the per-doc totals ride a whole-partition window over the counted
+    relation (exchange 2, by doc) whose output partitioning the final
+    per-doc aggregate REUSES — no join ever re-shuffles the relation
+    (the two-join form costs 6 exchanges for identical values).
+    Determinism: p*log2(p) contributions are quantized to 1e-6 and
+    summed as DECIMAL (the BM25 log discipline — IEEE log2 is not
     correctly rounded, so an unquantized double sum could drift an ulp
     across engines; the 6-dp snap + exact decimal addition is
     partitioning- and engine-stable).
     """
+    from pyspark.sql import Window
+
     chars = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
     )
     cc = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
-    tot = cc.groupBy(id_col).agg(
-        F.sum("c").alias("n"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("maxc"),
+    w = Window.partitionBy(id_col)
+    enriched = cc.select(
+        F.col(id_col),
+        "c",
+        F.sum("c").over(w).alias("n"),
+        F.count(F.lit(1)).over(w).alias("n_distinct"),
+        F.max("c").over(w).alias("maxc"),
     )
     p = F.col("c").cast("double") / F.col("n").cast("double")
     contrib = F.round(-(p * F.log2(p)), 6).cast("decimal(25,6)")
-    ent = (
-        cc.join(tot.select(id_col, "n"), id_col)
-        .groupBy(id_col)
-        .agg(F.sum(contrib).cast("double").alias("entropy_bits"))
-    )
-    return tot.join(ent, id_col).select(
-        F.col(id_col),
-        F.col("n").cast("long").alias("n_chars"),
-        F.col("n_distinct").cast("long").alias("n_distinct_chars"),
-        "entropy_bits",
-        (F.col("maxc").cast("double") / F.col("n").cast("double")).alias(
+    return enriched.groupBy(id_col).agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.max("n_distinct").cast("long").alias("n_distinct_chars"),
+        F.sum(contrib).cast("double").alias("entropy_bits"),
+        (F.max("maxc").cast("double") / F.max("n").cast("double")).alias(
             "top_char_share"
         ),
-        (F.col("entropy_bits") < F.lit(2.0)).alias("low_entropy"),
+        (F.sum(contrib).cast("double") < F.lit(2.0)).alias("low_entropy"),
     )
