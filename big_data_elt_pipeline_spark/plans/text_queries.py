@@ -979,7 +979,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     k = 5
-    ivf = SIM.ivf_topk(emb, queries, k=k, n_cells=16, n_probe=4)
+    ivf = SIM.ivf_topk(emb, queries, k=k, n_probe=4)
     bf = SIM.brute_force_topk(emb, queries, k=k)
     hits = ivf.select("query_id", "vec_id").join(
         F.broadcast(bf.select("query_id", "vec_id")), ["query_id", "vec_id"]
@@ -1014,11 +1014,20 @@ _IVF_HASH = "(vec_id % {m} * {a} + {c}) % {m}".format(
     m=SMP.SAMPLE_M, a=SMP.SAMPLE_A, c=SMP.SAMPLE_C
 )
 
+# corpus-derived IVF cell count (mirrors similarity.auto_cells exactly —
+# integer ceil-div, both gate fixtures land on the lo clamp so the switch
+# to auto changed no oracle value)
+AUTO_CELLS_LO, AUTO_CELLS_HI = SIM.AUTO_CELLS_LO, SIM.AUTO_CELLS_HI
+TCR, TCR1 = SIM.TARGET_CELL_ROWS, SIM.TARGET_CELL_ROWS - 1
+
 _ANN_IVF_RECALL_SQL = f"""
-WITH cents AS (
-    SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-    ORDER BY {_IVF_HASH}, vec_id
-    LIMIT {_IVF_CELLS}
+WITH nc AS (SELECT GREATEST({AUTO_CELLS_LO}, LEAST({AUTO_CELLS_HI}, (count(*) + {TCR1}) // {TCR})) AS c FROM embeddings),
+cents AS (
+    SELECT cell, cvec FROM (
+        SELECT vec_id AS cell, embedding AS cvec,
+               row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS rn
+        FROM embeddings
+    ) rr, nc WHERE rr.rn <= nc.c
 ),
 assigned AS (
     SELECT vec_id, embedding, cell FROM (
@@ -1089,7 +1098,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return SIM.ivf_recall(
-        emb, queries, k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+        emb, queries, k=_IVF_K, n_probe=_IVF_PROBE
     )
 
 
@@ -1173,10 +1182,13 @@ WITH cents AS (
     ORDER BY {_IVF_HASH}, vec_id
     LIMIT {_PQ_CENTS}
 ),
+nc AS (SELECT GREATEST({AUTO_CELLS_LO}, LEAST({AUTO_CELLS_HI}, (count(*) + {TCR1}) // {TCR})) AS c FROM embeddings),
 cells AS (
-    SELECT vec_id AS cell, embedding AS cvec FROM embeddings
-    ORDER BY {_IVF_HASH}, vec_id
-    LIMIT {_IVF_CELLS}
+    SELECT cell, cvec FROM (
+        SELECT vec_id AS cell, embedding AS cvec,
+               row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS rn
+        FROM embeddings
+    ) rr, nc WHERE rr.rn <= nc.c
 ),
 assigned AS (
     SELECT vec_id, cell FROM (
@@ -1330,7 +1342,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 16)
     return SIM.ivfpq_topk(
-        emb, queries, k=_PQ_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        emb, queries, k=_PQ_K, n_probe=_IVF_PROBE,
         m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS,
     )
 

@@ -598,3 +598,52 @@ def test_char_entropy_corpus_sane(spark):
         assert 2.0 < r["entropy_bits"] <= 6.5, (r["doc_id"], r["entropy_bits"])
         assert 0.0 < r["top_char_share"] < 0.5
         assert not bool(r["low_entropy"])
+
+
+# --------------------------------------------------------------------------
+# auto_cells: corpus-derived IVF cell counts (the auto_bits discipline,
+# one operator family over — a fixed n_cells makes the probed candidate
+# set linear in corpus size)
+# --------------------------------------------------------------------------
+
+def test_auto_cells_equals_clamped_ceil_div():
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    for n in [1, 10, 500, 5000, 8192, 8193, 50_000, 10**6, 10**9,
+              S.TARGET_CELL_ROWS * S.AUTO_CELLS_LO,
+              S.TARGET_CELL_ROWS * S.AUTO_CELLS_LO + 1]:
+        want = max(
+            S.AUTO_CELLS_LO,
+            min(S.AUTO_CELLS_HI, -(-n // S.TARGET_CELL_ROWS)),
+        )
+        assert S.auto_cells(n) == want, (n, S.auto_cells(n), want)
+    # scale property: cell size (and so the probed set per query) stays
+    # ~target between the clamps instead of growing with the corpus
+    for n in (100_000, 400_000, 1_600_000):
+        c = S.auto_cells(n)
+        assert S.TARGET_CELL_ROWS / 2 <= n / c <= S.TARGET_CELL_ROWS * 1.5
+
+
+def test_auto_cells_reproduces_fixture_counts(spark):
+    """Both gate fixtures land on the lo clamp (500 and 5000 rows at
+    target 512), so switching the IVF queries to auto changed no oracle
+    value — the same invariant the auto-bits switch pinned."""
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert S.derive_cells(emb) == 16
+
+
+def test_ivfpq_auto_equals_explicit_derived(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    cells = S.derive_cells(emb)
+    auto = {tuple(r) for r in S.ivfpq_topk(emb, q, k=5).collect()}
+    explicit = {tuple(r) for r in S.ivfpq_topk(emb, q, k=5, n_cells=cells).collect()}
+    assert auto == explicit and len(auto) == 40
