@@ -1236,7 +1236,9 @@ _GATE_ORDER = [
     # changed-code evidence stays r11-fresh; the standalone query keeps
     # its r05 row + the local sweep
     "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best", "doc_entropy",
-    # r5-stale cohort, 19 of 27
+    # r5-stale cohort, 17 of 27 (19 seated at rotation time; tpch_q17 and
+    # grouped_center later ceded their seats to the third-wave debuts
+    # mmr_rerank and doc_entropy — displacement rationale at each group)
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
     "events_enriched", "events_sessionize",
