@@ -1018,10 +1018,18 @@ _IVF_HASH = "(vec_id % {m} * {a} + {c}) % {m}".format(
 # integer ceil-div, both gate fixtures land on the lo clamp so the switch
 # to auto changed no oracle value)
 AUTO_CELLS_LO, AUTO_CELLS_HI = SIM.AUTO_CELLS_LO, SIM.AUTO_CELLS_HI
-TCR, TCR1 = SIM.TARGET_CELL_ROWS, SIM.TARGET_CELL_ROWS - 1
+_CELLS_B_SQL = (
+    "(SELECT CAST(count(*) AS INTEGER) FROM range(0, {d}) t(j), "
+    "(SELECT count(*) AS n FROM embeddings) nn "
+    "WHERE nn.n > CAST({t} AS BIGINT) * (1 << CAST(t.j AS INTEGER)))"
+).format(d=SIM._CELLS_DOUBLINGS, t=SIM.TARGET_CELL_ROWS)
+_NC_SQL = (
+    f"nc AS (SELECT GREATEST({AUTO_CELLS_LO}, LEAST({AUTO_CELLS_HI}, "
+    f"1 << (({_CELLS_B_SQL} + 1) // 2))) AS c)"
+)
 
 _ANN_IVF_RECALL_SQL = f"""
-WITH nc AS (SELECT GREATEST({AUTO_CELLS_LO}, LEAST({AUTO_CELLS_HI}, (count(*) + {TCR1}) // {TCR})) AS c FROM embeddings),
+WITH {_NC_SQL},
 cents AS (
     SELECT cell, cvec FROM (
         SELECT vec_id AS cell, embedding AS cvec,
@@ -1182,7 +1190,7 @@ WITH cents AS (
     ORDER BY {_IVF_HASH}, vec_id
     LIMIT {_PQ_CENTS}
 ),
-nc AS (SELECT GREATEST({AUTO_CELLS_LO}, LEAST({AUTO_CELLS_HI}, (count(*) + {TCR1}) // {TCR})) AS c FROM embeddings),
+{_NC_SQL},
 cells AS (
     SELECT cell, cvec FROM (
         SELECT vec_id AS cell, embedding AS cvec,

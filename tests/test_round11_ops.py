@@ -606,22 +606,27 @@ def test_char_entropy_corpus_sane(spark):
 # set linear in corpus size)
 # --------------------------------------------------------------------------
 
-def test_auto_cells_equals_clamped_ceil_div():
+def test_auto_cells_equals_clamped_pow2_sqrt():
+    import math
+
     from big_data_elt_pipeline_spark.operators import similarity as S
 
+    t = S.TARGET_CELL_ROWS
     for n in [1, 10, 500, 5000, 8192, 8193, 50_000, 10**6, 10**9,
-              S.TARGET_CELL_ROWS * S.AUTO_CELLS_LO,
-              S.TARGET_CELL_ROWS * S.AUTO_CELLS_LO + 1]:
-        want = max(
-            S.AUTO_CELLS_LO,
-            min(S.AUTO_CELLS_HI, -(-n // S.TARGET_CELL_ROWS)),
-        )
+              t * 16, t * 16 + 1, t * 64, t * 64 + 1]:
+        # textbook form: 2^ceil(b/2) with b = exact doubling count
+        b = 0
+        while t * (1 << b) < n and b < S._CELLS_DOUBLINGS:
+            b += 1
+        want = max(S.AUTO_CELLS_LO, min(S.AUTO_CELLS_HI, 1 << ((b + 1) // 2)))
         assert S.auto_cells(n) == want, (n, S.auto_cells(n), want)
-    # scale property: cell size (and so the probed set per query) stays
-    # ~target between the clamps instead of growing with the corpus
-    for n in (100_000, 400_000, 1_600_000):
+    # the sqrt(n/target) balance: between the clamps, assignment work per
+    # vector (= n_cells) and probed rows per query (= n_probe * n/n_cells)
+    # both track ~sqrt(n) within the 2x power-of-two quantization
+    for n in (2_000_000, 8_000_000, 32_000_000):
         c = S.auto_cells(n)
-        assert S.TARGET_CELL_ROWS / 2 <= n / c <= S.TARGET_CELL_ROWS * 1.5
+        root = math.sqrt(n / t)
+        assert root / 2 <= c <= root * 2.1, (n, c, root)
 
 
 def test_auto_cells_reproduces_fixture_counts(spark):
