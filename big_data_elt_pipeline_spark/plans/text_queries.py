@@ -1009,7 +1009,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF recall gate: the quantizer is the DETERMINISTIC sampled-centroid one
 # (similarity.fixed_centroid_cells) — SQL-expressible, so the whole
 # IVF-vs-brute-force recall computation is oracle-checked end to end.
-_IVF_K, _IVF_CELLS, _IVF_PROBE = 10, 16, 4
+# n_cells is corpus-derived since r11 (similarity.auto_cells; the nc CTE
+# mirrors it) — only k and the n_probe recall knob stay pinned here
+_IVF_K, _IVF_PROBE = 10, 4
 _IVF_HASH = "(vec_id % {m} * {a} + {c}) % {m}".format(
     m=SMP.SAMPLE_M, a=SMP.SAMPLE_A, c=SMP.SAMPLE_C
 )
