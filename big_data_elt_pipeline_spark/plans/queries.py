@@ -1150,6 +1150,17 @@ ROWS_ONLY_ANNEX = frozenset({
     "ml_kmeans_segments", "ml_repurchase_predictor",
 })
 
+# r12 rotation queue (write the next window from this): the four stream
+# queries promoted to evidence relations mid-r11 (stream_enrich,
+# stream_attribution, stream_dedup, stream_doc_scoring) changed contract
+# AFTER the r11 window was seated — their new hashable shapes have local
+# parity + pytest but no driver row yet; seat them first in r12. Also
+# due: the 10 queries whose latest green round stays <= r5 after r11
+# (vocab_topk, embedding_stats, serving_distribution, tpch_q17,
+# grouped_center + the five documented OUT at the r11 rotation), and
+# fresh rows for doc_packing / knn_graph_mutual (r10-green, displaced
+# mid-r11 by debuts).
+
 # Round-11 rotation (r10 verdict #2/#3/#4/#5): the FIRST ALL-ORACLE gate —
 # every one of the 50 slots carries the full rows+schema+hash check.
 # IN:
