@@ -1155,11 +1155,11 @@ ROWS_ONLY_ANNEX = frozenset({
 # stream_attribution, stream_dedup, stream_doc_scoring) changed contract
 # AFTER the r11 window was seated — their new hashable shapes have local
 # parity + pytest but no driver row yet; seat them first in r12. Also
-# due: the 10 queries whose latest green round stays <= r5 after r11
-# (vocab_topk, embedding_stats, serving_distribution, tpch_q17,
-# grouped_center + the five documented OUT at the r11 rotation), and
-# fresh rows for doc_packing / knn_graph_mutual (r10-green, displaced
-# mid-r11 by debuts).
+# due: the 9 queries whose latest green round stays <= r5 after r11
+# (vocab_topk, embedding_stats, serving_distribution, grouped_center +
+# the five documented OUT at the r11 rotation), and fresh rows for
+# doc_packing / knn_graph_mutual / shard_manifest (r10-green, displaced
+# mid-r11 by debuts and the q17 freshness swap).
 
 # Round-11 rotation (r10 verdict #2/#3/#4/#5): the FIRST ALL-ORACLE gate —
 # every one of the 50 slots carries the full rows+schema+hash check.
@@ -1210,11 +1210,13 @@ _GATE_ORDER = [
     "embedding_neardup", "ann_lsh_topk",
     "knn_semantic_clusters", "semantic_dedup",
     # long-division fix (code changed r11; ``doc_packing`` ceded its seat
-    # to the third-wave ``dedup_keep_best`` — doc_packing is r10
-    # driver-green, the changed div expression keeps two r11 seats via
-    # shard_assignment/shard_manifest, and pytest pins it at the 2^53
-    # danger values)
-    "shard_assignment", "shard_manifest",
+    # to the third-wave ``dedup_keep_best`` and ``shard_manifest`` ceded
+    # its own late-round to ``tpch_q17`` below — the changed div
+    # expression keeps its r11 seat via shard_assignment, pytest pins it
+    # at the 2^53 danger values, and the manifest relation itself is
+    # recomputed + hash-verified INSIDE seated shard_pruned_read's
+    # oracle; both displaced members are r10 driver-green)
+    "shard_assignment",
     # r11 second-wave debuts (same-round seating): token-level contiguous
     # sequence packing and PQ/ADC ANN — they take the slots of r5-stale
     # ``vocab_topk`` (vocabulary family keeps r10-green vocab_drift + r9
@@ -1234,8 +1236,9 @@ _GATE_ORDER = [
     # stage between ANN candidates and a RAG context window) debuts in
     # r5-stale ``tpch_q17``'s slot (TPC-H keeps four r11 seats:
     # q16/q18/q22/q5, plus 17's scalar-subquery shape lives on in gated
-    # q16/q18's semi/anti + grouped-HAVING composition; r05 row + the
-    # local sweep retain it), and quality-aware dedup survivor selection
+    # q16/q18's semi/anti + grouped-HAVING composition — and late-round
+    # q17 reclaimed a seat from shard_manifest, see below), and
+    # quality-aware dedup survivor selection
     # (the keep-policy that makes dedup a curation step) debuts in
     # doc_packing's slot (displacement documented at the long-division
     # group above)
@@ -1247,15 +1250,17 @@ _GATE_ORDER = [
     # changed-code evidence stays r11-fresh; the standalone query keeps
     # its r05 row + the local sweep
     "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best", "doc_entropy",
-    # r5-stale cohort, 17 of 27 (19 seated at rotation time; tpch_q17 and
-    # grouped_center later ceded their seats to the third-wave debuts
-    # mmr_rerank and doc_entropy — displacement rationale at each group)
+    # r5-stale cohort, 18 of 27 (19 seated at rotation time; tpch_q17
+    # and grouped_center ceded seats to the third-wave debuts mmr_rerank
+    # and doc_entropy, then q17 reclaimed shard_manifest's — leaving 9
+    # queries at <= r5 freshness after this round, under the verdict's
+    # <10 target)
     "asof_event_purchase", "cohort_first_purchase",
     "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
     "events_enriched", "events_sessionize",
     "events_unpivot", "lang_label_audit",
     "monthly_growth", "rollup_sales_monthly", "scd2_merge",
-    "segment_summary", "tpch_q16",
+    "segment_summary", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q22", "tpch_q5",
 ]
 
