@@ -1,0 +1,246 @@
+"""Persisted IVF-PQ ANN index: build once, probe many (r11 verdict #2).
+
+IVFPIN.json documents why this exists: the per-call ``ivfpq_topk``
+re-encodes the corpus inside every invocation, and encode dominates wall
+at every measured scale. A production vector store amortizes the build —
+FAISS writes an index file; here the index is two lakehouse tables
+(atomic versioned commits, so a reader can never observe a half-built
+index, and rebuilds are time-travelable):
+
+- ``{path}/state`` — ONE row: (n_vectors, n_cells, m, dsub, n_cents,
+  cells array<struct<cell,cvec,cvn>>, cents array<struct<cid,cvec>>).
+  KB-sized at any corpus scale (it IS the broadcast quantizer state).
+- ``{path}/codes`` — (vec_id, cell, j, code): m rows per corpus vector
+  of a few-byte payload, range-clustered by ``cell`` so every data file
+  covers a tight cell range and the manifest min/max stats let a probe
+  skip whole files for the cells it does not touch (lakehouse data
+  skipping — partition-style pruning without a physical partition
+  column).
+
+Determinism: the build stage IS ``similarity.ivfpq_encode_relations``
+and the probe IS ``similarity.ivfpq_adc_scan`` — the same two relations
+the one-shot ``ivfpq_topk`` composes — so a stored-index probe is
+bit-identical to the per-call form and stays oracle-checkable (the
+DuckDB oracle recomputes the encode from the raw corpus; the audit
+re-hashes the STORED codes against that recomputation, the
+``read_shard_verified`` discipline applied to index content).
+
+Scale shape: build cost is the one-map-pass encode plus one clustered
+write (a single range shuffle of the few-byte code rows). Probe cost is
+|queries| x quantizer-state work (map-side against the broadcast state
+row) + the pruned code scan + one partial-aggregated decimal sum —
+the float corpus is never touched after build.
+
+Reference parity: the reference (pandas/Prefect/Mongo retail ELT) has no
+ANN surface; this extends the beyond-reference LLM-data-pipeline layer
+(Jégou et al., TPAMI 2011; FAISS IVFx,PQy public design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import lakehouse as LH
+from big_data_elt_pipeline_spark.operators import similarity as SIM
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int | None = None,
+    m: int = 8,
+    dsub: int = 8,
+    n_cents: int = 16,
+    n_files: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF-PQ index for ``corpus`` under ``path``.
+
+    Writes ``codes`` first, then ``state`` — the one-row state commit is
+    the publish point (a reader resolves the state row before touching
+    codes, so a crash between the two writes leaves the previous index
+    version intact and the new codes unreferenced). Returns the commit
+    metadata ``{"n_vectors", "n_cells", "codes_version",
+    "state_version"}``.
+
+    ``n_files`` bounds the clustered code file count (default: the
+    session's shuffle partitions, AQE-coalesced — a corpus-scale build
+    sizes files by data; fixture-scale tests pass a small explicit count
+    so the per-cell file skipping is exercised rather than collapsing to
+    one file).
+    """
+    n = corpus.count()
+    if n_cells is None:
+        n_cells = SIM.auto_cells(n)
+    encoded, cells, books = SIM.ivfpq_encode_relations(
+        corpus, n_cells, m, dsub, n_cents, id_col, vec_col
+    )
+    codes_version = LH.write_table(
+        encoded, f"{path}/codes", mode="overwrite", cluster_by=["cell"],
+        n_files=n_files,
+    )
+    state = cells.crossJoin(books).select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(n_cells).cast("int").alias("n_cells"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(dsub).cast("int").alias("dsub"),
+        F.lit(n_cents).cast("int").alias("n_cents"),
+        F.col("__cells").alias("cells"),
+        F.col("__cents").alias("cents"),
+    )
+    state_version = LH.write_table(state, f"{path}/state", mode="overwrite")
+    return {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "codes_version": codes_version,
+        "state_version": state_version,
+    }
+
+
+def load_index_state(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(cells one-row frame, books one-row frame, params dict) from the
+    stored ``state`` table. The params fetch is one ``.first()`` over the
+    one-row state relation (the adaptive-planning scalar-fetch idiom —
+    m/dsub size plan-build expressions, so they must be driver values)."""
+    state = LH.read_table(spark, f"{path}/state", version)
+    p = state.select("n_vectors", "n_cells", "m", "dsub", "n_cents").first()
+    cells = F.broadcast(state.select(F.col("cells").alias("__cells")))
+    books = F.broadcast(state.select(F.col("cents").alias("__cents")))
+    return cells, books, p.asDict()
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k over the STORED index — no corpus re-encode. Same output,
+    bit for bit, as ``similarity.ivfpq_topk`` on the corpus the index
+    was built from (both run ``ivfpq_adc_scan`` on the same relations).
+
+    Read path: the query batch's probed cells are a bounded relation
+    (|queries| x n_probe ints) computed map-side against the broadcast
+    state; ONE single-row aggregate fetches them as a set (the
+    adaptive-planning scalar-fetch idiom) and the codes scan opens only
+    the files whose manifest cell range intersects a probed cell — with
+    the ``cluster_by=["cell"]`` build layout that is ~n_probe/n_cells of
+    the files, the file-level analogue of the equi-join's row pruning.
+    The row-level cell equi-join still applies inside kept files.
+    """
+    cells, books, p = load_index_state(spark, path)
+
+    # probed-cell hull: same ranked-slice expression as the scan's probe
+    # side, reduced to ONE row holding the distinct cell set
+    q = queries.select(
+        F.col(vec_col).alias("qvec"),
+        SIM.norm(F.col(vec_col)).alias("__qn"),
+    ).crossJoin(cells)
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("__cells"),
+                lambda ct: F.struct(
+                    (-F.try_divide(
+                        SIM.dot(F.col("qvec"), ct["cvec"]),
+                        F.col("__qn") * ct["cvn"],
+                    )).alias("negcos"),
+                    ct["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probed = (
+        q.select(F.explode(ranked).alias("pr"))
+        .agg(F.collect_set(F.col("pr.cell")).alias("cs"))
+        .first()[0]
+    )
+
+    codes_path = f"{path}/codes"
+    kept: set[str] = set()
+    for c in probed:
+        kept.update(LH.prune_files(codes_path, "cell", lo=c, hi=c)[0])
+    if kept:
+        codes = spark.read.parquet(*sorted(kept))
+    else:  # no live stats / empty index: full snapshot fallback
+        codes = LH.read_table(spark, codes_path)
+    return SIM.ivfpq_adc_scan(
+        codes, cells, books, queries, k, n_probe, p["m"], p["dsub"],
+        id_col, vec_col, query_id_col,
+    )
+
+
+def index_audit(spark: SparkSession, path: str) -> DataFrame:
+    """ONE verification row over the STORED index — the
+    ``read_shard_verified`` discipline applied to index content: re-hash
+    the persisted codes and surface the quantizer params, so an oracle
+    that re-derives the encode from the raw corpus certifies that what
+    sits on disk IS the deterministic encode (any corruption, partial
+    build, or quantizer drift flips the hash).
+
+    Hash shape at scale: per-cell md5 over the cell's code rows in
+    (vec_id, j) order (bounded by the target cell population — the
+    collect_list is cell-local, never corpus-global), then one md5 over
+    the n_cells-row (cell, hash) relation in cell order — a two-level
+    fold whose only global step is n_cells rows.
+
+    Columns: (n_vectors, n_code_rows, n_cells_used, n_cells, m, dsub,
+    n_cents, codes_hash).
+    """
+    _, _, p = load_index_state(spark, path)
+    codes = LH.read_table(spark, f"{path}/codes")
+    per_cell = codes.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("vec_id")).cast("long").alias("n_vecs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("vec_id", "j", "code"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["vec_id"].cast("string"),
+                        s["j"].cast("string"),
+                        s["code"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("h"),
+    )
+    return per_cell.agg(
+        F.sum("n_vecs").cast("long").alias("n_vectors"),
+        F.sum("n_rows").cast("long").alias("n_code_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("cell", "h"))),
+                    lambda s: F.concat_ws(
+                        ":", s["cell"].cast("string"), s["h"]
+                    ),
+                ),
+            )
+        ).alias("codes_hash"),
+    ).select(
+        "n_vectors",
+        "n_code_rows",
+        "n_cells_used",
+        F.lit(p["n_cells"]).cast("int").alias("n_cells"),
+        F.lit(p["m"]).cast("int").alias("m"),
+        F.lit(p["dsub"]).cast("int").alias("dsub"),
+        F.lit(p["n_cents"]).cast("int").alias("n_cents"),
+        "codes_hash",
+    )

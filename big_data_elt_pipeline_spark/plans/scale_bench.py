@@ -232,8 +232,12 @@ def knn_scale_pin(
     stage_root = tempfile.mkdtemp(prefix="knn_scale_")
     warmed = False
     for factor in factors:
-        scaled_embeddings(spark, sf_dir, factor).write.mode("overwrite").parquet(
-            f"{stage_root}/emb_x{factor}")
+        # repartition before staging: the scaled frame inherits 1-2 input
+        # splits from the tiny base table, and a 1-2-file stage would run
+        # the timed passes nearly single-core (off the timers — staging
+        # cost is the harness's, not the operator's)
+        scaled_embeddings(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/emb_x{factor}")
         emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
         # derived widths recorded OUTSIDE the timers (the operators re-run
         # the same two-scalar aggregate inside — its cost is part of the
@@ -297,8 +301,11 @@ def ivf_scale_pin(
     stage_root = tempfile.mkdtemp(prefix="ivf_scale_")
     warmed = False
     for factor in factors:
-        scaled_embeddings(spark, sf_dir, factor).write.mode("overwrite").parquet(
-            f"{stage_root}/emb_x{factor}")
+        # repartition before staging (r11 advice): without it the staged
+        # parquet inherits 1-2 splits from the tiny base table and the
+        # timed passes run nearly single-core
+        scaled_embeddings(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/emb_x{factor}")
         emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
         n = emb.count()
         cells = S.auto_cells(n)
@@ -371,8 +378,106 @@ def ivf_scale_pin(
         out[f"ivfpin_ivfpq_x{factor}_out_rows"] = float(nr)
         if progress is not None:
             progress(f"ivfpin_ivfpq_x{factor}", best)
+
+        # build-once / probe-many split (r11 verdict #2): the one-shot
+        # wall above is encode-dominated; time the persisted build
+        # separately from the stored-index probe so the artifact shows
+        # what amortizing the encode buys a serving workload
+        from big_data_elt_pipeline_spark.operators import ann_index as AIX
+
+        idx = f"{stage_root}/index_x{factor}"
+        t0 = time.perf_counter()
+        AIX.build_ivfpq_index(emb, idx)
+        out[f"ivfpin_build_x{factor}"] = round(time.perf_counter() - t0, 4)
+        if progress is not None:
+            progress(f"ivfpin_build_x{factor}", out[f"ivfpin_build_x{factor}"])
+        pfn = lambda: AIX.ivfpq_probe(spark, idx, queries, k=5)  # noqa: E731
+        pfn().count()  # untimed warm-up: probe plan codegen + footers
+        pbest = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pn = pfn().count()
+            dt = time.perf_counter() - t0
+            if pbest is None or dt < pbest:
+                pbest = dt
+        out[f"ivfpin_probe_x{factor}"] = round(pbest, 4)
+        out[f"ivfpin_probe_x{factor}_out_rows"] = float(pn)
+        if progress is not None:
+            progress(f"ivfpin_probe_x{factor}", pbest)
+        shutil.rmtree(idx, ignore_errors=True)
         warmed = True
         shutil.rmtree(f"{stage_root}/emb_x{factor}", ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return out
+
+
+def loader_scale_pin(
+    spark: SparkSession,
+    sf_dir: str,
+    factors: tuple[int, ...] = (16, 64),
+    progress=None,
+) -> dict[str, float]:
+    """Scale pin for the training-loader chain (r11 verdict #5 — the
+    KNNPIN discipline applied to ``pack_sequences`` + ``epoch_shuffle``):
+    both ride the 256-bucket two-level prefix sum, whose ONLY global
+    window is the 256-row bucket-offset relation, so wall must track
+    rows ~linearly with a FLAT global-window fan-in as the corpus grows.
+
+    Per factor the artifact records the corpus rows, the wall for
+    token-level sequence packing and for the two-epoch deterministic
+    order (min-of-2 after one untimed warm-up at the first factor), the
+    output rows (packing fan-out is ~n_tokens/seq_len-bounded; epoch
+    order is exactly 2n), and the AUDIT: the number of distinct hash
+    buckets feeding the global offset window — the fan-in of the one
+    non-distributed step, which must stay <= 256 at any corpus size
+    (that constant is the whole scale argument)."""
+    import shutil
+    import tempfile
+
+    from big_data_elt_pipeline_spark.operators import sharding as SH
+
+    out: dict[str, float] = {}
+    stage_root = tempfile.mkdtemp(prefix="loader_scale_")
+    warmed = False
+    for factor in factors:
+        scaled_docs(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/docs_x{factor}")
+        docs = spark.read.parquet(f"{stage_root}/docs_x{factor}")
+        out[f"loaderpin_x{factor}_rows"] = float(docs.count())
+
+        # AUDIT outside the timers: fan-in of the single global window
+        okey = F.md5(F.col("doc_id").cast("string"))
+        nbkt = (
+            docs.select(
+                F.conv(F.substring(okey, 1, 2), 16, 10).cast("int").alias("b")
+            )
+            .agg(F.count_distinct("b"))
+            .head()[0]
+        )
+        out[f"loaderpin_x{factor}_window_rows"] = float(nbkt)
+
+        runs = {
+            "pack": lambda: SH.pack_training_sequences(docs, seq_len=256),
+            "epoch": lambda: SH.epoch_order(
+                docs.select("doc_id"), 0
+            ).unionByName(SH.epoch_order(docs.select("doc_id"), 1)),
+        }
+        for name, fn in runs.items():
+            if not warmed:
+                fn().count()
+            best, n = None, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn().count()
+                dt = time.perf_counter() - t0
+                if best is None or dt < best:
+                    best = dt
+            out[f"loaderpin_{name}_x{factor}"] = round(best, 4)
+            out[f"loaderpin_{name}_x{factor}_out_rows"] = float(n)
+            if progress is not None:
+                progress(f"loaderpin_{name}_x{factor}", best)
+        warmed = True
+        shutil.rmtree(f"{stage_root}/docs_x{factor}", ignore_errors=True)
     shutil.rmtree(stage_root, ignore_errors=True)
     return out
 
@@ -448,10 +553,13 @@ def run_scaled(
         # superlinearly with K (column-replacement regexp is ~3x a literal
         # one). A stored corpus is also the realistic shape: real dedup
         # reads parquet, it does not re-synthesize its input per stage.
-        scaled_docs(spark, sf_dir, factor).write.mode("overwrite").parquet(
-            f"{stage_root}/docs_x{factor}")
-        scaled_embeddings(spark, sf_dir, factor).write.mode("overwrite").parquet(
-            f"{stage_root}/emb_x{factor}")
+        # repartition(32): both scaled frames inherit 1-2 input splits
+        # from the tiny base tables — a 1-2-file stage runs the timed
+        # passes nearly single-core (staging itself stays untimed)
+        scaled_docs(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/docs_x{factor}")
+        scaled_embeddings(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/emb_x{factor}")
         docs = spark.read.parquet(f"{stage_root}/docs_x{factor}")
         emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
         queries = emb.filter(F.col("vec_id") < 64)  # base copy only: fixed probes

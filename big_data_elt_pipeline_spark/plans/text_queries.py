@@ -1185,8 +1185,12 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_probe/n_cells of the corpus, the PQ LUT pays for the scan — FAISS's
 # IVFx,PQy composition (Jégou et al. 2011 §V). Both quantizers are the
 # deterministic hash-sampled pick, so the full pruned ADC ranking is
-# oracle-checked end to end.
-_ANN_IVFPQ_SQL = f"""
+# oracle-checked end to end. The statement is generated from the query-
+# set predicate so the stored-index probe query (``ann_index_probe``,
+# disjoint query ids) shares the identical CTE body — the oracle for a
+# stored-index probe IS the from-scratch recomputation.
+def _ivfpq_sql(q_pred: str) -> str:
+    return f"""
 WITH cents AS (
     SELECT vec_id AS cid, embedding AS cvec FROM embeddings
     ORDER BY {_IVF_HASH}, vec_id
@@ -1220,7 +1224,7 @@ codes AS (
         FROM embeddings e, js, cents c
     ) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE {q_pred}),
 probes AS (
     SELECT query_id, cell FROM (
         SELECT q.query_id, c.cell,
@@ -1252,6 +1256,9 @@ SELECT query_id, vec_id, adc_l2sq,
 FROM scored
 QUALIFY rank <= {_PQ_K}
 """
+
+
+_ANN_IVFPQ_SQL = _ivfpq_sql("vec_id < 16")
 
 
 # MMR diversified rerank (Carbonell & Goldstein 1998): k unrolled
@@ -1354,6 +1361,129 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(
         emb, queries, k=_PQ_K, n_probe=_IVF_PROBE,
         m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted ANN index (r11 verdict #2: build once / probe many). The
+# build runs once per process (the staged-source discipline) through the
+# lakehouse writer; the two queries then certify the SERVING read path:
+# the audit re-hashes the stored codes against the oracle's from-scratch
+# recomputation (index content), and the probe answers a disjoint query
+# set from the stored codes alone (index answers) — the oracle recomputes
+# the same ranking from the raw corpus, so a hash match proves
+# stored-index == per-call == cross-engine.
+# --------------------------------------------------------------------------
+
+_ANN_INDEX_PROBE_SQL = _ivfpq_sql("vec_id >= 16 AND vec_id < 32")
+
+_ANN_INDEX_AUDIT_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+    ORDER BY {_IVF_HASH}, vec_id
+    LIMIT {_PQ_CENTS}
+),
+{_NC_SQL},
+cells AS (
+    SELECT cell, cvec FROM (
+        SELECT vec_id AS cell, embedding AS cvec,
+               row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS rn
+        FROM embeddings
+    ) rr, nc WHERE rr.rn <= nc.c
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos("e.embedding", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cells c
+    ) WHERE rn = 1
+),
+js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+codes AS (
+    SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, js.j, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, js.j
+                   ORDER BY {_pq_subdist_sql('e.embedding', 'c.cvec')} ASC,
+                            c.cid ASC) AS rn
+        FROM embeddings e, js, cents c
+    ) WHERE rn = 1
+),
+cellhash AS (
+    SELECT a.cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT co.vec_id) AS BIGINT) AS n_vecs,
+           md5(string_agg(
+               CAST(co.vec_id AS VARCHAR) || ':' || CAST(co.j AS VARCHAR)
+                   || ':' || CAST(co.code AS VARCHAR),
+               ',' ORDER BY co.vec_id, co.j)) AS h
+    FROM codes co JOIN assigned a ON a.vec_id = co.vec_id
+    GROUP BY a.cell
+)
+SELECT CAST(sum(n_vecs) AS BIGINT) AS n_vectors,
+       CAST(sum(n_rows) AS BIGINT) AS n_code_rows,
+       CAST(count(*) AS BIGINT) AS n_cells_used,
+       (SELECT CAST(c AS INTEGER) FROM nc) AS n_cells,
+       CAST({_PQ_M} AS INTEGER) AS m,
+       CAST({_PQ_DSUB} AS INTEGER) AS dsub,
+       CAST({_PQ_CENTS} AS INTEGER) AS n_cents,
+       md5(string_agg(CAST(cell AS VARCHAR) || ':' || h, ',' ORDER BY cell))
+           AS codes_hash
+FROM cellhash
+"""
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVF-PQ index once per (process, sf_dir) — the
+    ``shard_pruned_read`` staged-source discipline — and return its
+    lakehouse root."""
+    from big_data_elt_pipeline_spark.lakehouse import table_versions
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+
+    idx = f"{staging_dir('ann_index', sf_dir)}/index"
+    if not table_versions(f"{idx}/state"):
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        # n_files=8: at fixture scale the clustered write would otherwise
+        # collapse to one file and the probe's per-cell file skipping
+        # would be vacuously exercised
+        AIX.build_ivfpq_index(
+            emb, idx, m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS, n_files=8
+        )
+    return idx
+
+
+@register("ann_index_audit", _ANN_INDEX_AUDIT_SQL)
+def q_ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-index content verification: the two-level cell hash of the
+    PERSISTED (vec_id, cell, j, code) relation plus the stored quantizer
+    params, against an oracle that re-derives the whole encode from the
+    raw corpus — any corruption, partial build, or quantizer drift flips
+    ``codes_hash``. Contract in ``operators/ann_index.index_audit``."""
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+
+    return AIX.index_audit(spark, _ann_index_path(spark, sf_dir))
+
+
+@register("ann_index_probe", _ANN_INDEX_PROBE_SQL)
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k from the STORED index — no corpus re-encode in this plan
+    (the serving path IVFPIN.json motivates): quantizer state is one
+    stored broadcast row, candidates come from the manifest-pruned codes
+    scan. Disjoint query ids from the gated ``ann_ivfpq_topk`` so the two
+    queries certify different executions of the shared scan. Contract in
+    ``operators/ann_index.ivfpq_probe``."""
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+
+    idx = _ann_index_path(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 32))
+    return AIX.ivfpq_probe(
+        spark, idx, queries, k=_PQ_K, n_probe=_IVF_PROBE
     )
 
 

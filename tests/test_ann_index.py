@@ -1,0 +1,79 @@
+"""Persisted IVF-PQ index (operators/ann_index.py): build once / probe
+many must answer bit-identically to the per-call form, the stored codes
+must verify against the corpus, and the probe read must actually skip
+files for unprobed cells."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import lakehouse as LH
+from big_data_elt_pipeline_spark.operators import ann_index as AIX
+from big_data_elt_pipeline_spark.operators import similarity as SIM
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path_factory.mktemp("annix") / "index")
+    meta = AIX.build_ivfpq_index(emb, path, n_files=8)
+    return path, meta
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_probe_matches_per_call_form(spark, index_path):
+    path, _ = index_path
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 12)
+    stored = AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
+    onehot = SIM.ivfpq_topk(emb, queries, k=5, n_probe=4)
+    key = ["query_id", "vec_id", "adc_l2sq", "rank"]
+    assert sorted(map(tuple, stored.select(key).collect())) == sorted(
+        map(tuple, onehot.select(key).collect())
+    )
+
+
+def test_audit_counts_and_params(spark, index_path):
+    path, meta = index_path
+    row = AIX.index_audit(spark, path).first()
+    assert row.n_vectors == meta["n_vectors"]
+    assert row.n_code_rows == meta["n_vectors"] * row.m
+    assert row.n_cells == meta["n_cells"]
+    assert 0 < row.n_cells_used <= row.n_cells
+    assert len(row.codes_hash) == 32
+
+
+def test_probe_prunes_files(index_path):
+    """The manifest stats must let a single-cell predicate skip files —
+    the file-level pruning the cluster_by build layout exists for."""
+    path, _ = index_path
+    codes = f"{path}/codes"
+    live = LH.live_files(codes)
+    assert len(live) > 1  # n_files=8 build: pruning is non-vacuous
+    stats = LH.live_file_stats(codes)
+    # pick a cell only the first file covers
+    first = sorted(live)[0]
+    lo_cell = stats[first]["cell"][0]
+    kept, skipped = LH.prune_files(codes, "cell", lo=lo_cell, hi=lo_cell)
+    assert skipped, "single-cell predicate skipped no files"
+    assert len(kept) < len(live)
+
+
+def test_rebuild_is_versioned_and_stable(spark, index_path):
+    """A rebuild commits new versions atomically; the audit hash is
+    unchanged (deterministic encode) and old versions stay readable."""
+    path, meta = index_path
+    before = AIX.index_audit(spark, path).first().codes_hash
+    meta2 = AIX.build_ivfpq_index(_emb(spark), path, n_files=8)
+    assert meta2["state_version"] > meta["state_version"]
+    assert AIX.index_audit(spark, path).first().codes_hash == before
+    # time travel: the original state version still resolves
+    old = LH.read_table(spark, f"{path}/state", meta["state_version"])
+    assert old.count() == 1
