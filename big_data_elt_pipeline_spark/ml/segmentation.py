@@ -69,6 +69,132 @@ def kmeans_segment(
     return out, float(silhouette)
 
 
+def fixed_point_segments(
+    features: DataFrame, k: int = 5, iters: int = 5
+) -> DataFrame:
+    """(id_client, cluster_id): the AUDIT-GRADE twin of ``kmeans_segment``
+    — per-column standardized RFM vectors clustered by the deterministic
+    exact-arithmetic Lloyd fixed point (``similarity.
+    kmeans_lloyd_fixed_point``), then one map-side assignment of every
+    client to its nearest final centroid. No RNG, no engine-defined
+    optimizer: the same input always yields the same partition of
+    clients, which is what lets the pyspark.ml fit be JUDGED against it
+    (``segment_agreement``).
+
+    Standardization is (x - mean) / stddev_samp per column — the same
+    centering+scaling ``StandardScaler(withMean=True, withStd=True)``
+    applies — computed as one broadcast one-row aggregate (zero-variance
+    columns pass through centered, un-scaled). The scaled values feed
+    the twin only (never an oracle hash), so plain double arithmetic is
+    fine here.
+
+    Scale shape: one stats row broadcast; Lloyd is the bounded-rounds
+    map-pass + k*dim-key agg documented on the fixed-point operator; the
+    final assignment is one more map pass against the k-row broadcast.
+    """
+    from big_data_elt_pipeline_spark.operators.similarity import (
+        _dist2_snapped,
+        kmeans_lloyd_fixed_point,
+    )
+
+    stats = features.agg(
+        *[F.avg(F.col(c).cast("double")).alias(f"__mu_{c}") for c in RFM_COLS],
+        *[F.stddev_samp(F.col(c).cast("double")).alias(f"__sd_{c}") for c in RFM_COLS],
+    )
+    scaled = features.crossJoin(F.broadcast(stats)).select(
+        "id_client",
+        F.array(
+            *[
+                F.when(
+                    F.coalesce(F.col(f"__sd_{c}"), F.lit(0.0)) > 0.0,
+                    (F.col(c).cast("double") - F.col(f"__mu_{c}"))
+                    / F.col(f"__sd_{c}"),
+                ).otherwise(F.col(c).cast("double") - F.col(f"__mu_{c}"))
+                for c in RFM_COLS
+            ]
+        ).alias("rfm_vec"),
+    )
+    cents = kmeans_lloyd_fixed_point(
+        scaled, dim=len(RFM_COLS), k=k, id_col="id_client", vec_col="rfm_vec"
+    )
+    cent_row = F.broadcast(
+        cents.groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "loading"))).alias("ps"))
+        .select(
+            "cluster_id",
+            F.transform("ps", lambda s: s["loading"]).alias("c"),
+        )
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cluster_id").alias("cid"), "c"))
+            ).alias("cs")
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                _dist2_snapped(F.col("rfm_vec"), s["c"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    return scaled.crossJoin(cent_row).select(
+        "id_client", best["cid"].alias("cluster_id")
+    )
+
+
+def segment_agreement(
+    ml_assigned: DataFrame, twin_assigned: DataFrame
+) -> DataFrame:
+    """ONE row (n_clients, ari): Adjusted Rand Index (Hubert & Arabie
+    1985) between the pyspark.ml segment labels and the deterministic
+    twin's cluster ids — the standard label-free partition agreement
+    (1 = identical partitions, ~0 = chance).
+
+    Scale shape: the contingency table is a groupBy over at most k x k
+    keys after one inner join on the client id; the pair-count sums
+    (C(n_ij,2), row/column marginals) are three bounded aggregates
+    crossed into one row — integer arithmetic until the final double
+    division, no window, no collect."""
+    pairs2 = lambda c: (F.sum(F.col(c) * (F.col(c) - 1)) / 2).cast("double")  # noqa: E731
+    cont = (
+        ml_assigned.select("id_client", "segment")
+        .join(twin_assigned.select("id_client", "cluster_id"), "id_client")
+        .groupBy("segment", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    sij = cont.agg(
+        pairs2("nij").alias("s_ij"), F.sum("nij").cast("long").alias("n")
+    )
+    sa = (
+        cont.groupBy("segment")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(pairs2("ai").alias("s_a"))
+    )
+    sb = (
+        cont.groupBy("cluster_id")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(pairs2("bj").alias("s_b"))
+    )
+    return (
+        sij.crossJoin(sa)
+        .crossJoin(sb)
+        .select(
+            F.col("n").alias("n_clients"),
+            F.try_divide(
+                F.col("s_ij")
+                - F.col("s_a") * F.col("s_b")
+                / (F.col("n") * (F.col("n") - 1) / 2.0),
+                (F.col("s_a") + F.col("s_b")) / 2.0
+                - F.col("s_a") * F.col("s_b")
+                / (F.col("n") * (F.col("n") - 1) / 2.0),
+            ).alias("ari"),
+        )
+    )
+
+
 def segment_profile(assigned: DataFrame) -> DataFrame:
     """Per-cluster profile: size + feature means (the advisor's report)."""
     return (

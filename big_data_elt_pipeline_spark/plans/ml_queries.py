@@ -2,8 +2,12 @@
 
 ``multimodal_features`` runs real ``mapInPandas`` plumbing yet stays
 oracle-checkable because the stub codec is deterministic (md5-derived).
-``ml_kmeans_segments`` is iterative (no SQL form) → rows-only check; its
-determinism is pinned by the fixed seed and asserted in tests.
+The two pyspark.ml fits (``ml_kmeans_segments``,
+``ml_repurchase_predictor``) are iterative with engine-defined
+optimizers — no SQL form for their raw outputs — so they carry
+bounded-assertion oracles (r12): the oracle replays the deterministic
+census of their input split and asserts a quality floor (ARI vs the
+exact-arithmetic twin / exact-kernel AUC) the fit must clear.
 """
 
 from __future__ import annotations
@@ -12,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_elt_pipeline_spark.operators import multimodal as MM
-from big_data_elt_pipeline_spark.plans.queries import register, _fact
+from big_data_elt_pipeline_spark.plans.queries import _D, _REF_SQL, _fact, register
 from big_data_elt_pipeline_spark.sources.tpch import read_table
 
 _MM_SQL = """
@@ -189,28 +193,111 @@ def q_calendar_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_repurchase_predictor", None)  # iterative fit — rows-only check
+# Bounded-assertion promotion of the two pyspark.ml fits (r11 verdict
+# #6 — the kpis_approx discipline): their optimizers are engine-defined,
+# so raw scores/labels can never hash cross-engine, but a QUALITY BOUND
+# computed by an exact kernel can. Floors sit well under the measured
+# values at both fixture SFs (AUC 0.603/0.649, ARI 0.417/0.439 at
+# sf0.001/sf0.01) — they assert "the fit works", not a leaderboard.
+_AUC_FLOOR = 0.55
+_ARI_FLOOR = 0.25
+
+_ML_PREDICTOR_SQL = _D + f""",
+{_REF_SQL},
+past AS (
+    SELECT DISTINCT id_client FROM fact, refd
+    WHERE date_achat < refd.ref - INTERVAL 90 DAY
+),
+fut AS (
+    SELECT DISTINCT id_client FROM fact, refd
+    WHERE date_achat >= refd.ref - INTERVAL 90 DAY
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clients,
+       CAST(sum(CASE WHEN f.id_client IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN f.id_client IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neg,
+       CAST({_AUC_FLOOR} AS DOUBLE) AS auc_floor,
+       TRUE AS auc_above_floor
+FROM past p LEFT JOIN fut f ON p.id_client = f.id_client
+"""
+
+
+@register("ml_repurchase_predictor", _ML_PREDICTOR_SQL)
 def q_ml_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised repurchase predictor under HASH evidence: the
+    time-split labeled frame and the pyspark.ml LogisticRegression fit
+    are unchanged; the returned relation is the label-split census plus
+    an AUC-floor boolean computed by the EXACT rank-sum kernel
+    (``classify.roc_auc`` — measured bit-equal to pyspark.ml's
+    BinaryClassificationEvaluator on both fixtures). The oracle replays
+    the census from the raw tables and asserts the bound, so the driver
+    hash certifies the leakage-free split AND that the fit clears the
+    floor; a degenerate single-class split nulls the AUC and fails the
+    compare. Scored per-client output stays available via
+    ``ml.predictor.fit_predict`` (pytest-pinned)."""
     from big_data_elt_pipeline_spark.ml.predictor import fit_predict, labeled_features
+    from big_data_elt_pipeline_spark.operators import classify as CL
     from big_data_elt_pipeline_spark.operators.gold import reference_date
 
     fact = _fact(spark, sf_dir)
     ref = reference_date(fact)
     labeled = labeled_features(fact, ref, holdout_days=90)
     scored, _auc = fit_predict(labeled)
-    return scored
+    return CL.roc_auc(scored, score_col="p_repurchase", label_col="label").select(
+        (F.col("n_pos") + F.col("n_neg")).cast("bigint").alias("n_clients"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.lit(_AUC_FLOOR).cast("double").alias("auc_floor"),
+        (F.col("auc") >= _AUC_FLOOR).alias("auc_above_floor"),
+    )
 
 
-@register("ml_kmeans_segments", None)  # iterative — rows-only check
+_ML_KMEANS_SQL = _D + f"""
+SELECT CAST(count(DISTINCT id_client) AS BIGINT) AS n_clients,
+       CAST(5 AS INTEGER) AS k,
+       CAST({_ARI_FLOOR} AS DOUBLE) AS ari_floor,
+       TRUE AS ari_above_floor
+FROM fact
+"""
+
+
+@register("ml_kmeans_segments", _ML_KMEANS_SQL)
 def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_elt_pipeline_spark.ml.segmentation import kmeans_segment, rfm_features
+    """KMeans segmentation under HASH evidence: the pyspark.ml pipeline
+    fit is unchanged; the returned relation compares its segment labels
+    against the deterministic exact-arithmetic Lloyd twin
+    (``ml.segmentation.fixed_point_segments`` — the value-hashable
+    ``kmeans_centroids`` algorithm, applied to the same standardized RFM
+    features) via Adjusted Rand Index, asserting ARI >= floor (measured
+    0.417/0.439 at the fixtures; chance = ~0). The oracle replays the
+    client census and asserts the bound — so the driver hash certifies
+    the feature build AND that the engine-defined fit lands on
+    substantially the same partition as the audit-grade form. Raw
+    assignments stay available via ``ml.segmentation.kmeans_segment``
+    (pytest-pinned)."""
+    from big_data_elt_pipeline_spark.ml.segmentation import (
+        fixed_point_segments,
+        kmeans_segment,
+        rfm_features,
+        segment_agreement,
+    )
     from big_data_elt_pipeline_spark.operators.gold import reference_date
 
     fact = _fact(spark, sf_dir)
     ref = reference_date(fact)
-    rfm = rfm_features(fact, ref)
+    # eager checkpoint: the per-client RFM relation (dimension-sized)
+    # feeds BOTH the ml fit and the twin — without it the fact groupBy
+    # re-runs in every consumer
+    rfm = rfm_features(fact, ref).localCheckpoint(eager=True)
     assigned, _silhouette = kmeans_segment(rfm, k=5, seed=42)
-    return assigned
+    twin = fixed_point_segments(rfm, k=5)
+    return segment_agreement(assigned, twin).select(
+        F.col("n_clients").cast("bigint").alias("n_clients"),
+        F.lit(5).cast("int").alias("k"),
+        F.lit(_ARI_FLOOR).cast("double").alias("ari_floor"),
+        (F.col("ari") >= _ARI_FLOOR).alias("ari_above_floor"),
+    )
 
 
 _TPCH_Q3 = """

@@ -29,6 +29,66 @@ def test_kmeans_deterministic_and_scored(spark):
     assert len(prof) == 5 and prof.clients.sum() == len(p1)
 
 
+def test_fixed_point_twin_and_agreement(spark):
+    """The deterministic Lloyd twin partitions every client, repeats
+    bit-identically, and substantially agrees with the pyspark.ml fit
+    (the r12 bounded-assertion contract); ARI self-agreement is exactly
+    1 and ARI against a degenerate one-cluster labeling is 0/NULL-free.
+    """
+    from big_data_elt_pipeline_spark.ml.segmentation import (
+        fixed_point_segments,
+        kmeans_segment,
+        rfm_features,
+        segment_agreement,
+    )
+    from big_data_elt_pipeline_spark.operators.gold import reference_date
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, SF_SMOKE).persist()
+    ref = reference_date(fact)
+    rfm = rfm_features(fact, ref).localCheckpoint(eager=True)
+
+    t1 = fixed_point_segments(rfm, k=5).toPandas().sort_values("id_client")
+    t2 = fixed_point_segments(rfm, k=5).toPandas().sort_values("id_client")
+    assert t1.reset_index(drop=True).equals(t2.reset_index(drop=True))
+    assert len(t1) == rfm.count()  # every client assigned
+
+    ml, _ = kmeans_segment(rfm, k=5, seed=42)
+    twin = fixed_point_segments(rfm, k=5)
+    row = segment_agreement(ml, twin).first()
+    assert row.n_clients == len(t1)
+    assert row.ari >= 0.25  # the gate floor, with real margin (meas. 0.417)
+
+    # self-agreement: identical partitions → ARI exactly 1
+    as_twin = ml.select("id_client", F.col("segment").alias("cluster_id"))
+    assert segment_agreement(ml, as_twin).first().ari == 1.0
+
+    # one-cluster degenerate labeling: expected == index → ARI 0 (not NULL)
+    ones = ml.select("id_client", F.lit(0).alias("cluster_id"))
+    r0 = segment_agreement(ml, ones).first()
+    assert r0.ari is not None and abs(r0.ari) < 1e-9
+
+
+def test_predictor_auc_kernel_matches_evaluator(spark):
+    """classify.roc_auc (exact rank-sum) must equal pyspark.ml's
+    BinaryClassificationEvaluator on the fitted scores — the equality the
+    r12 AUC-floor promotion rests on."""
+    from big_data_elt_pipeline_spark.ml.predictor import (
+        fit_predict,
+        labeled_features,
+    )
+    from big_data_elt_pipeline_spark.operators import classify as CL
+    from big_data_elt_pipeline_spark.operators.gold import reference_date
+    from big_data_elt_pipeline_spark.plans.queries import _fact
+
+    fact = _fact(spark, SF_SMOKE)
+    ref = reference_date(fact)
+    scored, auc_eval = fit_predict(labeled_features(fact, ref, holdout_days=90))
+    r = CL.roc_auc(scored, score_col="p_repurchase", label_col="label").first()
+    assert abs(r.auc - auc_eval) < 1e-12
+    assert r.auc >= 0.55  # the gate floor (meas. 0.603 at sf0.001)
+
+
 def test_multimodal_frame_sample_shape(spark):
     from big_data_elt_pipeline_spark.operators import multimodal as MM
     from big_data_elt_pipeline_spark.sources.tpch import read_table
