@@ -1143,26 +1143,26 @@ GATE_LIMIT = 50
 # and — fourth/fifth wave — ``stream_enrich`` / ``stream_attribution`` /
 # ``stream_dedup`` / ``stream_doc_scoring`` (comparison relations whose
 # checksums the oracle recomputes; the scoring oracle retrains the
-# fixed-point logreg in SQL). Only the two pyspark.ml fits remain
-# annex-eligible (engine-defined optimizers), plus the real-codec
-# audio/image features outside the gate.
-ROWS_ONLY_ANNEX = frozenset({
-    "ml_kmeans_segments", "ml_repurchase_predictor",
-})
+# fixed-point logreg in SQL).
+# r12 closes the annex (r11 verdict #6): the two pyspark.ml fits — the
+# last annex members — now carry bounded-assertion oracles
+# (``ml_repurchase_predictor``: exact-kernel AUC-floor boolean +
+# label-split census; ``ml_kmeans_segments``: ARI-vs-deterministic-twin
+# floor + client census), completing the r10->r12 promotion arc. The
+# only rows-only queries left in the registry are the real-codec
+# audio/image features, which sit OUTSIDE the gate by design (their
+# semantics are pinned analytically in tests/test_ml_multimodal.py).
+ROWS_ONLY_ANNEX = frozenset()
 
-# r12 rotation queue (write the next window from this): the four stream
-# queries promoted to evidence relations mid-r11 (stream_enrich,
-# stream_attribution, stream_dedup, stream_doc_scoring) changed contract
-# AFTER the r11 window was seated — their new hashable shapes have local
-# parity + pytest but no driver row yet; seat them first in r12. Also
-# due: the 9 queries whose latest green round stays <= r5 after r11
-# (vocab_topk, embedding_stats, serving_distribution, grouped_center +
-# the five documented OUT at the r11 rotation), and fresh rows for
-# doc_packing / knn_graph_mutual / shard_manifest (r10-green, displaced
-# mid-r11 by debuts and the q17 freshness swap).
+# r13 rotation queue (write the next window from this): the r8 cohort
+# (14 queries — the oldest tail after r12; GATE_HISTORY lists them) and
+# as much of the r9 cohort (36) as fits. No contract-changed or
+# never-gated debt is expected to carry over: every r12 debut seats
+# this round.
 
-# Round-11 rotation (r10 verdict #2/#3/#4/#5): the FIRST ALL-ORACLE gate —
-# every one of the 50 slots carries the full rows+schema+hash check.
+# Round-11 rotation, HISTORY (r10 verdict #2/#3/#4/#5): the first
+# all-oracle gate — every one of the 50 slots carried the full
+# rows+schema+hash check (CORRECTNESS_r11: 50/50 green).
 # IN:
 #   - the 3 never-driver-gated queries: the classifier pair (registered
 #     after the r10 gate ran) and the new ``shard_pruned_read``;
@@ -1191,77 +1191,61 @@ ROWS_ONLY_ANNEX = frozenset({
 # would displace an oracle-backed hash check; pytest contracts pin their
 # semantics (documented tradeoff, revisit if the annex goes >2 rounds
 # without a driver row).
+# --------------------------------------------------------------------------
+# Round-12 rotation (r11 verdict #1/#4/#6 — executes the queued r12
+# plan verbatim). Every r11-green member rotates OUT (all 50 hold fresh
+# r11 rows; their families keep local-sweep + pytest coverage), freeing
+# the window for the four evidence classes due this round:
+#   - the 4 streaming comparison relations promoted mid-r11
+#     (stream_enrich / stream_attribution / stream_dedup /
+#     stream_doc_scoring): their new hashable contracts have local
+#     parity + pytest but the latest driver rows are rows-only under
+#     the OLD contract — the only registered queries whose newest
+#     contract has never been driver-validated;
+#   - the ENTIRE freshness tail: all 9 queries last driver-green at
+#     <= r5, all 7 at r6, and all 23 at r7 (GATE_HISTORY.json cohorts,
+#     verbatim) — after this window nothing in the registry is older
+#     than r8;
+#   - the 3 r10/r9-green members displaced mid-r11 by debut swaps
+#     (doc_packing, knn_graph_mutual, shard_manifest — the queued plan
+#     owed them fresh rows);
+#   - the 4 r12 debuts (same-round seating, no never-gated debt): the
+#     persisted-ANN-index pair (ann_index_audit re-hashes the STORED
+#     codes against the oracle's from-scratch recomputation;
+#     ann_index_probe answers a disjoint query set from the stored
+#     index — the build-once/probe-many serving path IVFPIN.json
+#     motivated) and the two pyspark.ml bounded-assertion promotions
+#     (ml_repurchase_predictor: exact-kernel AUC-floor;
+#     ml_kmeans_segments: ARI floor vs the deterministic Lloyd twin),
+#     which close the rows-only annex entirely.
+# 4 + 9 + 7 + 23 + 3 + 4 = 50: the second consecutive all-oracle
+# window, with zero slots spent on already-r11-fresh rows.
+# --------------------------------------------------------------------------
 _GATE_ORDER = [
-    # never-driver-gated: classifier audits (r10 debuts) + the r11
-    # training-loader read-path proof
-    "classifier_agreement", "classifier_calibration", "shard_pruned_read",
-    # <=r4-stale cohort, complete (verdict What's-missing #3 list)
-    "anti_join_inactive", "attribution_join", "ca_country",
-    "contamination_check", "doc_keywords", "doc_token_budget",
-    "quality_counters", "range_join_bands", "repeat_rate",
-    "serving_daily", "silver_clients", "union_scale",
-    # r11 annex->oracle promotions (same-round seating of new contracts)
-    "kpis_approx", "stream_tumbling", "stream_user_totals",
-    "ann_ivf_topk", "hll_monthly_distinct",
-    # auto-bits ANN family (code changed r11: corpus-derived widths;
-    # knn_graph_mutual ceded its seat to the third-wave ann_ivfpq_topk —
-    # the changed knn_graph + derive_bits path keeps its r11 row through
-    # knn_semantic_clusters, which calls the identical core)
-    "embedding_neardup", "ann_lsh_topk",
-    "knn_semantic_clusters", "semantic_dedup",
-    # long-division fix (code changed r11; ``doc_packing`` ceded its seat
-    # to the third-wave ``dedup_keep_best`` and ``shard_manifest`` ceded
-    # its own late-round to ``tpch_q17`` below — the changed div
-    # expression keeps its r11 seat via shard_assignment, pytest pins it
-    # at the 2^53 danger values, and the manifest relation itself is
-    # recomputed + hash-verified INSIDE seated shard_pruned_read's
-    # oracle; both displaced members are r10 driver-green)
-    "shard_assignment",
-    # r11 second-wave debuts (same-round seating): token-level contiguous
-    # sequence packing and PQ/ADC ANN — they take the slots of r5-stale
-    # ``vocab_topk`` (vocabulary family keeps r10-green vocab_drift + r9
-    # vocab_coverage and the r10 heavy-hitter seat cms_heavy_hitters) and
-    # ``embedding_stats`` (embedding family holds SIX r11 seats: the five
-    # auto-bits queries + ann_pq_topk, plus r9 rows for audit/covariance)
-    # ...and the deterministic epoch shuffle completing the loader story
-    # (export -> pruned read -> sequence packing -> per-epoch order); it
-    # takes r5-stale ``serving_distribution``'s slot (histogram family
-    # keeps the property test, client_quartiles' r7 row and the r10
-    # events_daily_share seat)
-    "pack_sequences", "ann_pq_topk", "epoch_shuffle",
-    # r11 third wave: IVF-PQ (the cell-pruned ADC scan — FAISS's IVFx,PQy
-    # composition both halves exist for) debuts in ``knn_graph_mutual``'s
-    # slot (displacement documented at the auto-bits group above), and
-    # MMR diversified rerank (Carbonell & Goldstein 1998 — the missing
-    # stage between ANN candidates and a RAG context window) debuts in
-    # r5-stale ``tpch_q17``'s slot (TPC-H keeps four r11 seats:
-    # q16/q18/q22/q5, plus 17's scalar-subquery shape lives on in gated
-    # q16/q18's semi/anti + grouped-HAVING composition — and late-round
-    # q17 reclaimed a seat from shard_manifest, see below), and
-    # quality-aware dedup survivor selection
-    # (the keep-policy that makes dedup a curation step) debuts in
-    # doc_packing's slot (displacement documented at the long-division
-    # group above)
-    # ...and character-entropy quality scoring (the gibberish/binary
-    # detector the heuristic filter family lacked) debuts in r5-stale
-    # ``grouped_center``'s slot — the centered-means code path it
-    # exhibits standalone is executed INSIDE all four seated auto-bits
-    # ANN queries (component_means feeds every sign bucket), so the
-    # changed-code evidence stays r11-fresh; the standalone query keeps
-    # its r05 row + the local sweep
-    "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best", "doc_entropy",
-    # r5-stale cohort, 18 of 27 (19 seated at rotation time; tpch_q17
-    # and grouped_center ceded seats to the third-wave debuts mmr_rerank
-    # and doc_entropy, then q17 reclaimed shard_manifest's — leaving 9
-    # queries at <= r5 freshness after this round, under the verdict's
-    # <10 target)
-    "asof_event_purchase", "cohort_first_purchase",
-    "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
-    "events_enriched", "events_sessionize",
-    "events_unpivot", "lang_label_audit",
-    "monthly_growth", "rollup_sales_monthly", "scd2_merge",
-    "segment_summary", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q22", "tpch_q5",
+    # contract-changed streaming promotions (seat first: the only
+    # queries with un-driver-validated contracts)
+    "stream_enrich", "stream_attribution", "stream_dedup",
+    "stream_doc_scoring",
+    # r12 debuts (same-round seating)
+    "ann_index_audit", "ann_index_probe",
+    "ml_kmeans_segments", "ml_repurchase_predictor",
+    # <= r5-stale cohort, complete (r11 verdict What's-missing #4 list)
+    "dedup_incremental", "embedding_stats", "events_tumbling",
+    "grouped_center", "incremental_ca_country", "salted_ca_country",
+    "serving_distribution", "tpch_q13", "vocab_topk",
+    # r6-stale cohort, complete
+    "doc_repetition", "events_resample", "expectations_audit",
+    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q15",
+    # r7-stale cohort, complete
+    "ann_ivf_recall", "ann_topk", "bm25_topk", "ca_monthly",
+    "client_quartiles", "corpus_curation", "dedup_clusters",
+    "dedup_incremental_minhash", "dedup_minhash", "doc_stats",
+    "docstore_roundtrip", "dsir_weights", "event_funnel", "kpis",
+    "profile_documents", "tpch_q11", "tpch_q19", "tpch_q21",
+    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "training_mixture",
+    # mid-r11 displacement debt (r10/r9-green, owed fresh rows by the
+    # queued plan)
+    "doc_packing", "knn_graph_mutual", "shard_manifest",
 ]
 
 

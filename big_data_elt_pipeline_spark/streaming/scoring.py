@@ -121,16 +121,25 @@ def _staged_docs_dir(sf_dir: str) -> str:
 
 
 def stream_scored_documents(
-    spark: SparkSession, sf_dir: str, model: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    model: DataFrame,
+    model_row: DataFrame | None = None,
 ) -> DataFrame:
     """Score a document FILE STREAM under a trained model: readStream ->
     map-only scoring (model broadcast per micro-batch) -> append-mode
-    memory sink. Stateless, so no watermark and no state store."""
+    memory sink. Stateless, so no watermark and no state store.
+
+    ``model_row`` lets a caller that already materialized the one-row map
+    form (``model_map_row``) share it instead of re-deriving it — the
+    evidence relation passes its eagerly checkpointed row so the stream
+    and the batch twin consume the SAME computed state."""
     stage = _staged_docs_dir(sf_dir)
     schema = spark.read.parquet(stage).schema
     raw = spark.readStream.schema(schema).parquet(stage)
     scored = score_documents(
-        raw.select("doc_id", "text"), model_map_row(model)
+        raw.select("doc_id", "text"),
+        model_map_row(model) if model_row is None else model_row,
     )
     name = "stream_doc_scoring_sink"
     q = (
@@ -164,7 +173,7 @@ def stream_doc_scoring_evidence(
         "doc_id", "text"
     )
     mrow = model_map_row(model).localCheckpoint(eager=True)
-    s = stream_scored_documents(spark, sf_dir, model)
+    s = stream_scored_documents(spark, sf_dir, model, model_row=mrow)
     twin = score_documents(docs, mrow)
     checks = twin.agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
