@@ -99,6 +99,62 @@ def build_ivfpq_index(
     }
 
 
+def append_to_index(
+    delta: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    n_files: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Ingest a vector batch into an EXISTING index without a rebuild:
+    the delta is encoded against the STORED quantizer state (one map
+    pass over the delta only — ``similarity.ivfpq_encode_with_state``),
+    appended to ``codes`` as one clustered commit, and the state row is
+    re-published with the updated vector count. Sampled quantizers are
+    immutable by design, so every existing code stays valid; this is the
+    standard IVF ingest shape (FAISS ``add`` after ``train``).
+
+    ``txn=(app_id, epoch)`` makes the codes append idempotent (the
+    lakehouse exactly-once protocol) — a streaming ingest can re-deliver
+    an epoch after a crash without duplicating codes; the replayed call
+    returns ``{"skipped": True}`` and leaves state untouched.
+
+    Snapshot note: a reader between the codes append and the state
+    re-publish sees the new codes with the old n_vectors — harmless for
+    probes (state's quantizers are what the scan needs and they never
+    change); audits wanting a consistent pair pin explicit versions.
+    """
+    spark = delta.sparkSession
+    cells, books, p = load_index_state(spark, path)
+    encoded = SIM.ivfpq_encode_with_state(
+        delta, cells, books, p["m"], p["dsub"], id_col, vec_col
+    )
+    codes_version = LH.write_table(
+        encoded, f"{path}/codes", mode="append", cluster_by=["cell"],
+        n_files=n_files, txn=txn,
+    )
+    if codes_version == -1:
+        return {"skipped": True}
+    n_delta = delta.count()
+    state = cells.crossJoin(books).select(
+        F.lit(p["n_vectors"] + n_delta).cast("long").alias("n_vectors"),
+        F.lit(p["n_cells"]).cast("int").alias("n_cells"),
+        F.lit(p["m"]).cast("int").alias("m"),
+        F.lit(p["dsub"]).cast("int").alias("dsub"),
+        F.lit(p["n_cents"]).cast("int").alias("n_cents"),
+        F.col("__cells").alias("cells"),
+        F.col("__cents").alias("cents"),
+    )
+    state_version = LH.write_table(state, f"{path}/state", mode="overwrite")
+    return {
+        "n_vectors": p["n_vectors"] + n_delta,
+        "n_delta": n_delta,
+        "codes_version": codes_version,
+        "state_version": state_version,
+    }
+
+
 def load_index_state(
     spark: SparkSession, path: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame, dict]:

@@ -66,6 +66,41 @@ def test_probe_prunes_files(index_path):
     assert len(kept) < len(live)
 
 
+def test_append_ingest_and_idempotence(spark, tmp_path):
+    """Index maintenance: build on half the corpus, append the rest —
+    the probe over the grown stored index must equal the in-memory scan
+    of the full corpus encoded with the SAME (base-built) quantizer
+    state, and a replayed txn append must be a no-op."""
+    emb = _emb(spark)
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    base = emb.filter(F.col("vec_id") <= mid)
+    delta = emb.filter(F.col("vec_id") > mid)
+    path = str(tmp_path / "index")
+    meta = AIX.build_ivfpq_index(base, path, n_files=4)
+    res = AIX.append_to_index(delta, path, txn=("t", 1), n_files=4)
+    assert res["n_vectors"] == emb.count()
+    assert AIX.index_audit(spark, path).first().n_vectors == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    stored = AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
+    cells, books, p = AIX.load_index_state(spark, path)
+    twin_codes = SIM.ivfpq_encode_with_state(emb, cells, books, p["m"], p["dsub"])
+    twin = SIM.ivfpq_adc_scan(
+        twin_codes, cells, books, queries, k=5, n_probe=4,
+        m=p["m"], dsub=p["dsub"],
+    )
+    key = ["query_id", "vec_id", "adc_l2sq", "rank"]
+    assert sorted(map(tuple, stored.select(key).collect())) == sorted(
+        map(tuple, twin.select(key).collect())
+    )
+    # the base-built quantizer state never changes on append
+    assert meta["n_cells"] == p["n_cells"]
+
+    before = AIX.index_audit(spark, path).first().codes_hash
+    assert AIX.append_to_index(delta, path, txn=("t", 1)) == {"skipped": True}
+    assert AIX.index_audit(spark, path).first().codes_hash == before
+
+
 def test_rebuild_is_versioned_and_stable(spark, index_path):
     """A rebuild commits new versions atomically; the audit hash is
     unchanged (deterministic encode) and old versions stay readable."""
