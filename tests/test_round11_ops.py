@@ -477,6 +477,30 @@ def test_mmr_first_pick_is_relevance_argmax_and_ranks_dense(spark):
     assert got1 == top1
 
 
+def test_mmr_accepts_ann_candidate_front_end(spark):
+    """The r12 ``candidates`` hook: reranking an LSH candidate relation
+    picks only from those candidates, and with the default brute-force
+    candidates the explicit pass-through equals the built-in path."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    ann = S.lsh_topk(emb, queries, k=10)
+    out = S.mmr_rerank(emb, queries, k=3, candidates=ann).collect()
+    cand_pairs = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    assert out and all((r["query_id"], r["vec_id"]) in cand_pairs for r in out)
+
+    bf = S.brute_force_topk(emb, queries, 20)
+    explicit = S.mmr_rerank(emb, queries, k=5, candidates=bf).collect()
+    builtin = S.mmr_rerank(emb, queries, k=5, n_cand=20).collect()
+    assert sorted(map(tuple, explicit)) == sorted(map(tuple, builtin))
+
+
 def test_mmr_skips_near_duplicate_of_first_pick(spark):
     """The property MMR exists for: a candidate nearly identical to the
     first selection loses rank 2 to a more distant one even though plain
