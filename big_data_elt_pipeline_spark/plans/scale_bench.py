@@ -300,6 +300,7 @@ def ivf_scale_pin(
     out: dict[str, float] = {}
     stage_root = tempfile.mkdtemp(prefix="ivf_scale_")
     warmed = False
+    build_warmed = False
     for factor in factors:
         # repartition before staging (r11 advice): without it the staged
         # parquet inherits 1-2 splits from the tiny base table and the
@@ -386,6 +387,14 @@ def ivf_scale_pin(
         from big_data_elt_pipeline_spark.operators import ann_index as AIX
 
         idx = f"{stage_root}/index_x{factor}"
+        if not build_warmed:
+            # untimed warm-up build: the FIRST build in a session pays
+            # the lakehouse write path's codegen/footer costs — charged
+            # to the x-first point, it inverted the build trend (the r05
+            # x1 lesson applied to the write side)
+            AIX.build_ivfpq_index(emb, f"{stage_root}/index_warm")
+            shutil.rmtree(f"{stage_root}/index_warm", ignore_errors=True)
+            build_warmed = True
         t0 = time.perf_counter()
         AIX.build_ivfpq_index(emb, idx)
         out[f"ivfpin_build_x{factor}"] = round(time.perf_counter() - t0, 4)
