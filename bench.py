@@ -150,6 +150,14 @@ BENCH_QUERIES = [
     "pack_sequences", "ann_pq_topk", "epoch_shuffle",
     # round 11, third wave
     "ann_ivfpq_topk", "mmr_rerank", "dedup_keep_best", "doc_entropy",
+    # round 12: the persisted ANN index (audit re-hashes stored codes;
+    # probe answers from the stored index with file-level cell pruning —
+    # both amortize the per-process staged build) and the two pyspark.ml
+    # fits in their bounded-assertion form (each runs its full fit +
+    # exact-kernel bound check). stream_ann_probe stays in the streaming
+    # section's domain (its query fn drives a full stream).
+    "ann_index_audit", "ann_index_probe",
+    "ml_kmeans_segments", "ml_repurchase_predictor",
 ]
 
 

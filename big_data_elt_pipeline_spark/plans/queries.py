@@ -1206,10 +1206,10 @@ ROWS_ONLY_ANNEX = frozenset()
 #     <= r5, all 7 at r6, and all 23 at r7 (GATE_HISTORY.json cohorts,
 #     verbatim) — after this window nothing in the registry is older
 #     than r8;
-#   - the 3 r10/r9-green members displaced mid-r11 by debut swaps
-#     (doc_packing, knn_graph_mutual, shard_manifest — the queued plan
-#     owed them fresh rows);
-#   - the 4 r12 debuts (same-round seating, no never-gated debt): the
+#   - the r10/r9-green members displaced mid-r11 by debut swaps
+#     (doc_packing, knn_graph_mutual; shard_manifest cedes again to the
+#     second-wave stream_ann_probe — rationale at the list tail);
+#   - the 5 r12 debuts (same-round seating, no never-gated debt): the
 #     persisted-ANN-index pair (ann_index_audit re-hashes the STORED
 #     codes against the oracle's from-scratch recomputation;
 #     ann_index_probe answers a disjoint query set from the stored
@@ -1217,8 +1217,10 @@ ROWS_ONLY_ANNEX = frozenset()
 #     motivated) and the two pyspark.ml bounded-assertion promotions
 #     (ml_repurchase_predictor: exact-kernel AUC-floor;
 #     ml_kmeans_segments: ARI floor vs the deterministic Lloyd twin),
-#     which close the rows-only annex entirely.
-# 4 + 9 + 7 + 23 + 3 + 4 = 50: the second consecutive all-oracle
+#     which close the rows-only annex entirely, plus the second-wave
+#     stream_ann_probe (streaming stored-index serving, the comparison
+#     -relation discipline).
+# 4 + 9 + 7 + 23 + 2 + 5 = 50: the second consecutive all-oracle
 # window, with zero slots spent on already-r11-fresh rows.
 # --------------------------------------------------------------------------
 _GATE_ORDER = [
@@ -1244,8 +1246,13 @@ _GATE_ORDER = [
     "profile_documents", "tpch_q11", "tpch_q19", "tpch_q21",
     "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "training_mixture",
     # mid-r11 displacement debt (r10/r9-green, owed fresh rows by the
-    # queued plan)
-    "doc_packing", "knn_graph_mutual", "shard_manifest",
+    # queued plan); shard_manifest cedes its seat AGAIN to the
+    # second-wave debut stream_ann_probe — the identical r11 rationale
+    # still holds (its manifest relation is recomputed and hash-verified
+    # INSIDE seated shard_pruned_read's oracle, so the code path keeps
+    # r12-fresh driver evidence), and the streaming stored-index probe
+    # is a NEW contract that must seat the round it registers
+    "doc_packing", "knn_graph_mutual", "stream_ann_probe",
 ]
 
 

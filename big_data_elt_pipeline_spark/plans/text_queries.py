@@ -1487,6 +1487,47 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming ANN serving (r12 second wave): the retrieval loop the
+# persisted index exists for — a query-vector stream probed per
+# micro-batch against the STORED codes, each batch landing as one
+# idempotent lakehouse commit. The oracle re-derives the entire ranking
+# (encode + probe + ADC) from the raw corpus for the same disjoint
+# query set and recomputes the content checksums, so the driver hash
+# certifies stream == batch == stored-index == cross-engine.
+_STREAM_ANN_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_stream,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       CAST(sum(rank) AS BIGINT) AS sum_rank,
+       CAST(sum(CAST(round(adc_l2sq * 1000000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sum_adc_nanos,
+       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+FROM ({_ivfpq_sql("vec_id >= 32 AND vec_id < 48")}) t
+"""
+
+
+@register("stream_ann_probe", _STREAM_ANN_SQL)
+def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stored-index ANN serving under HASH evidence: the
+    embeddings file stream (query ids 32-47, disjoint from both batch
+    index queries) probes the persisted IVF-PQ index inside
+    ``foreachBatch`` (the ADC scan's agg + ranking window are per-batch
+    batch ops), lands each epoch as one txn-tagged exactly-once
+    lakehouse commit, and the returned relation compares the sink
+    against the batch probe twin with rank/adc-nanos checksums.
+    Contract in ``streaming/ann_serving.py``; sink folds from an empty
+    state dir every invocation (the ``staging_dir`` state-wipe
+    discipline)."""
+    from big_data_elt_pipeline_spark.streaming.ann_serving import (
+        stream_index_probe_evidence,
+    )
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+
+    idx = _ann_index_path(spark, sf_dir)
+    out = f"{staging_dir('stream_ann', sf_dir)}/state/out"
+    return stream_index_probe_evidence(spark, sf_dir, idx, out)
+
+
 @register("ann_lsh_topk", _ANN_LSH_SQL)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -94,22 +94,22 @@ def score_documents(
     )
 
 
-def _staged_docs_dir(sf_dir: str) -> str:
-    """Stage the documents file for the file-source stream. Keyed by a
-    hash of the ABSOLUTE source path (two sf dirs sharing a basename get
-    distinct stages) and refreshed whenever the source's size or mtime
-    differs (a regenerated fixture at the same path is re-copied, never
-    silently streamed stale) — copy2 preserves the source mtime so the
-    staleness check is a pure stat comparison."""
+def _staged_docs_dir(sf_dir: str, name: str = "documents.parquet") -> str:
+    """Stage the ``name`` fixture file for a file-source stream. Keyed by
+    a hash of the ABSOLUTE source path (two sf dirs sharing a basename
+    get distinct stages) and refreshed whenever the source's size or
+    mtime differs (a regenerated fixture at the same path is re-copied,
+    never silently streamed stale) — copy2 preserves the source mtime so
+    the staleness check is a pure stat comparison."""
     import hashlib
     import pathlib
     import shutil
 
-    src = pathlib.Path(sf_dir).resolve() / "documents.parquet"
+    src = pathlib.Path(sf_dir).resolve() / name
     key = hashlib.sha256(str(src).encode("utf-8")).hexdigest()[:16]
     stage = pathlib.Path("/tmp/spark_graft_stream_docs") / key
     stage.mkdir(parents=True, exist_ok=True)
-    target = stage / "documents.parquet"
+    target = stage / name
     st = src.stat()
     if (
         not target.exists()

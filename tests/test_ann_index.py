@@ -101,6 +101,75 @@ def test_append_ingest_and_idempotence(spark, tmp_path):
     assert AIX.index_audit(spark, path).first().codes_hash == before
 
 
+def test_compaction_preserves_index(spark, tmp_path):
+    """OPTIMIZE on the codes table after appends (small-file compaction,
+    re-clustered by cell) must not change what the index answers: the
+    audit hash and a probe are identical across the rewrite, and the
+    file-level cell pruning works on the compacted layout."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(emb.filter(F.col("vec_id") <= mid), path, n_files=4)
+    AIX.append_to_index(emb.filter(F.col("vec_id") > mid), path, n_files=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    before_hash = AIX.index_audit(spark, path).first().codes_hash
+    before = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    n_before = len(LH.live_files(f"{path}/codes"))
+
+    LH.compact_table(spark, f"{path}/codes", cluster_by=["cell"], n_files=3)
+
+    assert len(LH.live_files(f"{path}/codes")) < n_before
+    assert AIX.index_audit(spark, path).first().codes_hash == before_hash
+    after = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    assert after == before
+    # stats-based cell pruning still live on the compacted files
+    stats = LH.live_file_stats(f"{path}/codes")
+    lo = stats[sorted(stats)[0]]["cell"][0]
+    kept, skipped = LH.prune_files(f"{path}/codes", "cell", lo=lo, hi=lo)
+    assert skipped and len(kept) < len(kept) + len(skipped)
+
+
+def test_stream_probe_equals_batch_and_replays_idempotently(
+    spark, index_path, tmp_path
+):
+    """Streaming stored-index serving: the foreachBatch probe stream
+    must land exactly the batch probe's rows, and a full replay of the
+    stream into the same sink (same app id, re-delivered epochs) must
+    be a no-op under the txn protocol."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.streaming.ann_serving import (
+        stream_index_probe,
+    )
+
+    path, _ = index_path
+    out = str(tmp_path / "sink")
+    s = stream_index_probe(
+        spark, SF_SMOKE, path, out, lo=32, hi=40, k=5, n_probe=4
+    )
+    queries = _emb(spark).filter(
+        (F.col("vec_id") >= 32) & (F.col("vec_id") < 40)
+    )
+    twin = AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
+    key = ["query_id", "vec_id", "adc_l2sq", "rank"]
+    got = sorted(map(tuple, s.select(key).collect()))
+    assert got == sorted(map(tuple, twin.select(key).collect()))
+    assert len(got) == 8 * 5
+
+    n_versions = len(LH.table_versions(out))
+    replay = stream_index_probe(
+        spark, SF_SMOKE, path, out, lo=32, hi=40, k=5, n_probe=4
+    )
+    assert len(LH.table_versions(out)) == n_versions  # every epoch skipped
+    assert sorted(map(tuple, replay.select(key).collect())) == got
+
+
 def test_rebuild_is_versioned_and_stable(spark, index_path):
     """A rebuild commits new versions atomically; the audit hash is
     unchanged (deterministic encode) and old versions stay readable."""
