@@ -178,6 +178,8 @@ def ivfpq_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    state_version: int | None = None,
+    codes_version: int | None = None,
 ) -> DataFrame:
     """Top-k over the STORED index — no corpus re-encode. Same output,
     bit for bit, as ``similarity.ivfpq_topk`` on the corpus the index
@@ -186,13 +188,19 @@ def ivfpq_probe(
     Read path: the query batch's probed cells are a bounded relation
     (|queries| x n_probe ints) computed map-side against the broadcast
     state; ONE single-row aggregate fetches them as a set (the
-    adaptive-planning scalar-fetch idiom) and the codes scan opens only
-    the files whose manifest cell range intersects a probed cell — with
-    the ``cluster_by=["cell"]`` build layout that is ~n_probe/n_cells of
-    the files, the file-level analogue of the equi-join's row pruning.
-    The row-level cell equi-join still applies inside kept files.
+    adaptive-planning scalar-fetch idiom — the set is bounded by n_cells
+    regardless of query count) and the codes scan opens only the files
+    whose manifest cell range intersects a probed cell — with the
+    ``cluster_by=["cell"]`` build layout that is ~n_probe/n_cells of the
+    files, the file-level analogue of the equi-join's row pruning. The
+    row-level cell equi-join still applies inside kept files.
+
+    ``state_version`` / ``codes_version`` pin a consistent snapshot pair
+    (e.g. the versions ``build_ivfpq_index``/``append_to_index``
+    returned) — a reader racing a concurrent append can hold both tables
+    at the pre-append commit; default latest.
     """
-    cells, books, p = load_index_state(spark, path)
+    cells, books, p = load_index_state(spark, path, state_version)
 
     # probed-cell hull: same ranked-slice expression as the scan's probe
     # side, reduced to ONE row holding the distinct cell set
@@ -225,18 +233,25 @@ def ivfpq_probe(
     codes_path = f"{path}/codes"
     kept: set[str] = set()
     for c in probed:
-        kept.update(LH.prune_files(codes_path, "cell", lo=c, hi=c)[0])
+        kept.update(
+            LH.prune_files(codes_path, "cell", lo=c, hi=c, version=codes_version)[0]
+        )
     if kept:
         codes = spark.read.parquet(*sorted(kept))
     else:  # no live stats / empty index: full snapshot fallback
-        codes = LH.read_table(spark, codes_path)
+        codes = LH.read_table(spark, codes_path, codes_version)
     return SIM.ivfpq_adc_scan(
         codes, cells, books, queries, k, n_probe, p["m"], p["dsub"],
         id_col, vec_col, query_id_col,
     )
 
 
-def index_audit(spark: SparkSession, path: str) -> DataFrame:
+def index_audit(
+    spark: SparkSession,
+    path: str,
+    state_version: int | None = None,
+    codes_version: int | None = None,
+) -> DataFrame:
     """ONE verification row over the STORED index — the
     ``read_shard_verified`` discipline applied to index content: re-hash
     the persisted codes and surface the quantizer params, so an oracle
@@ -251,10 +266,12 @@ def index_audit(spark: SparkSession, path: str) -> DataFrame:
     fold whose only global step is n_cells rows.
 
     Columns: (n_vectors, n_code_rows, n_cells_used, n_cells, m, dsub,
-    n_cents, codes_hash).
+    n_cents, codes_hash). ``state_version``/``codes_version`` audit a
+    pinned snapshot pair (time travel over the index history); default
+    latest.
     """
-    _, _, p = load_index_state(spark, path)
-    codes = LH.read_table(spark, f"{path}/codes")
+    _, _, p = load_index_state(spark, path, state_version)
+    codes = LH.read_table(spark, f"{path}/codes", codes_version)
     per_cell = codes.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct(F.col("vec_id")).cast("long").alias("n_vecs"),

@@ -100,6 +100,27 @@ def test_append_ingest_and_idempotence(spark, tmp_path):
     assert AIX.append_to_index(delta, path, txn=("t", 1)) == {"skipped": True}
     assert AIX.index_audit(spark, path).first().codes_hash == before
 
+    # snapshot-pinned read: the pre-append version pair still answers as
+    # the base-only index (time travel over the index history)
+    pinned_audit = AIX.index_audit(
+        spark, path,
+        state_version=meta["state_version"],
+        codes_version=meta["codes_version"],
+    ).first()
+    assert pinned_audit.n_vectors == base.count()
+    pinned = AIX.ivfpq_probe(
+        spark, path, queries, k=5, n_probe=4,
+        state_version=meta["state_version"],
+        codes_version=meta["codes_version"],
+    )
+    base_twin = SIM.ivfpq_adc_scan(
+        SIM.ivfpq_encode_with_state(base, cells, books, p["m"], p["dsub"]),
+        cells, books, queries, k=5, n_probe=4, m=p["m"], dsub=p["dsub"],
+    )
+    assert sorted(map(tuple, pinned.select(key).collect())) == sorted(
+        map(tuple, base_twin.select(key).collect())
+    )
+
 
 def test_compaction_preserves_index(spark, tmp_path):
     """OPTIMIZE on the codes table after appends (small-file compaction,
