@@ -46,6 +46,12 @@ def stream_index_probe(
     [lo, hi) through per-micro-batch stored-index probes; each batch's
     top-k lands as one txn-tagged lakehouse commit under ``out_path``.
     Returns the sink table snapshot (query_id, vec_id, adc_l2sq, rank).
+
+    Index-freshness semantics: state and codes resolve at their LATEST
+    versions per micro-batch (``ivfpq_probe``'s default), so a
+    concurrent ``append_to_index`` becomes visible to queries from the
+    next epoch on — the serving behavior a vector store wants. Pin
+    versions inside a custom ``foreachBatch`` for frozen-index replay.
     """
     from big_data_elt_pipeline_spark.streaming.scoring import _staged_docs_dir
 
