@@ -231,14 +231,28 @@ def ivfpq_probe(
     )
 
     codes_path = f"{path}/codes"
-    kept: set[str] = set()
-    for c in probed:
-        kept.update(
-            LH.prune_files(codes_path, "cell", lo=c, hi=c, version=codes_version)[0]
-        )
+    # one manifest fold for ALL probed cells (a per-cell prune_files loop
+    # would re-parse every commit JSON once per cell — O(n_cells) driver
+    # passes at a 4096-cell index); a file is kept iff its recorded cell
+    # range contains at least one probed cell, with the prune_files
+    # semantics preserved (no stats => always kept; absence never loses
+    # rows)
+    import bisect
+
+    stats = LH.live_file_stats(codes_path, codes_version)
+    probed_sorted = sorted(probed)
+    kept = []
+    for f in LH.live_files(codes_path, codes_version):
+        rng = stats.get(f, {}).get("cell")
+        if rng is None:
+            kept.append(f)
+            continue
+        i = bisect.bisect_left(probed_sorted, rng[0])
+        if i < len(probed_sorted) and probed_sorted[i] <= rng[1]:
+            kept.append(f)
     if kept:
         codes = spark.read.parquet(*sorted(kept))
-    else:  # no live stats / empty index: full snapshot fallback
+    else:  # no live files / empty index: full snapshot fallback
         codes = LH.read_table(spark, codes_path, codes_version)
     return SIM.ivfpq_adc_scan(
         codes, cells, books, queries, k, n_probe, p["m"], p["dsub"],
