@@ -124,6 +124,13 @@ def append_to_index(
     re-publish sees the new codes with the old n_vectors — harmless for
     probes (state's quantizers are what the scan needs and they never
     change); audits wanting a consistent pair pin explicit versions.
+
+    Concurrency contract: CODES commits from racing appenders serialize
+    safely (the manifest version CAS), but ``n_vectors`` is a
+    read-modify-write — run ingest single-writer (the streaming
+    ``foreachBatch`` shape, which also supplies the txn tag) as Delta
+    writers conventionally do; ``index_audit`` recomputes the true count
+    from the codes themselves if state ever drifts.
     """
     spark = delta.sparkSession
     cells, books, p = load_index_state(spark, path)
