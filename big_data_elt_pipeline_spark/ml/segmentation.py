@@ -159,11 +159,15 @@ def segment_agreement(
     crossed into one row — integer arithmetic until the final double
     division, no window, no collect."""
     pairs2 = lambda c: (F.sum(F.col(c) * (F.col(c) - 1)) / 2).cast("double")  # noqa: E731
+    # eager checkpoint: the <= k x k contingency feeds THREE aggregates —
+    # without it each one replays the join, the ml transform, and the
+    # twin's Lloyd chain (the q15 bounded-result idiom)
     cont = (
         ml_assigned.select("id_client", "segment")
         .join(twin_assigned.select("id_client", "cluster_id"), "id_client")
         .groupBy("segment", "cluster_id")
         .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
     )
     sij = cont.agg(
         pairs2("nij").alias("s_ij"), F.sum("nij").cast("long").alias("n")
