@@ -8,8 +8,13 @@ FAISS writes an index file; here the index is two lakehouse tables
 index, and rebuilds are time-travelable):
 
 - ``{path}/state`` — ONE row: (n_vectors, n_cells, m, dsub, n_cents,
-  cells array<struct<cell,cvec,cvn>>, cents array<struct<cid,cvec>>).
-  KB-sized at any corpus scale (it IS the broadcast quantizer state).
+  codes_version, cells array<struct<cell,cvec,cvn>>,
+  cents array<struct<cid,cvec>>). KB-sized at any corpus scale (it IS
+  the broadcast quantizer state). ``codes_version`` records the codes
+  commit this state row references, so a default (unpinned) reader
+  resolves a CONSISTENT (state, codes) pair — a rebuild that has
+  overwritten codes but not yet re-published state can never be
+  observed half-mixed (new codes against old centroids).
 - ``{path}/codes`` — (vec_id, cell, j, code): m rows per corpus vector
   of a few-byte payload, range-clustered by ``cell`` so every data file
   covers a tight cell range and the manifest min/max stats let a probe
@@ -44,6 +49,37 @@ from pyspark.sql import functions as F
 from big_data_elt_pipeline_spark import lakehouse as LH
 from big_data_elt_pipeline_spark.operators import similarity as SIM
 
+# target rows per audit hash chunk: the largest collect_list in
+# ``index_audit`` is bounded by ~this constant regardless of corpus size
+# (the per-cell population is n/n_cells, which AUTO_CELLS_HI makes linear
+# in n past ~8M vectors — the chunk level re-bounds it)
+AUDIT_CHUNK_TARGET = 4096
+
+
+def _publish_state(
+    cells: DataFrame,
+    books: DataFrame,
+    p: dict,
+    path: str,
+    n_vectors: int,
+    codes_version: int,
+) -> int:
+    """Overwrite the one-row state table from the (cells, books) quantizer
+    frames + params, recording the codes commit it references. The state
+    commit is the index's publish point — it is always written AFTER the
+    codes commit it names."""
+    state = cells.crossJoin(books).select(
+        F.lit(n_vectors).cast("long").alias("n_vectors"),
+        F.lit(p["n_cells"]).cast("int").alias("n_cells"),
+        F.lit(p["m"]).cast("int").alias("m"),
+        F.lit(p["dsub"]).cast("int").alias("dsub"),
+        F.lit(p["n_cents"]).cast("int").alias("n_cents"),
+        F.lit(codes_version).cast("long").alias("codes_version"),
+        F.col("__cells").alias("cells"),
+        F.col("__cents").alias("cents"),
+    )
+    return LH.write_table(state, f"{path}/state", mode="overwrite")
+
 
 def build_ivfpq_index(
     corpus: DataFrame,
@@ -59,11 +95,12 @@ def build_ivfpq_index(
     """Materialize the IVF-PQ index for ``corpus`` under ``path``.
 
     Writes ``codes`` first, then ``state`` — the one-row state commit is
-    the publish point (a reader resolves the state row before touching
-    codes, so a crash between the two writes leaves the previous index
-    version intact and the new codes unreferenced). Returns the commit
-    metadata ``{"n_vectors", "n_cells", "codes_version",
-    "state_version"}``.
+    the publish point: it records the ``codes_version`` it references,
+    and default (unpinned) readers resolve codes AT THAT VERSION, so a
+    crash (or a racing read) between the two writes observes the
+    previous consistent (state, codes) pair — never new codes against
+    old quantizers. Returns the commit metadata ``{"n_vectors",
+    "n_cells", "codes_version", "state_version"}``.
 
     ``n_files`` bounds the clustered code file count (default: the
     session's shuffle partitions, AQE-coalesced — a corpus-scale build
@@ -81,16 +118,8 @@ def build_ivfpq_index(
         encoded, f"{path}/codes", mode="overwrite", cluster_by=["cell"],
         n_files=n_files,
     )
-    state = cells.crossJoin(books).select(
-        F.lit(n).cast("long").alias("n_vectors"),
-        F.lit(n_cells).cast("int").alias("n_cells"),
-        F.lit(m).cast("int").alias("m"),
-        F.lit(dsub).cast("int").alias("dsub"),
-        F.lit(n_cents).cast("int").alias("n_cents"),
-        F.col("__cells").alias("cells"),
-        F.col("__cents").alias("cents"),
-    )
-    state_version = LH.write_table(state, f"{path}/state", mode="overwrite")
+    p = {"n_cells": n_cells, "m": m, "dsub": dsub, "n_cents": n_cents}
+    state_version = _publish_state(cells, books, p, path, n, codes_version)
     return {
         "n_vectors": n,
         "n_cells": n_cells,
@@ -117,13 +146,20 @@ def append_to_index(
 
     ``txn=(app_id, epoch)`` makes the codes append idempotent (the
     lakehouse exactly-once protocol) — a streaming ingest can re-deliver
-    an epoch after a crash without duplicating codes; the replayed call
-    returns ``{"skipped": True}`` and leaves state untouched.
+    an epoch after a crash without duplicating codes. A replayed call
+    returns ``{"skipped": True}`` but still CONVERGES state: if the
+    original attempt crashed after the codes append and before the
+    state re-publish, the replay recounts n_vectors from the codes
+    themselves and re-publishes the state row pointing at the latest
+    codes commit (the recount is a distinct-count over the few-byte
+    codes relation — paid only on the rare replay path, never on the
+    normal ingest path).
 
-    Snapshot note: a reader between the codes append and the state
-    re-publish sees the new codes with the old n_vectors — harmless for
-    probes (state's quantizers are what the scan needs and they never
-    change); audits wanting a consistent pair pin explicit versions.
+    Snapshot note: default (unpinned) readers resolve codes at the
+    version the state row references, so the appended vectors become
+    visible exactly AT the state re-publish — the state commit is the
+    publish point for appends just as for builds; audits wanting an
+    older pair pin explicit versions.
 
     Concurrency contract: CODES commits from racing appenders serialize
     safely (the manifest version CAS), but ``n_vectors`` is a
@@ -142,18 +178,27 @@ def append_to_index(
         n_files=n_files, txn=txn,
     )
     if codes_version == -1:
+        # replayed txn: this epoch's codes are already committed, but the
+        # original attempt may have crashed between the codes append and
+        # the state re-publish — converge state from a codes-side count
+        # instead of returning early with n_vectors permanently
+        # understated (the crash+replay repair the txn protocol implies)
+        latest = LH.table_versions(f"{path}/codes")[-1]
+        true_n = (
+            LH.read_table(spark, f"{path}/codes")
+            .select("vec_id").distinct().count()
+        )
+        if true_n != p["n_vectors"] or p["codes_version"] != latest:
+            state_version = _publish_state(cells, books, p, path, true_n, latest)
+            return {
+                "skipped": True, "repaired": True,
+                "n_vectors": true_n, "state_version": state_version,
+            }
         return {"skipped": True}
     n_delta = delta.count()
-    state = cells.crossJoin(books).select(
-        F.lit(p["n_vectors"] + n_delta).cast("long").alias("n_vectors"),
-        F.lit(p["n_cells"]).cast("int").alias("n_cells"),
-        F.lit(p["m"]).cast("int").alias("m"),
-        F.lit(p["dsub"]).cast("int").alias("dsub"),
-        F.lit(p["n_cents"]).cast("int").alias("n_cents"),
-        F.col("__cells").alias("cells"),
-        F.col("__cents").alias("cents"),
+    state_version = _publish_state(
+        cells, books, p, path, p["n_vectors"] + n_delta, codes_version
     )
-    state_version = LH.write_table(state, f"{path}/state", mode="overwrite")
     return {
         "n_vectors": p["n_vectors"] + n_delta,
         "n_delta": n_delta,
@@ -170,7 +215,9 @@ def load_index_state(
     one-row state relation (the adaptive-planning scalar-fetch idiom —
     m/dsub size plan-build expressions, so they must be driver values)."""
     state = LH.read_table(spark, f"{path}/state", version)
-    p = state.select("n_vectors", "n_cells", "m", "dsub", "n_cents").first()
+    p = state.select(
+        "n_vectors", "n_cells", "m", "dsub", "n_cents", "codes_version"
+    ).first()
     cells = F.broadcast(state.select(F.col("cells").alias("__cells")))
     books = F.broadcast(state.select(F.col("cents").alias("__cents")))
     return cells, books, p.asDict()
@@ -202,12 +249,17 @@ def ivfpq_probe(
     files, the file-level analogue of the equi-join's row pruning. The
     row-level cell equi-join still applies inside kept files.
 
-    ``state_version`` / ``codes_version`` pin a consistent snapshot pair
-    (e.g. the versions ``build_ivfpq_index``/``append_to_index``
-    returned) — a reader racing a concurrent append can hold both tables
-    at the pre-append commit; default latest.
+    Snapshot consistency: ``codes_version`` defaults to the version the
+    resolved state row RECORDS (the pair the state publish named), so a
+    default read is crash-consistent across rebuilds by construction —
+    a probe racing (or following a crash) between a rebuild's codes
+    overwrite and its state overwrite scans the OLD codes against the
+    old quantizers, never mixed halves. Pass explicit versions to time
+    travel (e.g. the pair a ``build``/``append`` returned).
     """
     cells, books, p = load_index_state(spark, path, state_version)
+    if codes_version is None:
+        codes_version = p["codes_version"]
 
     # probed-cell hull: same ranked-slice expression as the scan's probe
     # side, reduced to ONE row holding the distinct cell set
@@ -259,12 +311,40 @@ def ivfpq_probe(
             kept.append(f)
     if kept:
         codes = spark.read.parquet(*sorted(kept))
-    else:  # no live files / empty index: full snapshot fallback
-        codes = LH.read_table(spark, codes_path, codes_version)
+    else:
+        # kept == [] covers two distinct cases, both correctly EMPTY:
+        # an empty index (no live files) and every live file pruned (no
+        # file's recorded cell range intersects a probed cell — pruning
+        # is sound, so no row in a skipped file can survive the cell
+        # equi-join). The read_table(...).limit(0) idiom keeps the table
+        # schema without scanning the full snapshot (the best pruning
+        # outcome must not degenerate to a whole-table scan).
+        codes = LH.read_table(spark, codes_path, codes_version).limit(0)
     return SIM.ivfpq_adc_scan(
         codes, cells, books, queries, k, n_probe, p["m"], p["dsub"],
         id_col, vec_col, query_id_col,
     )
+
+
+def compact_index(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> dict:
+    """OPTIMIZE the codes table (small-file compaction, re-clustered by
+    cell) and re-publish the state row to reference the compacted
+    commit. Because default readers pin codes to the version state
+    names, a bare ``lakehouse.compact_table`` on the codes table alone
+    would leave probes reading the PRE-compaction files (correct but
+    un-optimized, and vacuum-unsafe) — index compaction must move the
+    state pointer too, which is what this wrapper does. Content is
+    unchanged (``index_audit`` hash identical across the rewrite)."""
+    cells, books, p = load_index_state(spark, path)
+    codes_version = LH.compact_table(
+        spark, f"{path}/codes", cluster_by=["cell"], n_files=n_files
+    )
+    state_version = _publish_state(
+        cells, books, p, path, p["n_vectors"], codes_version
+    )
+    return {"codes_version": codes_version, "state_version": state_version}
 
 
 def index_audit(
@@ -272,6 +352,7 @@ def index_audit(
     path: str,
     state_version: int | None = None,
     codes_version: int | None = None,
+    chunk_target: int = AUDIT_CHUNK_TARGET,
 ) -> DataFrame:
     """ONE verification row over the STORED index — the
     ``read_shard_verified`` discipline applied to index content: re-hash
@@ -280,34 +361,64 @@ def index_audit(
     sits on disk IS the deterministic encode (any corruption, partial
     build, or quantizer drift flips the hash).
 
-    Hash shape at scale: per-cell md5 over the cell's code rows in
-    (vec_id, j) order (bounded by the target cell population — the
-    collect_list is cell-local, never corpus-global), then one md5 over
-    the n_cells-row (cell, hash) relation in cell order — a two-level
-    fold whose only global step is n_cells rows.
+    Hash shape at scale — a three-level fold whose largest collect_list
+    is bounded by a CONSTANT, not by the cell population (which
+    ``AUTO_CELLS_HI`` makes linear in n past ~8M vectors): code rows
+    group by (cell, vec_id % C) where C = ceil(n_vectors / (n_cells *
+    chunk_target)) — so a chunk holds ~chunk_target * m rows whatever
+    the corpus size — then per-cell md5 over the (chunk, hash) pairs in
+    chunk order, then one global md5 over the n_cells-row (cell, hash)
+    relation in cell order. C is exact integer arithmetic from the
+    state params, mirrored verbatim in the SQL oracle, so the fold
+    shape (and therefore the hash) is cross-engine identical.
 
     Columns: (n_vectors, n_code_rows, n_cells_used, n_cells, m, dsub,
     n_cents, codes_hash). ``state_version``/``codes_version`` audit a
-    pinned snapshot pair (time travel over the index history); default
-    latest.
+    pinned snapshot pair (time travel over the index history); defaults
+    resolve the latest state row and the codes version IT references
+    (the crash-consistent pair).
     """
     _, _, p = load_index_state(spark, path, state_version)
+    if codes_version is None:
+        codes_version = p["codes_version"]
+    denom = max(1, p["n_cells"] * chunk_target)
+    n_chunks = max(1, (p["n_vectors"] + denom - 1) // denom)
     codes = LH.read_table(spark, f"{path}/codes", codes_version)
-    per_cell = codes.groupBy("cell").agg(
+    row_fold = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("vec_id", "j", "code"))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["vec_id"].cast("string"),
+                    s["j"].cast("string"),
+                    s["code"].cast("string"),
+                ),
+            ),
+        )
+    )
+    per_chunk = codes.groupBy(
+        "cell", F.pmod(F.col("vec_id"), F.lit(n_chunks)).alias("chunk")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct(F.col("vec_id")).cast("long").alias("n_vecs"),
+        row_fold.alias("h"),
+    )
+    per_cell = per_chunk.groupBy("cell").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        # a vector's m rows share vec_id, hence one chunk: per-chunk
+        # distinct counts partition the cell's distinct count exactly
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
         F.md5(
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("vec_id", "j", "code"))
-                    ),
+                    F.sort_array(F.collect_list(F.struct("chunk", "h"))),
                     lambda s: F.concat_ws(
-                        ":",
-                        s["vec_id"].cast("string"),
-                        s["j"].cast("string"),
-                        s["code"].cast("string"),
+                        ":", s["chunk"].cast("string"), s["h"]
                     ),
                 ),
             )

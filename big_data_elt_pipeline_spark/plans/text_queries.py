@@ -1119,6 +1119,10 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole ranking is value-hashable (the ann_lsh_topk discipline).
 _PQ_M, _PQ_DSUB, _PQ_CENTS, _PQ_K = 8, 8, 16, 5
 
+from big_data_elt_pipeline_spark.operators.ann_index import (  # noqa: E402
+    AUDIT_CHUNK_TARGET as _AUDIT_CHUNK,
+)
+
 
 def _pq_subdist_sql(vec: str, cvec: str) -> str:
     return (
@@ -1411,16 +1415,35 @@ codes AS (
         FROM embeddings e, js, cents c
     ) WHERE rn = 1
 ),
-cellhash AS (
-    SELECT a.cell,
+cc AS (
+    -- audit chunk count: exact integer ceil(n / (n_cells * chunk_target)),
+    -- the identical arithmetic ann_index.index_audit computes from the
+    -- state params (AUDIT_CHUNK_TARGET mirrored as a literal)
+    SELECT CAST(greatest(1,
+        ((SELECT count(*) FROM embeddings) + nc.c * {_AUDIT_CHUNK} - 1)
+            // (nc.c * {_AUDIT_CHUNK})
+    ) AS BIGINT) AS c FROM nc
+),
+chunkhash AS (
+    SELECT a.cell, co.vec_id % cc.c AS chunk,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT co.vec_id) AS BIGINT) AS n_vecs,
            md5(string_agg(
                CAST(co.vec_id AS VARCHAR) || ':' || CAST(co.j AS VARCHAR)
                    || ':' || CAST(co.code AS VARCHAR),
                ',' ORDER BY co.vec_id, co.j)) AS h
-    FROM codes co JOIN assigned a ON a.vec_id = co.vec_id
-    GROUP BY a.cell
+    FROM codes co JOIN assigned a ON a.vec_id = co.vec_id, cc
+    GROUP BY a.cell, co.vec_id % cc.c
+),
+cellhash AS (
+    SELECT cell,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+           md5(string_agg(
+               CAST(chunk AS VARCHAR) || ':' || h,
+               ',' ORDER BY chunk)) AS h
+    FROM chunkhash
+    GROUP BY cell
 )
 SELECT CAST(sum(n_vecs) AS BIGINT) AS n_vectors,
        CAST(sum(n_rows) AS BIGINT) AS n_code_rows,

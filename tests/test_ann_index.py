@@ -191,6 +191,139 @@ def test_stream_probe_equals_batch_and_replays_idempotently(
     assert sorted(map(tuple, replay.select(key).collect())) == got
 
 
+def test_replay_converges_state_after_crash(spark, tmp_path):
+    """Crash+replay repair (r12 ADVICE): if the original append crashed
+    AFTER the codes commit but BEFORE the state re-publish, the replayed
+    txn must not return early — it recounts n_vectors from the codes and
+    re-publishes state pointing at the latest codes commit."""
+    emb = _emb(spark)
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    base = emb.filter(F.col("vec_id") <= mid)
+    delta = emb.filter(F.col("vec_id") > mid)
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(base, path, n_files=4)
+    # simulate the crash: commit the delta's codes under the txn tag,
+    # then "die" before the state overwrite (exactly append_to_index's
+    # first write, nothing after)
+    cells, books, p = AIX.load_index_state(spark, path)
+    encoded = SIM.ivfpq_encode_with_state(delta, cells, books, p["m"], p["dsub"])
+    LH.write_table(
+        encoded, f"{path}/codes", mode="append", cluster_by=["cell"],
+        txn=("crashy", 7),
+    )
+    stale = AIX.load_index_state(spark, path)[2]
+    assert stale["n_vectors"] == base.count()  # state is understated
+
+    res = AIX.append_to_index(delta, path, txn=("crashy", 7))
+    assert res["skipped"] and res["repaired"]
+    assert res["n_vectors"] == emb.count()
+    repaired = AIX.load_index_state(spark, path)[2]
+    assert repaired["n_vectors"] == emb.count()
+    assert repaired["codes_version"] == LH.table_versions(f"{path}/codes")[-1]
+    # a second replay finds nothing to repair
+    assert AIX.append_to_index(delta, path, txn=("crashy", 7)) == {
+        "skipped": True
+    }
+
+
+def test_compact_index_moves_state_pointer(spark, tmp_path):
+    """compact_index = codes OPTIMIZE + state re-publish: default probes
+    pin codes to the version state references, so compaction must move
+    that pointer for readers to see the compacted layout at all."""
+    emb = _emb(spark)
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(emb.filter(F.col("vec_id") <= mid), path, n_files=4)
+    AIX.append_to_index(emb.filter(F.col("vec_id") > mid), path, n_files=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    before_hash = AIX.index_audit(spark, path).first().codes_hash
+    before = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    old_p = AIX.load_index_state(spark, path)[2]
+
+    meta = AIX.compact_index(spark, path, n_files=3)
+    new_p = AIX.load_index_state(spark, path)[2]
+    assert new_p["codes_version"] == meta["codes_version"] > old_p["codes_version"]
+    assert new_p["n_vectors"] == old_p["n_vectors"]
+    assert AIX.index_audit(spark, path).first().codes_hash == before_hash
+    after = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    assert after == before
+
+
+def test_default_probe_consistent_across_crashed_rebuild(spark, tmp_path):
+    """The r12 ADVICE race: a rebuild over a CHANGED corpus that crashes
+    (or is observed) between its codes overwrite and its state overwrite
+    must leave default readers on the OLD consistent pair — never new
+    codes scanned against old quantizers."""
+    emb = _emb(spark)
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    base = emb.filter(F.col("vec_id") <= mid)
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(base, path, n_files=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    before = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    # simulate the half-rebuild: overwrite codes with an encode under
+    # DIFFERENT quantizers (the full corpus's), then "crash" before the
+    # state overwrite
+    enc2, _, _ = SIM.ivfpq_encode_relations(
+        emb, n_cells=SIM.auto_cells(emb.count()), m=8, dsub=8, n_cents=16
+    )
+    LH.write_table(enc2, f"{path}/codes", mode="overwrite", cluster_by=["cell"])
+
+    racing = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    assert racing == before  # old pair, not mixed halves
+    assert (
+        AIX.index_audit(spark, path).first().n_vectors == base.count()
+    )  # audit defaults to the same consistent pair
+
+
+def test_audit_chunked_fold_counts_stable(spark, index_path):
+    """Forcing a tiny chunk_target (C > 1) proves the bound level: the
+    counts are partition-invariant across any chunking, the hash is
+    deterministic for a given chunk_target, and the fold shape actually
+    changed (different hash than the default single-chunk form)."""
+    path, meta = index_path
+    default = AIX.index_audit(spark, path).first()
+    _, _, p = AIX.load_index_state(spark, path)
+    denom = p["n_cells"] * 1
+    expect_chunks = (p["n_vectors"] + denom - 1) // denom
+    assert expect_chunks > 1  # chunk_target=1 must force real chunking
+    tiny1 = AIX.index_audit(spark, path, chunk_target=1).first()
+    tiny2 = AIX.index_audit(spark, path, chunk_target=1).first()
+    for f in ("n_vectors", "n_code_rows", "n_cells_used", "n_cells", "m"):
+        assert getattr(tiny1, f) == getattr(default, f)
+    assert tiny1.codes_hash == tiny2.codes_hash
+    assert len(tiny1.codes_hash) == 32
+    assert tiny1.codes_hash != default.codes_hash
+
+
+def test_probe_empty_codes_snapshot(spark, tmp_path):
+    """kept == [] must scan an EMPTY frame (schema preserved), never the
+    full snapshot: an index whose referenced codes commit holds no rows
+    probes to zero rows without error."""
+    emb = _emb(spark)
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(emb, path, n_files=4)
+    cells, books, p = AIX.load_index_state(spark, path)
+    empty = LH.read_table(spark, f"{path}/codes").limit(0)
+    v = LH.write_table(empty, f"{path}/codes", mode="overwrite")
+    from big_data_elt_pipeline_spark.operators.ann_index import _publish_state
+
+    _publish_state(cells, books, p, path, 0, v)
+    out = AIX.ivfpq_probe(
+        spark, path, emb.filter(F.col("vec_id") < 4), k=5, n_probe=4
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "adc_l2sq", "rank"}
+
+
 def test_rebuild_is_versioned_and_stable(spark, index_path):
     """A rebuild commits new versions atomically; the audit hash is
     unchanged (deterministic encode) and old versions stay readable."""
