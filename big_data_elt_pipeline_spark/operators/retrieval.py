@@ -44,34 +44,30 @@ def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bm25_topk(
-    docs: DataFrame,
+def bm25_rank(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    dl: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-``k`` documents per query by BM25.
+    """The shared BM25 ranking kernel — both the per-call form
+    (``bm25_topk``) and the stored-index probe
+    (``text_index.bm25_index_probe``) compose it, so the two are
+    bit-identical BY CONSTRUCTION (the ``ivfpq_adc_scan`` shared-kernel
+    discipline applied to text).
 
-    ``docs``: (doc_id, text); ``queries``: (query_id, query_text) —
-    dimension-sized (a probe set, not a second corpus). Returns
-    (query_id, rank, doc_id, score) with the deterministic tie-break
-    (score desc, doc_id asc).
-
-    BM25 with the standard Robertson idf = ln(1 + (N - df + 0.5)/(df + 0.5))
-    (non-negative variant); repeated query terms count once (unweighted
-    query side — the common choice for short probe queries).
+    ``tf``: (doc_id, term, tf[, dl]) — if ``dl`` is None the relation
+    must already carry the document length (the stored index
+    denormalizes it into the postings so a probe is a single pruned
+    scan); otherwise ``dl``=(doc_id, dl) joins at the candidate stage,
+    AFTER the query-term filter (candidate-sized, not corpus-sized).
+    ``dfreq``: (term, df); ``corpus``: one row (n_docs, avgdl);
+    ``queries``: (query_id, query_text).
     """
-    tokens = tokenize(docs, "doc_id", "text")
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # dl and df both derive from tf, not from the raw token relation: the
-    # rollups shuffle |doc x distinct-term| rows instead of every token
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
-    )
-
     qterms = (
         tokenize(queries, "query_id", "query_text").distinct()
     )
@@ -97,12 +93,14 @@ def bm25_topk(
         .crossJoin(F.broadcast(corpus))
         .select("term", idf.alias("idf"), "avgdl")
     )
-    scored = (
+    cand = (
         tf.join(F.broadcast(qterms), "term")  # candidate postings only
         .join(F.broadcast(idf_tbl), "term")
-        .join(dl, "doc_id")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(contribution).cast("double").alias("score"))
+    )
+    if dl is not None:
+        cand = cand.join(dl, "doc_id")
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(contribution).cast("double").alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -111,6 +109,39 @@ def bm25_topk(
         .select("query_id", "rank", "doc_id", "score")
         .orderBy("query_id", "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25, recomputing the corpus term
+    statistics in-plan (ad-hoc form — for a serving loop that pays this
+    per query batch, build the persisted index once instead:
+    ``operators/text_index.build_text_index`` + ``bm25_index_probe``).
+
+    ``docs``: (doc_id, text); ``queries``: (query_id, query_text) —
+    dimension-sized (a probe set, not a second corpus). Returns
+    (query_id, rank, doc_id, score) with the deterministic tie-break
+    (score desc, doc_id asc).
+
+    BM25 with the standard Robertson idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    (non-negative variant); repeated query terms count once (unweighted
+    query side — the common choice for short probe queries).
+    """
+    tokens = tokenize(docs, "doc_id", "text")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # dl and df both derive from tf, not from the raw token relation: the
+    # rollups shuffle |doc x distinct-term| rows instead of every token
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    return bm25_rank(tf, dfreq, corpus, queries, k=k, k1=k1, b=b, dl=dl)
 
 
 def rrf_fuse(

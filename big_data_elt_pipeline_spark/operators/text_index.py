@@ -1,0 +1,483 @@
+"""Persisted BM25 text-retrieval index: build once, probe many — the
+``ann_index`` build/probe discipline applied to text (r12 verdict #1).
+
+Why this exists: the ad-hoc ``retrieval.bm25_topk`` recomputes tf, df,
+and avgdl from the FULL corpus inside every invocation — the exact
+per-call re-encode IVFPIN.json documented for vectors. A serving loop
+pays a corpus scan per query batch; at 100 TB that is the whole wall.
+The index amortizes the one corpus-sized pass into three lakehouse
+tables (atomic versioned commits — a reader can never observe a
+half-built index, and rebuilds are time-travelable):
+
+- ``{path}/postings`` — (doc_id, term, tf, dl): one row per distinct
+  (document, term), range-clustered by ``term`` so every data file
+  covers a tight term range and the manifest min/max stats let a probe
+  open only the files whose range can contain a query term. ``dl`` is
+  denormalized into the postings (one extra int per row) so a probe is
+  a SINGLE pruned scan — no second corpus-sized doc-length join
+  (Lucene stores norms per doc for the same reason).
+- ``{path}/df`` — (term, df) ADDITIVE increments, clustered by term:
+  the build writes the full document frequencies; each append commits
+  the delta's contribution and readers fold ``sum(df) group by term``
+  (vocab-sized, never corpus-sized). Pruned by query vocabulary the
+  same way as postings.
+- ``{path}/stats`` — ONE row (n_docs, n_docs_tokenized, total_dl,
+  postings_version, df_version). ``n_docs`` is the CORPUS count (BM25's
+  idf N counts every document); ``n_docs_tokenized`` is the number of
+  documents with at least one token (``avgdl``'s denominator — the
+  ad-hoc form's ``avg(dl)`` averages over the dl relation, which only
+  holds tokenized documents). Published LAST: the stats commit is the index's publish
+  point, and it RECORDS the postings/df versions it references, so a
+  default (unpinned) reader resolves a crash-consistent triple — a
+  rebuild that has overwritten postings but not yet re-published stats
+  can never be observed half-mixed (the ``ann_index`` codes_version
+  lesson applied from day one).
+
+Determinism: the probe composes the SAME ranking kernel
+(``retrieval.bm25_rank``) as the per-call form — quantized round-6
+decimal contributions, exact associative decimal sum — so a
+stored-index probe is bit-identical to ``bm25_topk`` on the corpus the
+index was built from, and stays oracle-checkable (the DuckDB oracle
+recomputes the whole ranking from the raw corpus). ``avgdl`` is
+reconstructed from the exact integer pair (total_dl, n_docs) with the
+identical IEEE double division ``F.avg`` performs, so the scalar is
+bit-equal too.
+
+Scale shape: build cost is the tokenize pass + two partial aggregations
++ one clustered write. Probe cost is |query vocab| x (pruned postings
+files) + a candidate-sized score aggregation — the corpus text is never
+touched after build. Appends are delta-sized (tokenize the delta, two
+clustered appends, one stats re-publish).
+
+Single-writer, append-only contract (the ``ann_index.append_to_index``
+convention): appended doc_ids must be NEW documents — updating an
+existing document requires a rebuild (or a delete+append once a
+tombstone path exists); concurrent appenders would race the stats
+read-modify-write.
+
+Reference parity: the reference (pandas/Prefect/Mongo retail ELT) has
+no retrieval surface; this extends the beyond-reference
+LLM-data-pipeline layer (Robertson & Zaragoza 2009 BM25; Lucene/ES
+inverted-index public design).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import lakehouse as LH
+from big_data_elt_pipeline_spark.operators import retrieval as RETR
+
+# target postings rows per audit hash chunk (same bound discipline as
+# ann_index.AUDIT_CHUNK_TARGET): the largest collect_list in
+# ``text_index_audit`` stays ~constant whatever the corpus size
+AUDIT_CHUNK_TARGET = 4096
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl) for ``docs`` — the deterministic tokenize +
+    two partial aggregations the ad-hoc form runs in-plan."""
+    tokens = RETR.tokenize(docs, id_col, text_col)
+    if id_col != "doc_id":
+        tokens = tokens.withColumnRenamed(id_col, "doc_id")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return tf.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
+
+
+def _publish_stats(
+    spark: SparkSession,
+    path: str,
+    n_docs: int,
+    n_docs_tokenized: int,
+    total_dl: int,
+    postings_version: int,
+    df_version: int,
+) -> int:
+    """Overwrite the one-row stats table — always written AFTER the
+    postings/df commits it names (the publish point)."""
+    stats = spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_docs_tokenized).cast("long").alias("n_docs_tokenized"),
+        F.lit(total_dl).cast("long").alias("total_dl"),
+        F.lit(postings_version).cast("long").alias("postings_version"),
+        F.lit(df_version).cast("long").alias("df_version"),
+    )
+    return LH.write_table(stats, f"{path}/stats", mode="overwrite")
+
+
+def load_text_index_stats(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The one-row stats dict — one ``.first()`` over the one-row stats
+    relation (the adaptive-planning scalar-fetch idiom: the counts and
+    referenced versions shape the probe plan, so they must be driver
+    values)."""
+    stats = LH.read_table(spark, f"{path}/stats", version)
+    return stats.first().asDict()
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_files: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the BM25 index for ``docs`` under ``path``.
+
+    Writes postings, then df, then stats — the stats commit is the
+    publish point and records the (postings, df) versions it references
+    (default readers resolve that consistent triple; a crash anywhere
+    before the stats overwrite leaves the previous index version fully
+    intact). Returns ``{"n_docs", "total_dl", "postings_version",
+    "df_version", "stats_version"}``.
+
+    ``n_files`` bounds the clustered file counts (fixture-scale tests
+    pass a small explicit count so per-term file skipping is exercised
+    rather than collapsing to one file).
+    """
+    post = _postings(docs, id_col, text_col)
+    postings_version = LH.write_table(
+        post, f"{path}/postings", mode="overwrite", cluster_by=["term"],
+        n_files=n_files,
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    df_version = LH.write_table(
+        dfreq, f"{path}/df", mode="overwrite", cluster_by=["term"],
+        n_files=n_files,
+    )
+    spark = docs.sparkSession
+    n_docs = docs.count()  # corpus N (idf counts token-less docs too)
+    counts = post.agg(
+        F.count_distinct("doc_id").cast("long").alias("n"),
+        F.sum("tf").cast("long").alias("t"),
+    ).first()
+    n_tok, total_dl = int(counts["n"] or 0), int(counts["t"] or 0)
+    stats_version = _publish_stats(
+        spark, path, n_docs, n_tok, total_dl, postings_version, df_version
+    )
+    return {
+        "n_docs": n_docs,
+        "n_docs_tokenized": n_tok,
+        "total_dl": total_dl,
+        "postings_version": postings_version,
+        "df_version": df_version,
+        "stats_version": stats_version,
+    }
+
+
+def append_to_text_index(
+    delta_docs: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    n_files: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Ingest a document batch into an EXISTING index without a rebuild:
+    tokenize the DELTA only, append its postings and its (term, df)
+    increments as clustered commits, and re-publish stats with the
+    updated exact counts. Document frequencies are additive because
+    appended doc_ids are new documents (the single-writer append-only
+    contract above) — readers fold ``sum(df)`` over the increments.
+
+    ``txn=(app_id, epoch)`` makes BOTH table appends idempotent under
+    the lakehouse exactly-once protocol (each table's log is checked
+    independently, so a crash between the two appends is repaired by
+    the replay: the committed one skips, the missing one commits). A
+    fully-replayed call returns ``{"skipped": True}`` but still
+    CONVERGES stats: it recounts (n_docs, total_dl) from the postings
+    themselves and re-publishes the stats row pointing at the latest
+    commits — the rare-path repair for a crash between the appends and
+    the stats publish (the ``ann_index.append_to_index`` replay
+    discipline).
+    """
+    spark = delta_docs.sparkSession
+    p = load_text_index_stats(spark, path)
+    post = _postings(delta_docs, id_col, text_col)
+    postings_version = LH.write_table(
+        post, f"{path}/postings", mode="append", cluster_by=["term"],
+        n_files=n_files, txn=txn,
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    df_version = LH.write_table(
+        dfreq, f"{path}/df", mode="append", cluster_by=["term"],
+        n_files=n_files, txn=txn,
+    )
+    if postings_version == -1 and df_version == -1:
+        # full replay: converge stats from a postings-side recount (the
+        # original may have crashed before the stats publish). The
+        # recount recovers n_docs_tokenized/total_dl exactly; the corpus
+        # n_docs is advanced by the tokenized-doc delta, which is exact
+        # unless the crashed batch contained token-less documents (an
+        # honest bound of the postings-only repair — a token-less doc
+        # leaves no trace in any index table)
+        latest_post = LH.table_versions(f"{path}/postings")[-1]
+        latest_df = LH.table_versions(f"{path}/df")[-1]
+        counts = (
+            LH.read_table(spark, f"{path}/postings")
+            .agg(
+                F.count_distinct("doc_id").cast("long").alias("n"),
+                F.sum("tf").cast("long").alias("t"),
+            )
+            .first()
+        )
+        true_tok, true_dl = int(counts["n"] or 0), int(counts["t"] or 0)
+        if (
+            true_tok != p["n_docs_tokenized"]
+            or true_dl != p["total_dl"]
+            or p["postings_version"] != latest_post
+            or p["df_version"] != latest_df
+        ):
+            n_docs = p["n_docs"] + (true_tok - p["n_docs_tokenized"])
+            sv = _publish_stats(
+                spark, path, n_docs, true_tok, true_dl,
+                latest_post, latest_df,
+            )
+            return {
+                "skipped": True, "repaired": True, "n_docs": n_docs,
+                "n_docs_tokenized": true_tok, "total_dl": true_dl,
+                "stats_version": sv,
+            }
+        return {"skipped": True}
+    # partial replay (one table committed before the crash): the missing
+    # append just committed above; fall through to the normal publish
+    if postings_version == -1:
+        postings_version = LH.table_versions(f"{path}/postings")[-1]
+    if df_version == -1:
+        df_version = LH.table_versions(f"{path}/df")[-1]
+    n_delta_docs = delta_docs.count()  # corpus N counts token-less docs
+    delta_counts = post.agg(
+        F.count_distinct("doc_id").cast("long").alias("n"),
+        F.sum("tf").cast("long").alias("t"),
+    ).first()
+    n_docs = p["n_docs"] + n_delta_docs
+    n_tok = p["n_docs_tokenized"] + int(delta_counts["n"] or 0)
+    total_dl = p["total_dl"] + int(delta_counts["t"] or 0)
+    stats_version = _publish_stats(
+        spark, path, n_docs, n_tok, total_dl, postings_version, df_version
+    )
+    return {
+        "n_docs": n_docs,
+        "n_docs_tokenized": n_tok,
+        "total_dl": total_dl,
+        "n_delta": n_delta_docs,
+        "postings_version": postings_version,
+        "df_version": df_version,
+        "stats_version": stats_version,
+    }
+
+
+def _read_pruned_by_terms(
+    spark: SparkSession, path: str, terms: list[str], version: int | None
+) -> DataFrame:
+    """Snapshot read opening only the files whose manifest ``term`` range
+    contains at least one query term — ONE manifest fold for the whole
+    term set (the ``ivfpq_probe`` single-fold idiom; a per-term
+    prune_files loop would re-parse every commit JSON once per term).
+    prune semantics preserved: no stats => always kept; kept == [] is an
+    EMPTY scan (schema kept), never a full-snapshot fallback."""
+    stats = LH.live_file_stats(path, version)
+    terms_sorted = sorted(set(terms))
+    kept = []
+    live = LH.live_files(path, version)
+    for f in live:
+        rng = stats.get(f, {}).get("term")
+        if rng is None:
+            kept.append(f)
+            continue
+        i = bisect.bisect_left(terms_sorted, rng[0])
+        if i < len(terms_sorted) and terms_sorted[i] <= rng[1]:
+            kept.append(f)
+    if kept:
+        return spark.read.parquet(*sorted(kept))
+    return LH.read_table(spark, path, version).limit(0)
+
+
+def bm25_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats_version: int | None = None,
+    postings_version: int | None = None,
+    df_version: int | None = None,
+) -> DataFrame:
+    """Top-``k`` BM25 over the STORED index — no corpus tokenize, no
+    corpus stats recompute in this plan. Same output, bit for bit, as
+    ``retrieval.bm25_topk`` on the corpus the index was built from
+    (both compose ``retrieval.bm25_rank``; avgdl is the identical IEEE
+    division of the stored exact integers).
+
+    Read path: the query vocabulary is a bounded relation (|queries|
+    distinct terms); ONE single-row aggregate fetches it as a set (the
+    adaptive-planning scalar-fetch idiom) and both the postings and df
+    scans open only files whose manifest term range can contain a query
+    term — with the ``cluster_by=["term"]`` build layout that is the
+    file-level analogue of the row-level term equi-join, which still
+    applies inside kept files.
+
+    Snapshot consistency: ``postings_version``/``df_version`` default to
+    the versions the resolved stats row RECORDS, so a default read is
+    crash-consistent across rebuilds by construction. Pass explicit
+    versions to time travel.
+    """
+    p = load_text_index_stats(spark, path, stats_version)
+    if postings_version is None:
+        postings_version = p["postings_version"]
+    if df_version is None:
+        df_version = p["df_version"]
+
+    # query vocabulary: bounded by the probe set, never corpus-sized
+    qvocab = [
+        r["term"]
+        for r in RETR.tokenize(queries, "query_id", "query_text")
+        .select("term").distinct().collect()
+    ]
+
+    post = _read_pruned_by_terms(
+        spark, f"{path}/postings", qvocab, postings_version
+    )
+    dfreq = (
+        _read_pruned_by_terms(spark, f"{path}/df", qvocab, df_version)
+        # fold the additive increments (vocab-sized; pruned to ~query
+        # vocab by the file skip + the kernel's qterms join)
+        .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    )
+    # avgdl from the exact integer pair — the same IEEE double division
+    # F.avg(dl) lowers to (cast(sum) / cast(count)), so the scalar is
+    # bit-equal to the per-call form's in-plan average. Denominator is
+    # the TOKENIZED doc count (the dl relation only holds docs with >= 1
+    # token); idf's N below is the full corpus count
+    corpus = spark.range(1).select(
+        F.lit(p["n_docs"]).cast("long").alias("n_docs"),
+        (
+            F.lit(p["total_dl"]).cast("double")
+            / F.lit(p["n_docs_tokenized"]).cast("double")
+        ).alias("avgdl"),
+    )
+    return RETR.bm25_rank(post, dfreq, corpus, queries, k=k, k1=k1, b=b)
+
+
+def text_index_audit(
+    spark: SparkSession,
+    path: str,
+    stats_version: int | None = None,
+    postings_version: int | None = None,
+    df_version: int | None = None,
+    chunk_target: int = AUDIT_CHUNK_TARGET,
+) -> DataFrame:
+    """ONE verification row over the STORED text index — the
+    ``ann_index.index_audit`` discipline applied to postings: re-hash
+    the persisted (doc_id, term, tf, dl) relation and re-derive the
+    aggregates, so an oracle that recomputes the tokenize from the raw
+    corpus certifies that what sits on disk IS the deterministic
+    inverted index (corruption, a partial build, double-counted df
+    increments, or stats drift all flip a column).
+
+    Columns: (n_docs, n_docs_tokenized, n_postings, vocab_size,
+    total_dl, n_df_mismatch, stats_consistent, postings_hash) —
+    ``n_docs`` is the STORED corpus count (the oracle recomputes it from
+    the raw corpus, so stats drift flips the column);
+    ``n_docs_tokenized`` is DERIVED from the postings;
+    - n_df_mismatch: full-outer compare of the FOLDED stored df
+      relation against the postings-derived document frequencies
+      (0 = the additive increments reconcile exactly);
+    - stats_consistent: the stored stats row equals the
+      postings-derived (n_docs, total_dl) pair;
+    - postings_hash: two-level fold — rows group by doc_id % C with
+      C = ceil(n_docs / chunk_target) (the largest collect_list is
+      ~chunk_target * terms-per-doc, constant at any corpus size), each
+      chunk md5-hashed over its rows in (doc_id, term) order, then one
+      global md5 over the (chunk, hash) relation in chunk order. C is
+      exact integer arithmetic from the stats row, mirrored verbatim in
+      the SQL oracle.
+    """
+    p = load_text_index_stats(spark, path, stats_version)
+    if postings_version is None:
+        postings_version = p["postings_version"]
+    if df_version is None:
+        df_version = p["df_version"]
+    n_chunks = max(1, (p["n_docs"] + chunk_target - 1) // chunk_target)
+
+    post = LH.read_table(spark, f"{path}/postings", postings_version)
+    per_chunk = post.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(n_chunks)).alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs_c"),
+        F.sum("tf").cast("long").alias("dl_c"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "term", "tf", "dl"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["term"],
+                        s["tf"].cast("string"),
+                        s["dl"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("h"),
+    )
+    fold = per_chunk.agg(
+        F.sum("n_docs_c").cast("long").alias("n_docs_tokenized"),
+        F.sum("n_rows").cast("long").alias("n_postings"),
+        F.sum("dl_c").cast("long").alias("total_dl"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk", "h"))),
+                    lambda s: F.concat_ws(
+                        ":", s["chunk"].cast("string"), s["h"]
+                    ),
+                ),
+            )
+        ).alias("postings_hash"),
+    )
+    derived_df = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("ddf")
+    )
+    stored_df = (
+        LH.read_table(spark, f"{path}/df", df_version)
+        .groupBy("term").agg(F.sum("df").cast("long").alias("sdf"))
+    )
+    df_check = (
+        derived_df.join(stored_df, "term", "full_outer")
+        .filter(
+            ~(F.col("ddf").eqNullSafe(F.col("sdf")))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_df_mismatch"))
+    )
+    vocab = post.agg(
+        F.count_distinct("term").cast("long").alias("vocab_size")
+    )
+    return (
+        fold.crossJoin(vocab)
+        .crossJoin(df_check)
+        .select(
+            F.lit(p["n_docs"]).cast("long").alias("n_docs"),
+            "n_docs_tokenized",
+            "n_postings",
+            "vocab_size",
+            "total_dl",
+            "n_df_mismatch",
+            (
+                (F.col("n_docs_tokenized") == F.lit(p["n_docs_tokenized"]))
+                & (F.col("total_dl") == F.lit(p["total_dl"]))
+            ).alias("stats_consistent"),
+            "postings_hash",
+        )
+    )

@@ -1,0 +1,225 @@
+"""Persisted BM25 text index (operators/text_index.py): the stored-index
+probe must answer bit-identically to the per-call ``bm25_topk``, the
+stored postings must verify against the corpus, appends must converge to
+exactly the full-corpus index (BM25 stats are exact, unlike the frozen
+ANN quantizers), and the probe read must actually skip files for terms
+outside a file's range."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_elt_pipeline_spark import lakehouse as LH
+from big_data_elt_pipeline_spark.operators import retrieval as RETR
+from big_data_elt_pipeline_spark.operators import text_index as TIX
+from tests.conftest import SF_SMOKE
+
+QUERIES = [
+    ("q_join", "shuffle join broadcast table"),
+    ("q_scan", "parquet scan filter pushdown"),
+    ("q_window", "window partition order row"),
+]
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _queries(spark, pairs=QUERIES):
+    return spark.createDataFrame(pairs, "query_id string, query_text string")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("textix") / "index")
+    meta = TIX.build_text_index(_docs(spark), path, n_files=8)
+    return path, meta
+
+
+KEY = ["query_id", "rank", "doc_id", "score"]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select(KEY).collect()))
+
+
+def test_probe_matches_per_call_form(spark, index_path):
+    path, _ = index_path
+    q = _queries(spark)
+    stored = TIX.bm25_index_probe(spark, path, q, k=10)
+    adhoc = RETR.bm25_topk(_docs(spark), q, k=10)
+    assert _rows(stored) == _rows(adhoc)
+    assert len(_rows(stored)) > 0
+
+
+def test_audit_counts_hash_and_consistency(spark, index_path):
+    path, meta = index_path
+    row = TIX.text_index_audit(spark, path).first()
+    assert row.n_docs == meta["n_docs"]
+    assert row.n_docs_tokenized == meta["n_docs_tokenized"]
+    assert row.total_dl == meta["total_dl"]
+    assert row.n_df_mismatch == 0
+    assert row.stats_consistent is True
+    assert row.vocab_size > 0
+    assert row.n_postings >= row.vocab_size
+    assert len(row.postings_hash) == 32
+
+
+def test_append_converges_to_full_corpus_index(spark, tmp_path):
+    """BM25 index stats are exact (no frozen quantizers): base build +
+    delta append must equal the full-corpus index EXACTLY — the probe is
+    bit-identical to the ad-hoc form over the whole corpus, and the df
+    increments reconcile."""
+    docs = _docs(spark)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    path = str(tmp_path / "index")
+    TIX.build_text_index(docs.filter(F.col("doc_id") <= mid), path, n_files=4)
+    res = TIX.append_to_text_index(
+        docs.filter(F.col("doc_id") > mid), path, txn=("t", 1), n_files=4
+    )
+    assert res["n_docs"] == docs.count()
+
+    q = _queries(spark)
+    stored = TIX.bm25_index_probe(spark, path, q, k=10)
+    adhoc = RETR.bm25_topk(docs, q, k=10)
+    assert _rows(stored) == _rows(adhoc)
+
+    row = TIX.text_index_audit(spark, path).first()
+    assert row.n_df_mismatch == 0 and row.stats_consistent is True
+
+    # replayed txn: no duplicate rows, audit unchanged
+    before = row.postings_hash
+    assert TIX.append_to_text_index(
+        docs.filter(F.col("doc_id") > mid), path, txn=("t", 1)
+    ) == {"skipped": True}
+    assert TIX.text_index_audit(spark, path).first().postings_hash == before
+
+    # pinned pre-append read still answers as the base-only index
+    base_meta = LH.read_table(spark, f"{path}/stats", 0).first()
+    pinned = TIX.bm25_index_probe(spark, path, q, k=10, stats_version=0)
+    base_adhoc = RETR.bm25_topk(docs.filter(F.col("doc_id") <= mid), q, k=10)
+    assert _rows(pinned) == _rows(base_adhoc)
+    assert base_meta.n_docs == mid + 1
+
+
+def test_replay_converges_stats_after_crash(spark, tmp_path):
+    """Crash+replay repair: commit the delta's postings AND df under the
+    txn tag, 'die' before the stats publish — the replayed call must
+    repair the stats row instead of returning early."""
+    docs = _docs(spark)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(base, path, n_files=4)
+    post = TIX._postings(delta, "doc_id", "text")
+    LH.write_table(
+        post, f"{path}/postings", mode="append", cluster_by=["term"],
+        txn=("crashy", 3),
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    LH.write_table(
+        dfreq, f"{path}/df", mode="append", cluster_by=["term"],
+        txn=("crashy", 3),
+    )
+    assert TIX.load_text_index_stats(spark, path)["n_docs"] == base.count()
+
+    res = TIX.append_to_text_index(delta, path, txn=("crashy", 3))
+    assert res["skipped"] and res["repaired"]
+    assert res["n_docs"] == docs.count()
+    p = TIX.load_text_index_stats(spark, path)
+    assert p["n_docs"] == docs.count()
+    assert p["postings_version"] == LH.table_versions(f"{path}/postings")[-1]
+    assert p["df_version"] == LH.table_versions(f"{path}/df")[-1]
+    # second replay: nothing to repair
+    assert TIX.append_to_text_index(delta, path, txn=("crashy", 3)) == {
+        "skipped": True
+    }
+    # and the repaired index answers exactly as the full-corpus form
+    q = _queries(spark)
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=10)) == _rows(
+        RETR.bm25_topk(docs, q, k=10)
+    )
+
+
+def test_partial_replay_commits_missing_table(spark, tmp_path):
+    """Crash BETWEEN the two appends: postings committed, df did not —
+    the replay must commit the missing df increment and publish correct
+    stats (each table's txn log is checked independently)."""
+    docs = _docs(spark)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    delta = docs.filter(F.col("doc_id") > mid)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(base, path, n_files=4)
+    post = TIX._postings(delta, "doc_id", "text")
+    LH.write_table(
+        post, f"{path}/postings", mode="append", cluster_by=["term"],
+        txn=("crashy", 9),
+    )
+    res = TIX.append_to_text_index(delta, path, txn=("crashy", 9))
+    assert "skipped" not in res  # the df append went through this time
+    row = TIX.text_index_audit(spark, path).first()
+    assert row.n_df_mismatch == 0 and row.stats_consistent is True
+    assert row.n_docs == docs.count()
+
+
+def test_probe_prunes_files_and_handles_absent_terms(spark, index_path):
+    path, _ = index_path
+    postings = f"{path}/postings"
+    live = LH.live_files(postings)
+    assert len(live) > 1  # n_files=8 build: pruning is non-vacuous
+    stats = LH.live_file_stats(postings)
+    lo_term = stats[sorted(live)[0]]["term"][0]
+    kept, skipped = LH.prune_files(postings, "term", lo=lo_term, hi=lo_term)
+    assert skipped and len(kept) < len(live)
+
+    # a term above every file's max range: empty scan, never a full read
+    probe = TIX._read_pruned_by_terms(spark, postings, ["zzzzzzz"], None)
+    assert probe.count() == 0
+    # a query of absent terms ranks nothing (and does not error)
+    q = _queries(spark, [("q_absent", "zzzzzzz qqqqqqq")])
+    assert TIX.bm25_index_probe(spark, path, q, k=10).count() == 0
+
+
+def test_audit_chunked_fold_counts_stable(spark, index_path):
+    """Tiny chunk_target forces C > 1: counts invariant, hash
+    deterministic per chunk_target, fold shape actually changed."""
+    path, meta = index_path
+    default = TIX.text_index_audit(spark, path).first()
+    assert (meta["n_docs"] + 0) // 1 >= 2  # corpus big enough to chunk
+    tiny1 = TIX.text_index_audit(spark, path, chunk_target=1).first()
+    tiny2 = TIX.text_index_audit(spark, path, chunk_target=1).first()
+    for f in ("n_docs", "n_docs_tokenized", "n_postings", "vocab_size",
+              "total_dl", "n_df_mismatch"):
+        assert getattr(tiny1, f) == getattr(default, f)
+    assert tiny1.postings_hash == tiny2.postings_hash
+    assert len(tiny1.postings_hash) == 32
+    assert tiny1.postings_hash != default.postings_hash
+
+
+def test_default_probe_consistent_across_crashed_rebuild(spark, tmp_path):
+    """A rebuild over a CHANGED corpus crashing between its postings
+    overwrite and its stats overwrite leaves default readers on the OLD
+    consistent triple (stats records the versions it references)."""
+    docs = _docs(spark)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(base, path, n_files=4)
+    q = _queries(spark)
+    before = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
+    # half-rebuild: overwrite postings + df from the FULL corpus, then
+    # "crash" before the stats overwrite
+    post = TIX._postings(docs, "doc_id", "text")
+    LH.write_table(post, f"{path}/postings", mode="overwrite", cluster_by=["term"])
+    LH.write_table(
+        post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
+        f"{path}/df", mode="overwrite", cluster_by=["term"],
+    )
+    racing = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
+    assert racing == before  # old triple, not mixed halves
+    assert (
+        TIX.text_index_audit(spark, path).first().n_docs == base.count()
+    )
