@@ -234,10 +234,14 @@ def ivfpq_probe(
     query_id_col: str = "query_id",
     state_version: int | None = None,
     codes_version: int | None = None,
+    tombstones_version: int | None = None,
 ) -> DataFrame:
     """Top-k over the STORED index — no corpus re-encode. Same output,
     bit for bit, as ``similarity.ivfpq_topk`` on the corpus the index
-    was built from (both run ``ivfpq_adc_scan`` on the same relations).
+    was built from (both run ``ivfpq_adc_scan`` on the same relations),
+    minus any tombstoned vectors (``delete_from_index`` — the broadcast
+    anti-join applies logical deletes until the next ``compact_index``
+    folds them physically).
 
     Read path: the query batch's probed cells are a bounded relation
     (|queries| x n_probe ints) computed map-side against the broadcast
@@ -320,31 +324,180 @@ def ivfpq_probe(
         # schema without scanning the full snapshot (the best pruning
         # outcome must not degenerate to a whole-table scan).
         codes = LH.read_table(spark, codes_path, codes_version).limit(0)
+    tomb = _live_tombstones(spark, path, tombstones_version)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     return SIM.ivfpq_adc_scan(
         codes, cells, books, queries, k, n_probe, p["m"], p["dsub"],
         id_col, vec_col, query_id_col,
     )
 
 
+def index_recall(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    floor: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Recall@k of the PERSISTED index against exact squared-L2 brute
+    force over ``corpus`` (the raw vectors — the index stores only
+    codes), as ONE scalar row: (n_queries, k, recall_at_k, min_recall,
+    floor_ok). The ground truth is L2 because the ADC ranking is an
+    L2-metric approximation — a cosine ground truth would conflate
+    metric disagreement with the quantization loss this gate monitors.
+
+    This is the stored-index drift monitor ``similarity.ivf_recall``'s
+    discipline applied to the SERVING artifact: because
+    ``append_to_index`` encodes deltas against the immutable base-built
+    quantizers, recall silently decays if appended data drifts from the
+    build distribution — running this gate on a deterministic sampled
+    query set after ingest catches the decay in the driver hash instead
+    of in production. ``floor_ok`` rides the bounded-assertion contract
+    (the ml_queries AUC-floor idiom): the recall math is exact integers
+    until two final IEEE divisions, and the floor literal is shared with
+    the oracle, so the boolean is bit-portable.
+
+    Scale shape: the probe side is the pruned stored-index scan; the
+    brute-force side is |queries| x corpus — the measurement's price, so
+    run it on a SAMPLED query set (the point is a drift signal, not a
+    second serving path).
+    """
+    probe = ivfpq_probe(
+        spark, path, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+    bf = SIM.brute_force_l2_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col
+    )
+    hits = probe.select(query_id_col, id_col).join(
+        F.broadcast(bf.select(query_id_col, id_col)), [query_id_col, id_col]
+    )
+    per = (
+        queries.select(F.col(id_col).alias(query_id_col))
+        .join(
+            F.broadcast(
+                hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("h"))
+            ),
+            query_id_col,
+            "left",
+        )
+        .na.fill({"h": 0})
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("h").cast("long").alias("__hits"),
+        F.min("h").cast("long").alias("__minh"),
+    ).select(
+        "n_queries",
+        F.lit(k).cast("int").alias("k"),
+        (
+            F.col("__hits").cast("double") / (F.col("n_queries") * F.lit(k))
+        ).alias("recall_at_k"),
+        (F.col("__minh").cast("double") / F.lit(k)).alias("min_recall"),
+        (
+            (F.col("__hits").cast("double") / (F.col("n_queries") * F.lit(k)))
+            >= F.lit(floor)
+        ).alias("floor_ok"),
+    )
+
+
+def delete_from_index(
+    ids: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Delete vectors from the index WITHOUT rewriting codes: append the
+    ids to ``{path}/tombstones`` as one atomic commit; ``ivfpq_probe``
+    anti-joins the tombstones after its pruned codes scan, and the next
+    ``compact_index`` folds them away physically (the Delta
+    deletion-vector shape: logical delete now, physical rewrite at
+    OPTIMIZE).
+
+    Scale bound: the tombstone relation is broadcast at probe time, so
+    deletes accumulated BETWEEN compactions must stay dimension-sized
+    (the standard DV assumption) — compact when they grow. Deletes are
+    monotone and single-commit, so no state-pair problem arises; probes
+    read tombstones at latest by default (a delete is visible
+    immediately, the serving semantics a store wants) and can pin
+    ``tombstones_version`` for frozen replay. ``txn`` makes the commit
+    idempotent under the lakehouse exactly-once protocol.
+    """
+    spark = ids.sparkSession
+    tomb = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
+    v = LH.write_table(tomb, f"{path}/tombstones", mode="append", txn=txn)
+    if v == -1:
+        return {"skipped": True}
+    n = (
+        LH.read_table(spark, f"{path}/tombstones")
+        .select("vec_id").distinct().count()
+    )
+    return {"tombstones_version": v, "n_tombstones": n}
+
+
+def _live_tombstones(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame | None:
+    """The tombstone relation, or None when no delete has ever landed."""
+    if not LH.table_versions(f"{path}/tombstones"):
+        return None
+    return LH.read_table(spark, f"{path}/tombstones", version)
+
+
 def compact_index(
     spark: SparkSession, path: str, n_files: int | None = None
 ) -> dict:
-    """OPTIMIZE the codes table (small-file compaction, re-clustered by
-    cell) and re-publish the state row to reference the compacted
-    commit. Because default readers pin codes to the version state
-    names, a bare ``lakehouse.compact_table`` on the codes table alone
-    would leave probes reading the PRE-compaction files (correct but
-    un-optimized, and vacuum-unsafe) — index compaction must move the
-    state pointer too, which is what this wrapper does. Content is
-    unchanged (``index_audit`` hash identical across the rewrite)."""
+    """OPTIMIZE the index: rewrite the codes table (small-file
+    compaction, re-clustered by cell) with every tombstoned vector
+    FOLDED AWAY, re-publish the state row to reference the compacted
+    commit, then truncate the tombstones. Because default readers pin
+    codes to the version state names, a bare ``lakehouse.compact_table``
+    on the codes table alone would leave probes reading the
+    PRE-compaction files (correct but un-optimized, and vacuum-unsafe) —
+    index compaction must move the state pointer too.
+
+    Crash ordering: codes rewrite -> state publish -> tombstone
+    truncate. A crash before the state publish leaves readers on the
+    old (codes, tombstones) pair — correct via the anti-join; a crash
+    after it leaves compacted codes with a stale tombstone relation
+    whose anti-join matches nothing — also correct. Truncating BEFORE
+    the state publish would be the unsafe order (old codes with the
+    deletes forgotten).
+
+    With no tombstones the content is unchanged (``index_audit`` hash
+    identical across the rewrite); with tombstones the audit reflects
+    the deletion (hash over the surviving codes only)."""
     cells, books, p = load_index_state(spark, path)
-    codes_version = LH.compact_table(
-        spark, f"{path}/codes", cluster_by=["cell"], n_files=n_files
+    codes = LH.read_table(spark, f"{path}/codes", p["codes_version"])
+    tomb = _live_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+        # folding deletes changes the live count — recount exactly from
+        # the surviving codes (one agg over the already-materializing
+        # rewrite input)
+        n_vectors = codes.select("vec_id").distinct().count()
+    else:
+        n_vectors = p["n_vectors"]
+    codes_version = LH.write_table(
+        codes, f"{path}/codes", mode="overwrite", cluster_by=["cell"],
+        n_files=n_files,
     )
     state_version = _publish_state(
-        cells, books, p, path, p["n_vectors"], codes_version
+        cells, books, p, path, n_vectors, codes_version
     )
-    return {"codes_version": codes_version, "state_version": state_version}
+    if tomb is not None:
+        LH.write_table(tomb.limit(0), f"{path}/tombstones", mode="overwrite")
+    return {
+        "codes_version": codes_version,
+        "state_version": state_version,
+        "n_vectors": n_vectors,
+    }
 
 
 def index_audit(

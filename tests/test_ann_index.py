@@ -324,6 +324,71 @@ def test_probe_empty_codes_snapshot(spark, tmp_path):
     assert set(out.columns) == {"query_id", "vec_id", "adc_l2sq", "rank"}
 
 
+def test_delete_probe_and_compaction_fold(spark, tmp_path):
+    """delete_from_index: tombstoned vectors vanish from every ranking
+    immediately (broadcast anti-join), the delete is idempotent under a
+    txn tag, and compact_index folds the tombstones physically — same
+    answers, reduced audit counts, truncated tombstone table."""
+    emb = _emb(spark)
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(emb, path, n_files=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    before = AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
+    victims = {
+        r.vec_id
+        for r in before.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    assert victims  # the delete must actually displace some results
+
+    res = AIX.delete_from_index(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+        path, txn=("d", 1),
+    )
+    assert res["n_tombstones"] > 0
+    after = AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
+    got = after.collect()
+    assert all(r.vec_id % 7 != 0 for r in got)
+    assert len(got) == 8 * 5  # ranks refill from surviving candidates
+    assert AIX.delete_from_index(
+        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+        path, txn=("d", 1),
+    ) == {"skipped": True}
+
+    key = ["query_id", "vec_id", "adc_l2sq", "rank"]
+    pre_compact = sorted(map(tuple, after.select(key).collect()))
+    n_live_before = AIX.index_audit(spark, path).first().n_vectors
+    meta = AIX.compact_index(spark, path, n_files=3)
+    assert meta["n_vectors"] < n_live_before
+    assert AIX.index_audit(spark, path).first().n_vectors == meta["n_vectors"]
+    assert (
+        LH.read_table(spark, f"{path}/tombstones").count() == 0
+    )  # folded away
+    post_compact = sorted(
+        map(
+            tuple,
+            AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
+            .select(key).collect(),
+        )
+    )
+    assert post_compact == pre_compact
+
+
+def test_index_recall_gate(spark, index_path):
+    """The stored-index recall monitor: deterministic exact values, a
+    floor boolean consistent with the measured recall, and full
+    coverage of the query set."""
+    path, _ = index_path
+    emb = _emb(spark)
+    queries = emb.filter((F.col("vec_id") >= 48) & (F.col("vec_id") < 64))
+    r1 = AIX.index_recall(spark, path, emb, queries, k=5, n_probe=4).first()
+    r2 = AIX.index_recall(spark, path, emb, queries, k=5, n_probe=4).first()
+    assert r1 == r2  # deterministic measurement
+    assert r1.n_queries == 16 and r1.k == 5
+    assert 0.0 <= r1.recall_at_k <= 1.0
+    assert r1.floor_ok == (r1.recall_at_k >= 0.05)
+    assert r1.min_recall <= r1.recall_at_k
+
+
 def test_rebuild_is_versioned_and_stable(spark, index_path):
     """A rebuild commits new versions atomically; the audit hash is
     unchanged (deterministic encode) and old versions stay readable."""
