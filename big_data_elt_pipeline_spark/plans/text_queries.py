@@ -1282,7 +1282,7 @@ def _mmr_sql() -> str:
     head = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
            WHERE vec_id < {_MMR_NQ}),
-cand AS (
+cand AS MATERIALIZED (
     SELECT query_id, vec_id, embedding, cosine FROM (
         SELECT q.query_id, e.vec_id, e.embedding,
                {_cos("q.qvec", "e.embedding")} AS cosine,
@@ -1294,13 +1294,13 @@ cand AS (
         WHERE e.vec_id != q.query_id
     ) WHERE rn <= {_MMR_CAND}
 ),
-sim AS (
+sim AS MATERIALIZED (
     SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
            {_cos("a.embedding", "b.embedding")} AS s
     FROM cand a JOIN cand b
       ON b.query_id = a.query_id AND b.vec_id != a.vec_id
 ),
-sel1 AS (
+sel1 AS MATERIALIZED (
     SELECT query_id, vec_id, cosine, CAST(0.0 AS DOUBLE) AS max_sim,
            {_MMR_LAM} * cosine AS mmr_score, 1 AS mmr_rank
     FROM (
@@ -1328,7 +1328,7 @@ pool{r} AS (
         WHERE u.query_id = c.query_id AND u.vec_id = c.vec_id
     )
 ),
-sel{r} AS (
+sel{r} AS MATERIALIZED (
     SELECT * FROM sel{p}
     UNION ALL
     SELECT query_id, vec_id, cosine, max_sim, mmr_score, {r} AS mmr_rank
@@ -1680,6 +1680,279 @@ def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ann_index_path(spark, sf_dir)
     out = f"{staging_dir('stream_ann', sf_dir)}/state/out"
     return stream_index_probe_evidence(spark, sf_dir, idx, out)
+
+
+# --------------------------------------------------------------------------
+# stream_retrieval_loop (r12 verdict #5): the serving loop END TO END as
+# one evidence relation — stream ingest (append_to_index per micro-batch,
+# exactly-once) -> stored-index probe -> exact-cosine rescore ->
+# mmr_rerank over the probe candidates — the actual RAG-shaped product
+# path, which until now was gated only stage by stage. The oracle
+# re-derives EVERYTHING from the raw corpus: quantizers sampled from the
+# BASE corpus only (the delta arrives by stream, encoded against the
+# stored immutable state), codes for base+delta, the pruned ADC ranking,
+# the rescore, the k unrolled MMR rounds, and the chunked content hash of
+# the post-ingest codes table — so one driver hash certifies ingest
+# completeness (a lost or duplicated epoch flips codes_hash), candidate
+# generation, and the rerank in a single relation.
+# --------------------------------------------------------------------------
+
+_LOOP_DELTA = (64, 80)   # streamed-ingest rows
+_LOOP_Q = (80, 88)       # probe queries, disjoint from every other set
+_LOOP_CAND = 20          # ANN candidate depth feeding MMR
+_LOOP_K = 5              # MMR picks
+
+
+def _stream_loop_sql() -> str:
+    d_lo, d_hi = _LOOP_DELTA
+    q_lo, q_hi = _LOOP_Q
+    base_pred = f"NOT (vec_id >= {d_lo} AND vec_id < {d_hi})"
+    q_pred = f"vec_id >= {q_lo} AND vec_id < {q_hi}"
+    cells_b = (
+        "(SELECT CAST(count(*) AS INTEGER) FROM range(0, {d}) t(j), "
+        "(SELECT count(*) AS n FROM base) nn "
+        "WHERE nn.n > CAST({t} AS BIGINT) * (1 << CAST(t.j AS INTEGER)))"
+    ).format(d=SIM._CELLS_DOUBLINGS, t=SIM.TARGET_CELL_ROWS)
+    rounds = []
+    for r in range(2, _LOOP_K + 1):
+        p = r - 1
+        rounds.append(f""",
+pool{r} AS (
+    SELECT c.query_id, c.vec_id, c.cosine, m.ms AS max_sim,
+           {_MMR_LAM} * c.cosine - {_MMR_OM} * m.ms AS mmr_score
+    FROM cand c
+    JOIN (
+        SELECT s.query_id, s.a_id, max(s.s) AS ms
+        FROM sim s JOIN sel{p} t
+          ON t.query_id = s.query_id AND t.vec_id = s.b_id
+        GROUP BY s.query_id, s.a_id
+    ) m ON m.query_id = c.query_id AND m.a_id = c.vec_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sel{p} u
+        WHERE u.query_id = c.query_id AND u.vec_id = c.vec_id
+    )
+),
+sel{r} AS MATERIALIZED (
+    SELECT * FROM sel{p}
+    UNION ALL
+    SELECT query_id, vec_id, cosine, max_sim, mmr_score, {r} AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY mmr_score DESC, vec_id ASC) AS rn
+        FROM pool{r}
+    ) WHERE rn = 1
+)""")
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings WHERE {base_pred}
+),
+nc AS (SELECT GREATEST({AUTO_CELLS_LO}, LEAST({AUTO_CELLS_HI},
+    1 << (({cells_b} + 1) // 2))) AS c),
+cents AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM base
+    ORDER BY {_IVF_HASH}, vec_id
+    LIMIT {_PQ_CENTS}
+),
+cells AS (
+    SELECT cell, cvec FROM (
+        SELECT vec_id AS cell, embedding AS cvec,
+               row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS rn
+        FROM base
+    ) rr, nc WHERE rr.rn <= nc.c
+),
+assigned AS MATERIALIZED (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos("e.embedding", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cells c
+    ) WHERE rn = 1
+),
+js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+-- MATERIALIZED: scoredc and chunkhash both consume these; inlined CTEs
+-- would recompute the corpus-sized encode windows twice
+codes AS MATERIALIZED (
+    SELECT vec_id, j, cid AS code FROM (
+        SELECT e.vec_id, js.j, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id, js.j
+                   ORDER BY {_pq_subdist_sql('e.embedding', 'c.cvec')} ASC,
+                            c.cid ASC) AS rn
+        FROM embeddings e, js, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE {q_pred}),
+probes AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_cos("q.qvec", "c.cvec")} DESC, c.cell ASC
+               ) AS rn
+        FROM q CROSS JOIN cells c
+    ) WHERE rn <= {_IVF_PROBE}
+),
+lut AS (
+    SELECT q.query_id, js.j, c.cid AS code,
+           CAST(round({_pq_subdist_sql('q.qvec', 'c.cvec')}, 9)
+                AS DECIMAL(25,9)) AS pd
+    FROM q, js, cents c
+),
+scoredc AS (
+    SELECT l.query_id, co.vec_id, CAST(sum(l.pd) AS DOUBLE) AS adc_l2sq
+    FROM codes co
+    JOIN assigned a ON a.vec_id = co.vec_id
+    JOIN probes p ON p.cell = a.cell
+    JOIN lut l ON l.query_id = p.query_id AND l.j = co.j AND l.code = co.code
+    WHERE p.query_id != co.vec_id
+    GROUP BY l.query_id, co.vec_id
+),
+candrank AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_l2sq ASC, vec_id ASC) AS rank
+        FROM scoredc
+    ) WHERE rank <= {_LOOP_CAND}
+),
+cand AS MATERIALIZED (
+    SELECT cr.query_id, cr.vec_id, e.embedding,
+           {_cos("q.qvec", "e.embedding")} AS cosine
+    FROM candrank cr
+    JOIN embeddings e ON e.vec_id = cr.vec_id
+    JOIN q ON q.query_id = cr.query_id
+),
+sim AS MATERIALIZED (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           {_cos("a.embedding", "b.embedding")} AS s
+    FROM cand a JOIN cand b
+      ON b.query_id = a.query_id AND b.vec_id != a.vec_id
+),
+sel1 AS MATERIALIZED (
+    SELECT query_id, vec_id, cosine, CAST(0.0 AS DOUBLE) AS max_sim,
+           {_MMR_LAM} * cosine AS mmr_score, 1 AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM cand
+    ) WHERE rn = 1
+){''.join(rounds)},
+cc AS (
+    SELECT CAST(greatest(1,
+        ((SELECT count(*) FROM embeddings) + nc.c * {_AUDIT_CHUNK} - 1)
+            // (nc.c * {_AUDIT_CHUNK})
+    ) AS BIGINT) AS c FROM nc
+),
+chunkhash AS (
+    SELECT a.cell, co.vec_id % cc.c AS chunk,
+           md5(string_agg(
+               CAST(co.vec_id AS VARCHAR) || ':' || CAST(co.j AS VARCHAR)
+                   || ':' || CAST(co.code AS VARCHAR),
+               ',' ORDER BY co.vec_id, co.j)) AS h
+    FROM codes co JOIN assigned a ON a.vec_id = co.vec_id, cc
+    GROUP BY a.cell, co.vec_id % cc.c
+),
+cellhash AS (
+    SELECT cell,
+           md5(string_agg(CAST(chunk AS VARCHAR) || ':' || h,
+                          ',' ORDER BY chunk)) AS h
+    FROM chunkhash GROUP BY cell
+),
+auditrow AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           md5(string_agg(CAST(cell AS VARCHAR) || ':' || h,
+                          ',' ORDER BY cell)) AS codes_hash
+    FROM cellhash
+)
+SELECT m.query_id, m.vec_id, CAST(m.mmr_rank AS INTEGER) AS mmr_rank,
+       m.cosine AS relevance, m.max_sim, m.mmr_score,
+       a.n_vectors, a.codes_hash
+FROM sel{_LOOP_K} m, auditrow a
+ORDER BY m.query_id, m.mmr_rank
+"""
+
+
+def _stream_loop_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the base index (corpus MINUS the delta rows), then STREAM
+    the delta in via per-micro-batch ``append_to_index`` — once per
+    (process, sf_dir), the staged-source discipline."""
+    from big_data_elt_pipeline_spark.lakehouse import table_versions
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+    from big_data_elt_pipeline_spark.streaming.ann_serving import (
+        stream_index_ingest,
+    )
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+
+    d_lo, d_hi = _LOOP_DELTA
+    idx = f"{staging_dir('stream_loop', sf_dir)}/index"
+    if not table_versions(f"{idx}/state"):
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = emb.filter(
+            ~((F.col("vec_id") >= d_lo) & (F.col("vec_id") < d_hi))
+        )
+        AIX.build_ivfpq_index(
+            base, idx, m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS, n_files=8
+        )
+        stream_index_ingest(spark, sf_dir, idx, d_lo, d_hi, n_files=2)
+    return idx
+
+
+@register("stream_retrieval_loop", _stream_loop_sql())
+def q_stream_retrieval_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving loop end to end under one driver hash: streamed index
+    ingest (exactly-once append_to_index per epoch) -> stored-index ANN
+    candidates -> exact-cosine rescore (candidate-local) -> MMR
+    diversified top-k, with the post-ingest index content hash riding
+    every row — ingest loss, candidate drift, and rerank errors all flip
+    the hash. Contracts in ``streaming/ann_serving.stream_index_ingest``,
+    ``operators/ann_index.ivfpq_probe``, ``operators/similarity.
+    mmr_rerank`` (candidate front-end form)."""
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+
+    q_lo, q_hi = _LOOP_Q
+    idx = _stream_loop_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi))
+
+    cand_ids = AIX.ivfpq_probe(
+        spark, idx, queries, k=_LOOP_CAND, n_probe=_IVF_PROBE
+    ).select("query_id", "vec_id")
+    emb_n = emb.select(
+        "vec_id", "embedding", SIM.norm(F.col("embedding")).alias("__cn")
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        SIM.norm(F.col("embedding")).alias("__qn"),
+    )
+    cand = (
+        cand_ids.join(emb_n, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(
+                SIM.dot(F.col("qvec"), F.col("embedding")),
+                F.col("__qn") * F.col("__cn"),
+            ).alias("cosine"),
+        )
+    )
+    reranked = SIM.mmr_rerank(
+        emb, queries, k=_LOOP_K, lam=0.7, candidates=cand
+    )
+    audit = AIX.index_audit(spark, idx).select("n_vectors", "codes_hash")
+    return (
+        reranked.crossJoin(F.broadcast(audit))
+        .select(
+            "query_id", "vec_id", "mmr_rank", "relevance", "max_sim",
+            "mmr_score", "n_vectors", "codes_hash",
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
 
 
 @register("ann_lsh_topk", _ANN_LSH_SQL)

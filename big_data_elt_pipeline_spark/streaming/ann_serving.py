@@ -96,6 +96,55 @@ def stream_index_probe(
     return LH.read_table(spark, out_path)
 
 
+def stream_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    lo: int,
+    hi: int,
+    n_files: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """File-stream the embeddings rows [lo, hi) INTO an existing index:
+    each micro-batch is one ``append_to_index`` call — delta encoded
+    against the stored immutable quantizers, txn-tagged so a re-delivered
+    epoch is skipped instead of double-appended (the single-writer
+    streaming ingest shape ``append_to_index``'s contract names).
+    Returns the post-ingest state params.
+
+    Same idempotence contract as ``stream_index_probe``: without
+    ``checkpoint_dir`` the txn app id keys on ``index_path`` alone and a
+    re-invocation replays (safely, as no-ops); with it, restarts continue
+    the epoch sequence.
+    """
+    from big_data_elt_pipeline_spark.streaming.scoring import _staged_docs_dir
+
+    stage = _staged_docs_dir(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(stage).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select("vec_id", "embedding")
+    )
+    app_id = f"stream_index_ingest:{checkpoint_dir or index_path}"
+
+    def _ingest(batch: DataFrame, epoch: int) -> None:
+        AIX.append_to_index(
+            batch, index_path, txn=(app_id, int(epoch)), n_files=n_files
+        )
+
+    writer = raw.writeStream.outputMode("append").foreachBatch(_ingest)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return AIX.load_index_state(spark, index_path)[2]
+
+
 def stream_index_probe_evidence(
     spark: SparkSession,
     sf_dir: str,

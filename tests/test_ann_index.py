@@ -373,6 +373,35 @@ def test_delete_probe_and_compaction_fold(spark, tmp_path):
     assert post_compact == pre_compact
 
 
+def test_stream_ingest_equals_batch_append(spark, tmp_path):
+    """stream_index_ingest must leave the index in exactly the state a
+    batch append_to_index of the same delta would — audit hash equal —
+    and a full stream replay must be a no-op (txn tags)."""
+    from big_data_elt_pipeline_spark.streaming.ann_serving import (
+        stream_index_ingest,
+    )
+
+    emb = _emb(spark)
+    delta_pred = (F.col("vec_id") >= 64) & (F.col("vec_id") < 80)
+    base = emb.filter(~delta_pred)
+    s_path, b_path = str(tmp_path / "s"), str(tmp_path / "b")
+    AIX.build_ivfpq_index(base, s_path, n_files=4)
+    AIX.build_ivfpq_index(base, b_path, n_files=4)
+
+    p = stream_index_ingest(spark, SF_SMOKE, s_path, 64, 80, n_files=2)
+    AIX.append_to_index(emb.filter(delta_pred), b_path, n_files=2)
+    assert p["n_vectors"] == emb.count()
+    sh = AIX.index_audit(spark, s_path).first()
+    bh = AIX.index_audit(spark, b_path).first()
+    assert sh.codes_hash == bh.codes_hash
+    assert sh.n_vectors == bh.n_vectors == emb.count()
+
+    # replayed stream: every epoch txn-skipped, state converged already
+    stream_index_ingest(spark, SF_SMOKE, s_path, 64, 80, n_files=2)
+    assert AIX.index_audit(spark, s_path).first().codes_hash == sh.codes_hash
+    assert AIX.load_index_state(spark, s_path)[2]["n_vectors"] == emb.count()
+
+
 def test_index_recall_gate(spark, index_path):
     """The stored-index recall monitor: deterministic exact values, a
     floor boolean consistent with the measured recall, and full
