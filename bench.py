@@ -158,6 +158,14 @@ BENCH_QUERIES = [
     # section's domain (its query fn drives a full stream).
     "ann_index_audit", "ann_index_probe",
     "ml_kmeans_segments", "ml_repurchase_predictor",
+    # round 13: the persisted BM25 index pair (same staged-build
+    # amortization as the ANN pair), the tombstone-delete probe (its own
+    # staged index), and the stored-index recall gate (probe + exact-L2
+    # brute force in one plan — the measurement's price, by contract).
+    # stream_retrieval_loop stays in the streaming domain like
+    # stream_ann_probe (its query fn drives a full stream + ingest).
+    "bm25_index_audit", "bm25_index_probe",
+    "ann_index_delete", "ann_index_recall",
 ]
 
 

@@ -1223,36 +1223,69 @@ ROWS_ONLY_ANNEX = frozenset()
 # 4 + 9 + 7 + 23 + 2 + 5 = 50: the second consecutive all-oracle
 # window, with zero slots spent on already-r11-fresh rows.
 # --------------------------------------------------------------------------
+# Round-13 rotation (r12 verdict #4 — executes the queued plan):
+# IN:
+#   - the 5 r13 debuts (same-round seating, no never-gated debt): the
+#     persisted-BM25-index pair (bm25_index_audit re-hashes the STORED
+#     postings against the oracle's from-scratch tokenize;
+#     bm25_index_probe answers a disjoint query set from the stored
+#     tables alone), the index-mutation pair (ann_index_delete:
+#     tombstone anti-join vs an oracle that drops the same candidates;
+#     ann_index_recall: the stored-index drift monitor vs exact-L2
+#     ground truth), and stream_retrieval_loop (the serving loop end to
+#     end under one hash);
+#   - the 5 contract- or code-changed queries owed fresh evidence this
+#     round: ann_index_audit (the chunked three-level fold is a NEW
+#     hash contract), ann_index_probe (codes_version pinning + the
+#     tombstone anti-join entered its plan), stream_ann_probe
+#     (ann_serving checkpoint rework), bm25_topk (retrieval.py
+#     refactored around the shared bm25_rank kernel), mmr_rerank (its
+#     oracle gained MATERIALIZED hints — values identical by
+#     construction, but the changed statement should earn a fresh row);
+#   - the COMPLETE r8-stale cohort (13 — the oldest tail; GATE_HISTORY
+#     lists them verbatim);
+#   - 27 of the 31 oracle-backed r9-stale cohort (the cohort's other two
+#     members, audio_features / image_features, are the rows-only
+#     real-codec queries that sit OUTSIDE the gate by design — their
+#     semantics are pinned analytically in tests/test_ml_multimodal.py).
+# OUT (r11/r12-green members rotate out wholesale — all hold fresh rows;
+# their families keep local-sweep + pytest coverage), plus 4 of the
+# oracle-backed r9-stale whose families keep newer gated coverage:
+# ``client_features`` (feature-assembly family r11-green via
+# client_scores' quantile chain and the r12 ml census queries),
+# ``top_clients`` (serving sort/limit family r11/r12-green via
+# top_opportunities/serving_distribution), ``bpe_vocab`` (the BPE
+# trainer chain is covered by seated bpe_merges, whose oracle replays
+# the same merge rounds), and ``dedup_incremental_span_removal`` (the
+# span family seats dedup_span_removal + dedup_substrings +
+# dedup_incremental_substrings this round). All four are queued first
+# for r14.
+# 5 + 5 + 13 + 27 = 50: third consecutive all-oracle window.
+# --------------------------------------------------------------------------
 _GATE_ORDER = [
-    # contract-changed streaming promotions (seat first: the only
-    # queries with un-driver-validated contracts)
-    "stream_enrich", "stream_attribution", "stream_dedup",
-    "stream_doc_scoring",
-    # r12 debuts (same-round seating)
-    "ann_index_audit", "ann_index_probe",
-    "ml_kmeans_segments", "ml_repurchase_predictor",
-    # <= r5-stale cohort, complete (r11 verdict What's-missing #4 list)
-    "dedup_incremental", "embedding_stats", "events_tumbling",
-    "grouped_center", "incremental_ca_country", "salted_ca_country",
-    "serving_distribution", "tpch_q13", "vocab_topk",
-    # r6-stale cohort, complete
-    "doc_repetition", "events_resample", "expectations_audit",
-    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q15",
-    # r7-stale cohort, complete
-    "ann_ivf_recall", "ann_topk", "bm25_topk", "ca_monthly",
-    "client_quartiles", "corpus_curation", "dedup_clusters",
-    "dedup_incremental_minhash", "dedup_minhash", "doc_stats",
-    "docstore_roundtrip", "dsir_weights", "event_funnel", "kpis",
-    "profile_documents", "tpch_q11", "tpch_q19", "tpch_q21",
-    "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "training_mixture",
-    # mid-r11 displacement debt (r10/r9-green, owed fresh rows by the
-    # queued plan); shard_manifest cedes its seat AGAIN to the
-    # second-wave debut stream_ann_probe — the identical r11 rationale
-    # still holds (its manifest relation is recomputed and hash-verified
-    # INSIDE seated shard_pruned_read's oracle, so the code path keeps
-    # r12-fresh driver evidence), and the streaming stored-index probe
-    # is a NEW contract that must seat the round it registers
-    "doc_packing", "knn_graph_mutual", "stream_ann_probe",
+    # r13 debuts (same-round seating)
+    "bm25_index_audit", "bm25_index_probe",
+    "ann_index_delete", "ann_index_recall", "stream_retrieval_loop",
+    # contract/code-changed this round
+    "ann_index_audit", "ann_index_probe", "stream_ann_probe",
+    "bm25_topk", "mmr_rerank",
+    # r8-stale cohort, complete
+    "amount_outliers", "dedup_blocks", "dedup_incremental_substrings",
+    "dedup_span_removal", "dedup_substrings", "dim_clients",
+    "events_props_variant", "fact_achats", "lakehouse_pruned_read",
+    "revenue_chain_recursive", "rolling_7day_revenue", "tpch_q2",
+    "tpch_q20",
+    # r9-stale cohort, 27 of the 31 oracle-backed (leave-outs above)
+    "ann_quantized_topk", "bloom_decontaminate",
+    "bpe_merges", "c4_quality_filter", "ccnet_perplexity_buckets",
+    "classifier_auc", "client_scores", "dedup_minhash_recall",
+    "doc_length_quantiles", "embedding_audit", "embedding_covariance",
+    "gopher_quality_filter", "lang_id_report",
+    "lm_perplexity_filter", "logreg_quality_model", "nb_lang_classifier",
+    "pagerank_centrality", "pca_top_component", "priority_sample",
+    "silver_achats", "source_mixture", "temperature_mixture",
+    "tokenizer_fertility", "tpch_q9",
+    "unimax_budget", "url_domain_filter", "vocab_coverage",
 ]
 
 
