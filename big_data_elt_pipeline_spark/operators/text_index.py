@@ -272,15 +272,14 @@ def append_to_text_index(
     }
 
 
-def _read_pruned_by_terms(
-    spark: SparkSession, path: str, terms: list[str], version: int | None
-) -> DataFrame:
-    """Snapshot read opening only the files whose manifest ``term`` range
-    contains at least one query term — ONE manifest fold for the whole
-    term set (the ``ivfpq_probe`` single-fold idiom; a per-term
-    prune_files loop would re-parse every commit JSON once per term).
-    prune semantics preserved: no stats => always kept; kept == [] is an
-    EMPTY scan (schema kept), never a full-snapshot fallback."""
+def prune_term_files(
+    path: str, terms: list[str], version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(kept, live) file split for a term SET — ONE manifest fold for the
+    whole set (the ``ivfpq_probe`` single-fold idiom; a per-term
+    prune_files loop would re-parse every commit JSON once per term). A
+    file is kept iff its recorded ``term`` range contains at least one
+    query term; prune semantics preserved (no stats => always kept)."""
     stats = LH.live_file_stats(path, version)
     terms_sorted = sorted(set(terms))
     kept = []
@@ -293,6 +292,16 @@ def _read_pruned_by_terms(
         i = bisect.bisect_left(terms_sorted, rng[0])
         if i < len(terms_sorted) and terms_sorted[i] <= rng[1]:
             kept.append(f)
+    return kept, live
+
+
+def _read_pruned_by_terms(
+    spark: SparkSession, path: str, terms: list[str], version: int | None
+) -> DataFrame:
+    """Snapshot read opening only the files ``prune_term_files`` keeps;
+    kept == [] is an EMPTY scan (schema kept), never a full-snapshot
+    fallback."""
+    kept, _ = prune_term_files(path, terms, version)
     if kept:
         return spark.read.parquet(*sorted(kept))
     return LH.read_table(spark, path, version).limit(0)
