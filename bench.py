@@ -165,7 +165,7 @@ BENCH_QUERIES = [
     # stream_retrieval_loop stays in the streaming domain like
     # stream_ann_probe (its query fn drives a full stream + ingest).
     "bm25_index_audit", "bm25_index_probe",
-    "ann_index_delete", "ann_index_recall",
+    "ann_index_delete", "ann_index_recall", "hybrid_index_topk",
 ]
 
 

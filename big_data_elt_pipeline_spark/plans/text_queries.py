@@ -1193,11 +1193,15 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set predicate so the stored-index probe query (``ann_index_probe``,
 # disjoint query ids) shares the identical CTE body — the oracle for a
 # stored-index probe IS the from-scratch recomputation.
-def _ivfpq_sql(q_pred: str, excl_pred: str | None = None) -> str:
+def _ivfpq_sql(
+    q_pred: str, excl_pred: str | None = None, k: int = _PQ_K
+) -> str:
     """``excl_pred`` (over ``co.vec_id``) drops candidates from the scored
     relation — the oracle twin of a tombstone anti-join: quantizers and
     codes still derive from the FULL corpus (deletes never retrain), only
-    the candidate set shrinks (``ann_index.delete_from_index``)."""
+    the candidate set shrinks (``ann_index.delete_from_index``). ``k``
+    widens the ranked cut for candidate-depth consumers (the hybrid
+    fusion leg)."""
     excl = f" AND NOT ({excl_pred})" if excl_pred else ""
     return f"""
 WITH cents AS (
@@ -1263,7 +1267,7 @@ SELECT query_id, vec_id, adc_l2sq,
        CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY adc_l2sq ASC, vec_id ASC) AS INTEGER) AS rank
 FROM scored
-QUALIFY rank <= {_PQ_K}
+QUALIFY rank <= {k}
 """
 
 
@@ -3428,6 +3432,79 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec = SIM.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=_RRF_DEPTH
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse(lex, vec, k=_RRF_K, c=_RRF_C)
+
+
+# Hybrid retrieval from the TWO persisted indexes (r13): the stored-BM25
+# lexical leg and the stored-IVF-PQ vector leg fused with RRF — the
+# hybrid serving composition both indexes exist for, with no corpus-stats
+# recompute and no corpus re-encode anywhere in the plan. Disjoint query
+# ids from the ad-hoc hybrid_rrf_topk, and a DIFFERENT vector leg by
+# design: the ad-hoc form fuses exact cosine, this one fuses the ADC
+# ranking the stored index actually serves (the honest production shape).
+_HYB_IDX_LO, _HYB_IDX_HI = 8, 16
+
+_HYBRID_INDEX_SQL = f"""
+WITH {_bm25_ctes(f"q AS (SELECT doc_id AS query_id, text AS query_text FROM documents WHERE doc_id >= {_HYB_IDX_LO} AND doc_id < {_HYB_IDX_HI})", _RRF_DEPTH)},
+lex2 AS (SELECT query_id, doc_id, rank FROM lexr WHERE doc_id != query_id),
+vecr AS (
+    SELECT query_id, vec_id AS doc_id, CAST(rank AS INTEGER) AS rank
+    FROM ({_ivfpq_sql(f"vec_id >= {_HYB_IDX_LO} AND vec_id < {_HYB_IDX_HI}", k=_RRF_DEPTH)}) t
+),
+fused AS (
+    SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           coalesce(l.doc_id, v.doc_id) AS doc_id,
+           l.rank AS lex_rank, v.rank AS vec_rank,
+           coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + l.rank), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + v.rank), CAST(0.0 AS DOUBLE)) AS rrf_score
+    FROM lex2 l FULL OUTER JOIN vecr v
+      ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+    ) AS rank
+    FROM fused
+) WHERE rank <= {_RRF_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("hybrid_index_topk", _HYBRID_INDEX_SQL)
+def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED FROM THE PERSISTED INDEXES: the lexical
+    leg probes the stored BM25 tables (term-range-pruned postings scan,
+    stored exact corpus stats), the vector leg probes the stored IVF-PQ
+    codes (manifest cell pruning, broadcast quantizer state), both at
+    depth 50, fused by reciprocal rank — a full hybrid answer whose plan
+    never tokenizes, re-encodes, or aggregates the corpus. The vector
+    leg fuses the ADC ranking the stored index actually serves (the
+    ad-hoc ``hybrid_rrf_topk`` fuses exact cosine — different by
+    design). Contracts in ``operators/text_index.bm25_index_probe``,
+    ``operators/ann_index.ivfpq_probe``, ``operators/retrieval.
+    rrf_fuse``."""
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+    from big_data_elt_pipeline_spark.operators.retrieval import rrf_fuse
+
+    text_idx = _text_index_path(spark, sf_dir)
+    ann_idx = _ann_index_path(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(
+        (F.col("doc_id") >= _HYB_IDX_LO) & (F.col("doc_id") < _HYB_IDX_HI)
+    ).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = TIX.bm25_index_probe(
+        spark, text_idx, queries, k=_RRF_DEPTH
+    ).filter(F.col("doc_id") != F.col("query_id"))
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vq = emb.filter(
+        (F.col("vec_id") >= _HYB_IDX_LO) & (F.col("vec_id") < _HYB_IDX_HI)
+    )
+    vec = AIX.ivfpq_probe(
+        spark, ann_idx, vq, k=_RRF_DEPTH, n_probe=_IVF_PROBE
     ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse(lex, vec, k=_RRF_K, c=_RRF_C)
 
