@@ -164,7 +164,7 @@ BENCH_QUERIES = [
     # brute force in one plan — the measurement's price, by contract).
     # stream_retrieval_loop stays in the streaming domain like
     # stream_ann_probe (its query fn drives a full stream + ingest).
-    "bm25_index_audit", "bm25_index_probe",
+    "bm25_index_audit", "bm25_index_probe", "bm25_index_delete",
     "ann_index_delete", "ann_index_recall", "hybrid_index_topk",
 ]
 

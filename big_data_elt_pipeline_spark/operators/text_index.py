@@ -49,11 +49,12 @@ files) + a candidate-sized score aggregation — the corpus text is never
 touched after build. Appends are delta-sized (tokenize the delta, two
 clustered appends, one stats re-publish).
 
-Single-writer, append-only contract (the ``ann_index.append_to_index``
-convention): appended doc_ids must be NEW documents — updating an
-existing document requires a rebuild (or a delete+append once a
-tombstone path exists); concurrent appenders would race the stats
-read-modify-write.
+Single-writer contract (the ``ann_index.append_to_index`` convention):
+appended doc_ids must be NEW documents; updating an existing document
+is ``delete_from_text_index`` + append (the tombstone path — negative
+df increments + an atomically-published tombstone snapshot, folded
+physically by ``compact_text_index``); concurrent writers would race
+the stats read-modify-write.
 
 Reference parity: the reference (pandas/Prefect/Mongo retail ELT) has
 no retrieval surface; this extends the beyond-reference
@@ -96,17 +97,34 @@ def _publish_stats(
     total_dl: int,
     postings_version: int,
     df_version: int,
+    tombstones_version: int = -1,
 ) -> int:
     """Overwrite the one-row stats table — always written AFTER the
-    postings/df commits it names (the publish point)."""
+    postings/df/tombstone commits it names (the publish point).
+    ``tombstones_version`` is -1 while no delete has ever landed; unlike
+    the ANN index (where a delete changes nothing global and is safe to
+    read at latest), a text delete changes N/avgdl/df, so the tombstone
+    snapshot must publish ATOMICALLY with the stats that account for it
+    — readers resolve the version recorded here."""
     stats = spark.range(1).select(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.lit(n_docs_tokenized).cast("long").alias("n_docs_tokenized"),
         F.lit(total_dl).cast("long").alias("total_dl"),
         F.lit(postings_version).cast("long").alias("postings_version"),
         F.lit(df_version).cast("long").alias("df_version"),
+        F.lit(tombstones_version).cast("long").alias("tombstones_version"),
     )
     return LH.write_table(stats, f"{path}/stats", mode="overwrite")
+
+
+def _live_doc_tombstones(
+    spark: SparkSession, path: str, tombstones_version: int
+) -> DataFrame | None:
+    """The tombstoned doc_id relation at the stats-recorded version, or
+    None when the stats row records -1 (no delete has ever landed)."""
+    if tombstones_version is None or tombstones_version < 0:
+        return None
+    return LH.read_table(spark, f"{path}/tombstones", tombstones_version)
 
 
 def load_text_index_stats(
@@ -236,7 +254,7 @@ def append_to_text_index(
             n_docs = p["n_docs"] + (true_tok - p["n_docs_tokenized"])
             sv = _publish_stats(
                 spark, path, n_docs, true_tok, true_dl,
-                latest_post, latest_df,
+                latest_post, latest_df, p["tombstones_version"],
             )
             return {
                 "skipped": True, "repaired": True, "n_docs": n_docs,
@@ -259,13 +277,140 @@ def append_to_text_index(
     n_tok = p["n_docs_tokenized"] + int(delta_counts["n"] or 0)
     total_dl = p["total_dl"] + int(delta_counts["t"] or 0)
     stats_version = _publish_stats(
-        spark, path, n_docs, n_tok, total_dl, postings_version, df_version
+        spark, path, n_docs, n_tok, total_dl, postings_version, df_version,
+        p["tombstones_version"],
     )
     return {
         "n_docs": n_docs,
         "n_docs_tokenized": n_tok,
         "total_dl": total_dl,
         "n_delta": n_delta_docs,
+        "postings_version": postings_version,
+        "df_version": df_version,
+        "stats_version": stats_version,
+    }
+
+
+def delete_from_text_index(
+    ids: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Delete documents from the index WITHOUT rewriting postings.
+
+    Unlike the ANN index — where a delete changes nothing global and the
+    tombstone can be read at latest — removing a document changes BM25's
+    corpus statistics (N, avgdl, and df of every term it contained), so
+    a text delete is a three-part commit published atomically at the
+    stats overwrite: (1) per-term NEGATIVE (term, df) increments for the
+    deleted documents' vocabulary (the additive df log absorbs them —
+    readers fold sum(df)); (2) the doc_ids appended to
+    ``{path}/tombstones``; (3) the stats row re-published with the
+    decremented counts AND the tombstone version it accounts for. A
+    reader between (1)/(2) and (3) still resolves the OLD stats row,
+    whose recorded versions predate the delete — fully consistent. After
+    publish, ``bm25_index_probe`` answers EXACTLY as the ad-hoc
+    ``bm25_topk`` over the live corpus (the gate oracle's check).
+
+    Cost note: computing the decrements needs the deleted documents'
+    postings, and postings are clustered by TERM — this is one postings
+    scan per delete batch (the Lucene segment-delete asymmetry; batch
+    deletes rather than dripping them). The tombstone anti-join at probe
+    time is broadcast — deletes accumulated between compactions must
+    stay dimension-sized (``compact_text_index`` folds them). ``txn``
+    makes the df/tombstone appends idempotent; the decrement relations
+    derive from the versions the PRE-delete stats row pins, so a
+    crash+replay recomputes identical numbers and converges.
+    Already-tombstoned ids are ignored (no double decrement).
+    """
+    spark = ids.sparkSession
+    p = load_text_index_stats(spark, path)
+    victims = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    prev = _live_doc_tombstones(spark, path, p.get("tombstones_version", -1))
+    post = LH.read_table(spark, f"{path}/postings", p["postings_version"])
+    if prev is not None:
+        victims = victims.join(F.broadcast(prev), "doc_id", "left_anti")
+        post = post.join(F.broadcast(prev), "doc_id", "left_anti")
+    n_del = victims.count()
+    if n_del == 0:
+        return {"n_deleted": 0}
+    victims = victims.localCheckpoint(eager=True)  # reused three times
+    vic_post = post.join(F.broadcast(victims), "doc_id", "left_semi")
+    dec = vic_post.groupBy("term").agg(
+        (-F.count(F.lit(1))).cast("long").alias("df")
+    )
+    df_version = LH.write_table(
+        dec, f"{path}/df", mode="append", cluster_by=["term"], txn=txn
+    )
+    tomb_version = LH.write_table(
+        victims, f"{path}/tombstones", mode="append", txn=txn
+    )
+    if df_version == -1:
+        df_version = LH.table_versions(f"{path}/df")[-1]
+    if tomb_version == -1:
+        tomb_version = LH.table_versions(f"{path}/tombstones")[-1]
+    gone = vic_post.agg(
+        F.count_distinct("doc_id").cast("long").alias("n"),
+        F.sum("tf").cast("long").alias("t"),
+    ).first()
+    n_docs = p["n_docs"] - n_del
+    n_tok = p["n_docs_tokenized"] - int(gone["n"] or 0)
+    total_dl = p["total_dl"] - int(gone["t"] or 0)
+    stats_version = _publish_stats(
+        spark, path, n_docs, n_tok, total_dl,
+        p["postings_version"], df_version, tomb_version,
+    )
+    return {
+        "n_deleted": n_del,
+        "n_docs": n_docs,
+        "n_docs_tokenized": n_tok,
+        "total_dl": total_dl,
+        "df_version": df_version,
+        "tombstones_version": tomb_version,
+        "stats_version": stats_version,
+    }
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> dict:
+    """OPTIMIZE the index: rewrite postings with every tombstoned
+    document FOLDED AWAY, rewrite df as the single folded relation
+    (collapsing the increment/decrement log and dropping dead terms),
+    re-publish stats (same logical values, new versions, tombstones
+    cleared), then truncate the tombstones. Crash ordering mirrors
+    ``ann_index.compact_index``: rewrites -> stats publish -> tombstone
+    truncate — a crash on either side of the stats publish leaves
+    readers on a fully consistent snapshot. ``text_index_audit`` answers
+    identically across the fold (it already audits the live relation).
+    """
+    p = load_text_index_stats(spark, path)
+    post = LH.read_table(spark, f"{path}/postings", p["postings_version"])
+    tomb = _live_doc_tombstones(spark, path, p.get("tombstones_version", -1))
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+    postings_version = LH.write_table(
+        post, f"{path}/postings", mode="overwrite", cluster_by=["term"],
+        n_files=n_files,
+    )
+    live = LH.read_table(spark, f"{path}/postings", postings_version)
+    dfreq = live.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    df_version = LH.write_table(
+        dfreq, f"{path}/df", mode="overwrite", cluster_by=["term"],
+        n_files=n_files,
+    )
+    stats_version = _publish_stats(
+        spark, path, p["n_docs"], p["n_docs_tokenized"], p["total_dl"],
+        postings_version, df_version, -1,
+    )
+    if tomb is not None:
+        LH.write_table(
+            tomb.limit(0), f"{path}/tombstones", mode="overwrite"
+        )
+    return {
         "postings_version": postings_version,
         "df_version": df_version,
         "stats_version": stats_version,
@@ -334,7 +479,10 @@ def bm25_index_probe(
 
     Snapshot consistency: ``postings_version``/``df_version`` default to
     the versions the resolved stats row RECORDS, so a default read is
-    crash-consistent across rebuilds by construction. Pass explicit
+    crash-consistent across rebuilds by construction; tombstones are
+    ALWAYS read at the stats-recorded version (a text delete changes
+    N/avgdl/df, so its visibility must flip atomically with the stats
+    that account for it — see ``delete_from_text_index``). Pass explicit
     versions to time travel.
     """
     p = load_text_index_stats(spark, path, stats_version)
@@ -353,6 +501,9 @@ def bm25_index_probe(
     post = _read_pruned_by_terms(
         spark, f"{path}/postings", qvocab, postings_version
     )
+    tomb = _live_doc_tombstones(spark, path, p.get("tombstones_version", -1))
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
     dfreq = (
         _read_pruned_by_terms(spark, f"{path}/df", qvocab, df_version)
         # fold the additive increments (vocab-sized; pruned to ~query
@@ -391,10 +542,12 @@ def text_index_audit(
     increments, or stats drift all flip a column).
 
     Columns: (n_docs, n_docs_tokenized, n_postings, vocab_size,
-    total_dl, n_df_mismatch, stats_consistent, postings_hash) —
+    total_dl, n_tombstones, n_df_mismatch, stats_consistent,
+    postings_hash) —
     ``n_docs`` is the STORED corpus count (the oracle recomputes it from
     the raw corpus, so stats drift flips the column);
-    ``n_docs_tokenized`` is DERIVED from the postings;
+    ``n_docs_tokenized`` is DERIVED from the live postings (tombstoned
+    rows anti-joined away — the audit certifies the LIVE index);
     - n_df_mismatch: full-outer compare of the FOLDED stored df
       relation against the postings-derived document frequencies
       (0 = the additive increments reconcile exactly);
@@ -416,6 +569,15 @@ def text_index_audit(
     n_chunks = max(1, (p["n_docs"] + chunk_target - 1) // chunk_target)
 
     post = LH.read_table(spark, f"{path}/postings", postings_version)
+    # the audit certifies the LIVE index: tombstoned rows are logically
+    # dead (physically folded at the next compact_text_index), so every
+    # derivation — hash included — runs over the anti-joined relation,
+    # matching an oracle that re-tokenizes the live corpus
+    tomb = _live_doc_tombstones(spark, path, p.get("tombstones_version", -1))
+    n_tombstones = 0
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        n_tombstones = tomb.select("doc_id").distinct().count()
     per_chunk = post.groupBy(
         F.pmod(F.col("doc_id"), F.lit(n_chunks)).alias("chunk")
     ).agg(
@@ -482,6 +644,7 @@ def text_index_audit(
             "n_postings",
             "vocab_size",
             "total_dl",
+            F.lit(n_tombstones).cast("long").alias("n_tombstones"),
             "n_df_mismatch",
             (
                 (F.col("n_docs_tokenized") == F.lit(p["n_docs_tokenized"]))

@@ -1225,7 +1225,7 @@ ROWS_ONLY_ANNEX = frozenset()
 # --------------------------------------------------------------------------
 # Round-13 rotation (r12 verdict #4 — executes the queued plan):
 # IN:
-#   - the 6 r13 debuts (same-round seating, no never-gated debt): the
+#   - the 7 r13 debuts (same-round seating, no never-gated debt): the
 #     persisted-BM25-index pair (bm25_index_audit re-hashes the STORED
 #     postings against the oracle's from-scratch tokenize;
 #     bm25_index_probe answers a disjoint query set from the stored
@@ -1233,8 +1233,11 @@ ROWS_ONLY_ANNEX = frozenset()
 #     tombstone anti-join vs an oracle that drops the same candidates;
 #     ann_index_recall: the stored-index drift monitor vs exact-L2
 #     ground truth), stream_retrieval_loop (the serving loop end to
-#     end under one hash), and hybrid_index_topk (lexical + vector legs
-#     both served from the persisted indexes, RRF-fused);
+#     end under one hash), hybrid_index_topk (lexical + vector legs
+#     both served from the persisted indexes, RRF-fused), and
+#     bm25_index_delete (text deletion with its GLOBAL stats
+#     consequences — the oracle is the ad-hoc BM25 over the live
+#     corpus);
 #   - the 5 contract- or code-changed queries owed fresh evidence this
 #     round: ann_index_audit (the chunked three-level fold is a NEW
 #     hash contract), ann_index_probe (codes_version pinning + the
@@ -1245,7 +1248,7 @@ ROWS_ONLY_ANNEX = frozenset()
 #     construction, but the changed statement should earn a fresh row);
 #   - the COMPLETE r8-stale cohort (13 — the oldest tail; GATE_HISTORY
 #     lists them verbatim);
-#   - 26 of the 31 oracle-backed r9-stale cohort (the cohort's other two
+#   - 25 of the 31 oracle-backed r9-stale cohort (the cohort's other two
 #     members, audio_features / image_features, are the rows-only
 #     real-codec queries that sit OUTSIDE the gate by design — their
 #     semantics are pinned analytically in tests/test_ml_multimodal.py).
@@ -1259,17 +1262,20 @@ ROWS_ONLY_ANNEX = frozenset()
 # trainer chain is covered by seated bpe_merges, whose oracle replays
 # the same merge rounds), ``dedup_incremental_span_removal`` (the span
 # family seats dedup_span_removal + dedup_substrings +
-# dedup_incremental_substrings this round), and ``tpch_q9`` (TPC-H
-# keeps 12 r12-green rows plus seated tpch_q2/q20; cedes its seat to
-# the sixth debut hybrid_index_topk). All five are queued first for
-# r14.
-# 6 + 5 + 13 + 26 = 50: third consecutive all-oracle window.
+# dedup_incremental_substrings this round), ``tpch_q9`` (TPC-H keeps
+# 12 r12-green rows plus seated tpch_q2/q20; cedes its seat to the
+# debut hybrid_index_topk), and ``classifier_auc`` (classifier family
+# r11/r12-green via classifier_agreement/calibration +
+# ml_repurchase_predictor, with logreg_quality_model seated this
+# round; cedes to the debut bm25_index_delete). All six are queued
+# first for r14.
+# 7 + 5 + 13 + 25 = 50: third consecutive all-oracle window.
 # --------------------------------------------------------------------------
 _GATE_ORDER = [
     # r13 debuts (same-round seating)
     "bm25_index_audit", "bm25_index_probe",
     "ann_index_delete", "ann_index_recall", "stream_retrieval_loop",
-    "hybrid_index_topk",
+    "hybrid_index_topk", "bm25_index_delete",
     # contract/code-changed this round
     "ann_index_audit", "ann_index_probe", "stream_ann_probe",
     "bm25_topk", "mmr_rerank",
@@ -1279,10 +1285,10 @@ _GATE_ORDER = [
     "events_props_variant", "fact_achats", "lakehouse_pruned_read",
     "revenue_chain_recursive", "rolling_7day_revenue", "tpch_q2",
     "tpch_q20",
-    # r9-stale cohort, 26 of the 31 oracle-backed (leave-outs above)
+    # r9-stale cohort, 25 of the 31 oracle-backed (leave-outs above)
     "ann_quantized_topk", "bloom_decontaminate",
     "bpe_merges", "c4_quality_filter", "ccnet_perplexity_buckets",
-    "classifier_auc", "client_scores", "dedup_minhash_recall",
+    "client_scores", "dedup_minhash_recall",
     "doc_length_quantiles", "embedding_audit", "embedding_covariance",
     "gopher_quality_filter", "lang_id_report",
     "lm_perplexity_filter", "logreg_quality_model", "nb_lang_classifier",

@@ -2409,23 +2409,27 @@ _BM25_QUERIES = [
     ("q_window", "window partition order row"),
 ]
 
-def _bm25_ctes(q_cte: str, depth: int, out: str = "lexr") -> str:
+def _bm25_ctes(
+    q_cte: str, depth: int, out: str = "lexr", docs_src: str = "documents"
+) -> str:
     """BM25 oracle as a reusable WITH-body fragment: ``q_cte`` supplies the
     (query_id, query_text) relation, ``out`` is the name of the final
-    ranked CTE (query_id, doc_id, score, rank <= depth). Numerics mirror
+    ranked CTE (query_id, doc_id, score, rank <= depth). ``docs_src``
+    swaps the corpus relation (e.g. the live corpus after a delete — the
+    ``bm25_index_delete`` oracle). Numerics mirror
     ``operators/retrieval.bm25_topk`` exactly (round-6 quantized-decimal
     determinism contract)."""
     return f"""{q_cte},
 tokens AS (
     SELECT doc_id, t.term
-    FROM documents,
+    FROM {docs_src},
          unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
     WHERE t.term <> ''
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
 corpus AS (
-    SELECT (SELECT count(*) FROM documents) AS n_docs,
+    SELECT (SELECT count(*) FROM {docs_src}) AS n_docs,
            (SELECT avg(dl) FROM dl) AS avgdl
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -2583,6 +2587,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM postings)
            AS vocab_size,
        CAST(sum(dl_c) AS BIGINT) AS total_dl,
+       CAST(0 AS BIGINT) AS n_tombstones,
        CAST(0 AS BIGINT) AS n_df_mismatch,
        TRUE AS stats_consistent,
        md5(string_agg(CAST(chunk AS VARCHAR) || ':' || h,
@@ -2603,6 +2608,65 @@ def q_bm25_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.operators import text_index as TIX
 
     return TIX.text_index_audit(spark, _text_index_path(spark, sf_dir))
+
+
+# Text-index deletion (r13, the ann_index_delete discipline applied to
+# text — but with GLOBAL consequences: removing documents changes N,
+# avgdl, and every contained term's df, so the oracle is simply the
+# ad-hoc BM25 over the LIVE corpus; a probe that forgot to decrement any
+# statistic, or left a dead posting scoreable, flips the hash).
+_TIX_DEL_PRED = "doc_id % 7 != 0"  # the live corpus after the delete
+
+_BM25_INDEX_DELETE_SQL = f"""
+WITH {_bm25_ctes('''q(query_id, query_text) AS (VALUES
+    ('d_join', 'shuffle join broadcast table'),
+    ('d_scan', 'parquet scan filter pushdown'),
+    ('d_window', 'window partition order row')
+)''', 10, docs_src=f"(SELECT * FROM documents WHERE {_TIX_DEL_PRED}) documents")}
+SELECT query_id, rank, doc_id, score FROM lexr
+ORDER BY query_id, rank
+"""
+
+
+def _text_index_del_path(spark: SparkSession, sf_dir: str) -> str:
+    """A SEPARATE staged text index with the deterministic tombstone set
+    applied once per (process, sf_dir) — deleting from the shared
+    ``_text_index_path`` index would corrupt the other gate queries."""
+    from big_data_elt_pipeline_spark.lakehouse import table_versions
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+
+    idx = f"{staging_dir('text_index_del', sf_dir)}/index"
+    if not table_versions(f"{idx}/tombstones"):
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        if not table_versions(f"{idx}/stats"):
+            TIX.build_text_index(docs, idx, n_files=8)
+        TIX.delete_from_text_index(
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), idx
+        )
+    return idx
+
+
+@register("bm25_index_delete", _BM25_INDEX_DELETE_SQL)
+def q_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 from a stored index AFTER ``delete_from_text_index``
+    (doc_id % 7 == 0 tombstoned): the probe must answer EXACTLY as the
+    ad-hoc BM25 over the live corpus — N, avgdl, and every df
+    decremented, dead postings anti-joined — which is precisely what the
+    oracle computes. Contract in
+    ``operators/text_index.delete_from_text_index``."""
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+
+    idx = _text_index_del_path(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [
+            ("d_join", "shuffle join broadcast table"),
+            ("d_scan", "parquet scan filter pushdown"),
+            ("d_window", "window partition order row"),
+        ],
+        "query_id string, query_text string",
+    )
+    return TIX.bm25_index_probe(spark, idx, queries, k=10)
 
 
 @register("bm25_index_probe", _BM25_INDEX_PROBE_SQL)

@@ -199,6 +199,76 @@ def test_audit_chunked_fold_counts_stable(spark, index_path):
     assert tiny1.postings_hash != default.postings_hash
 
 
+def test_delete_probe_equals_live_corpus_and_compaction_folds(spark, tmp_path):
+    """delete_from_text_index must make the probe answer EXACTLY as the
+    ad-hoc BM25 over the live corpus (N, avgdl, df all decremented, dead
+    postings gone); re-deleting is a no-op; compact_text_index folds the
+    tombstones physically with identical answers."""
+    docs = _docs(spark)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(docs, path, n_files=4)
+    victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    res = TIX.delete_from_text_index(victims, path, txn=("d", 1))
+    live = docs.filter(F.col("doc_id") % 7 != 0)
+    assert res["n_deleted"] == victims.count()
+    assert res["n_docs"] == live.count()
+
+    q = _queries(spark)
+    got = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
+    assert got == _rows(RETR.bm25_topk(live, q, k=10))
+    assert all(r[2] % 7 != 0 for r in got)  # no dead doc ranked
+
+    row = TIX.text_index_audit(spark, path).first()
+    assert row.n_docs == live.count()
+    assert row.n_tombstones == victims.count()
+    assert row.n_df_mismatch == 0 and row.stats_consistent is True
+
+    # replayed txn converges without double-decrement; re-deleting the
+    # same ids without a txn is also a no-op (already tombstoned)
+    TIX.delete_from_text_index(victims, path, txn=("d", 1))
+    assert TIX.delete_from_text_index(victims, path) == {"n_deleted": 0}
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=10)) == got
+    hash_before = TIX.text_index_audit(spark, path).first().postings_hash
+
+    meta = TIX.compact_text_index(spark, path, n_files=3)
+    p = TIX.load_text_index_stats(spark, path)
+    assert p["tombstones_version"] == -1
+    assert p["postings_version"] == meta["postings_version"]
+    assert LH.read_table(spark, f"{path}/tombstones").count() == 0
+    after = TIX.text_index_audit(spark, path).first()
+    assert after.postings_hash == hash_before  # live content unchanged
+    assert after.n_tombstones == 0
+    assert after.n_df_mismatch == 0 and after.stats_consistent is True
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=10)) == got
+
+
+def test_delete_publishes_atomically(spark, tmp_path):
+    """A crash between the df/tombstone appends and the stats publish
+    must leave default readers on the PRE-delete snapshot (the stats row
+    records the tombstone version it accounts for — a latest-read of
+    tombstones with stale stats would be neither corpus)."""
+    docs = _docs(spark)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(docs, path, n_files=4)
+    q = _queries(spark)
+    before = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
+    # simulate the crash: commit the decrements and the tombstones, then
+    # "die" before the stats overwrite (exactly delete's first two writes)
+    victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    post = TIX._postings(docs, "doc_id", "text")
+    vic_post = post.join(F.broadcast(victims), "doc_id", "left_semi")
+    dec = vic_post.groupBy("term").agg(
+        (-F.count(F.lit(1))).cast("long").alias("df")
+    )
+    LH.write_table(dec, f"{path}/df", mode="append", cluster_by=["term"])
+    LH.write_table(victims.distinct(), f"{path}/tombstones", mode="append")
+
+    racing = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
+    assert racing == before  # pre-delete snapshot, not mixed halves
+    audit = TIX.text_index_audit(spark, path).first()
+    assert audit.n_tombstones == 0 and audit.n_df_mismatch == 0
+
+
 def test_default_probe_consistent_across_crashed_rebuild(spark, tmp_path):
     """A rebuild over a CHANGED corpus crashing between its postings
     overwrite and its stats overwrite leaves default readers on the OLD
