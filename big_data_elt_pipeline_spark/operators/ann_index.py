@@ -21,6 +21,10 @@ index, and rebuilds are time-travelable):
   skip whole files for the cells it does not touch (lakehouse data
   skipping — partition-style pruning without a physical partition
   column).
+- ``{path}/tombstones`` — (vec_id) logical deletes
+  (``delete_from_index``), broadcast-anti-joined at probe time and
+  folded physically by ``compact_index`` (the Delta deletion-vector
+  shape). Dimension-sized between compactions by documented contract.
 
 Determinism: the build stage IS ``similarity.ivfpq_encode_relations``
 and the probe IS ``similarity.ivfpq_adc_scan`` — the same two relations
