@@ -269,6 +269,55 @@ def test_delete_publishes_atomically(spark, tmp_path):
     assert audit.n_tombstones == 0 and audit.n_df_mismatch == 0
 
 
+def test_tokenless_docs_split_n_from_avgdl(spark, tmp_path):
+    """BM25's N counts EVERY document while avgdl averages only docs with
+    tokens — the stats row keeps both, and the probe must stay bit-equal
+    to the ad-hoc form on a corpus containing empty and punctuation-only
+    documents (which leave no trace in any index table)."""
+    rows = [
+        (0, "spark shuffle join"),
+        (1, ""),                      # empty text
+        (2, "... 123 !!!"),           # tokenizes to nothing ([^a-z]+ split)
+        (3, "join broadcast table spark"),
+        (4, "window partition order"),
+        (5, "shuffle partition spark table"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "index")
+    meta = TIX.build_text_index(docs, path, n_files=2)
+    assert meta["n_docs"] == 6
+    assert meta["n_docs_tokenized"] == 4  # docs 1 and 2 have no tokens
+
+    q = _queries(spark, [("q1", "spark table"), ("q2", "window join")])
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=5)) == _rows(
+        RETR.bm25_topk(docs, q, k=5)
+    )
+
+    # deleting a token-less doc changes N (hence every idf) but not
+    # avgdl/df — still bit-equal to the ad-hoc form on the live corpus
+    res = TIX.delete_from_text_index(
+        docs.filter(F.col("doc_id") == 1).select("doc_id"), path
+    )
+    assert res["n_deleted"] == 1
+    assert res["n_docs"] == 5 and res["n_docs_tokenized"] == 4
+    assert res["total_dl"] == meta["total_dl"]
+    live = docs.filter(F.col("doc_id") != 1)
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=5)) == _rows(
+        RETR.bm25_topk(live, q, k=5)
+    )
+    row = TIX.text_index_audit(spark, path).first()
+    assert row.n_docs == 5 and row.stats_consistent is True
+    # a tokenized delete after the token-less one: both stats move
+    res2 = TIX.delete_from_text_index(
+        docs.filter(F.col("doc_id") == 0).select("doc_id"), path
+    )
+    assert res2["n_docs"] == 4 and res2["n_docs_tokenized"] == 3
+    live2 = live.filter(F.col("doc_id") != 0)
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=5)) == _rows(
+        RETR.bm25_topk(live2, q, k=5)
+    )
+
+
 def test_default_probe_consistent_across_crashed_rebuild(spark, tmp_path):
     """A rebuild over a CHANGED corpus crashing between its postings
     overwrite and its stats overwrite leaves default readers on the OLD
