@@ -269,6 +269,41 @@ def test_delete_publishes_atomically(spark, tmp_path):
     assert audit.n_tombstones == 0 and audit.n_df_mismatch == 0
 
 
+def test_stream_text_ingest_equals_batch_build(spark, tmp_path):
+    """Streamed document ingest must leave the index bit-identical to a
+    batch build of the same corpus (BM25 stats are exact — no frozen
+    quantizers), and a full stream replay must converge as no-ops."""
+    from big_data_elt_pipeline_spark.streaming.text_serving import (
+        stream_text_ingest,
+    )
+
+    docs = _docs(spark)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    s_path, b_path = str(tmp_path / "s"), str(tmp_path / "b")
+    TIX.build_text_index(docs.filter(F.col("doc_id") <= mid), s_path, n_files=4)
+    TIX.build_text_index(docs, b_path, n_files=4)
+
+    p = stream_text_ingest(spark, SF_SMOKE, s_path, mid + 1, 10**9, n_files=2)
+    assert p["n_docs"] == docs.count()
+    sa = TIX.text_index_audit(spark, s_path).first()
+    ba = TIX.text_index_audit(spark, b_path).first()
+    assert sa.postings_hash == ba.postings_hash
+    assert sa.n_docs == ba.n_docs and sa.total_dl == ba.total_dl
+    assert sa.n_df_mismatch == 0 and sa.stats_consistent is True
+
+    q = _queries(spark)
+    assert _rows(TIX.bm25_index_probe(spark, s_path, q, k=10)) == _rows(
+        RETR.bm25_topk(docs, q, k=10)
+    )
+    # replayed stream: every epoch a converging no-op
+    stream_text_ingest(spark, SF_SMOKE, s_path, mid + 1, 10**9, n_files=2)
+    assert (
+        TIX.text_index_audit(spark, s_path).first().postings_hash
+        == sa.postings_hash
+    )
+    assert TIX.load_text_index_stats(spark, s_path)["n_docs"] == docs.count()
+
+
 def test_tokenless_docs_split_n_from_avgdl(spark, tmp_path):
     """BM25's N counts EVERY document while avgdl averages only docs with
     tokens — the stats row keeps both, and the probe must stay bit-equal
