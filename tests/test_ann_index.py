@@ -418,6 +418,39 @@ def test_index_recall_gate(spark, index_path):
     assert r1.min_recall <= r1.recall_at_k
 
 
+def test_vacuum_after_compaction_keeps_default_reads(spark, tmp_path):
+    """The storage-reclaim lifecycle: build -> append -> compact_index ->
+    vacuum(retain 1). Default probes/audits pin the versions the LATEST
+    state row references, which survive any vacuum that retains the
+    latest version — so reclaiming every pre-compaction codes file
+    changes no answer. (Pinned TIME-TRAVEL reads older than the
+    retention window are gone by design — vacuum's documented trade;
+    compact_index's state re-publish is what makes the default path
+    vacuum-safe, since a bare compact_table would leave state pointing
+    at reclaimed files.)"""
+    emb = _emb(spark)
+    mid = emb.agg(F.max("vec_id")).first()[0] // 2
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(emb.filter(F.col("vec_id") <= mid), path, n_files=4)
+    AIX.append_to_index(emb.filter(F.col("vec_id") > mid), path, n_files=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+    before = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    before_hash = AIX.index_audit(spark, path).first().codes_hash
+
+    AIX.compact_index(spark, path, n_files=3)
+    res = LH.vacuum(f"{path}/codes", retain_versions=1)
+    assert res["deleted_files"] > 0  # pre-compaction files reclaimed
+    LH.vacuum(f"{path}/state", retain_versions=1)
+
+    after = sorted(
+        map(tuple, AIX.ivfpq_probe(spark, path, queries, k=5).collect())
+    )
+    assert after == before
+    assert AIX.index_audit(spark, path).first().codes_hash == before_hash
+
+
 def test_rebuild_is_versioned_and_stable(spark, index_path):
     """A rebuild commits new versions atomically; the audit hash is
     unchanged (deterministic encode) and old versions stay readable."""
