@@ -304,6 +304,34 @@ def test_stream_text_ingest_equals_batch_build(spark, tmp_path):
     assert TIX.load_text_index_stats(spark, s_path)["n_docs"] == docs.count()
 
 
+def test_vacuum_after_compaction_keeps_default_reads(spark, tmp_path):
+    """Storage-reclaim lifecycle for the text index: delete ->
+    compact_text_index -> vacuum(retain 1) on postings and df. Default
+    probes/audits pin the versions the latest stats row references,
+    which survive the vacuum — answers unchanged while the
+    pre-compaction files (and the folded df increment log) are
+    reclaimed."""
+    docs = _docs(spark)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(docs, path, n_files=4)
+    victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    TIX.delete_from_text_index(victims, path)
+    q = _queries(spark)
+    before = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
+    before_hash = TIX.text_index_audit(spark, path).first().postings_hash
+
+    TIX.compact_text_index(spark, path, n_files=3)
+    res = LH.vacuum(f"{path}/postings", retain_versions=1)
+    assert res["deleted_files"] > 0
+    LH.vacuum(f"{path}/df", retain_versions=1)
+    LH.vacuum(f"{path}/stats", retain_versions=1)
+
+    assert _rows(TIX.bm25_index_probe(spark, path, q, k=10)) == before
+    after = TIX.text_index_audit(spark, path).first()
+    assert after.postings_hash == before_hash
+    assert after.n_df_mismatch == 0 and after.stats_consistent is True
+
+
 def test_tokenless_docs_split_n_from_avgdl(spark, tmp_path):
     """BM25's N counts EVERY document while avgdl averages only docs with
     tokens — the stats row keeps both, and the probe must stay bit-equal
