@@ -504,6 +504,59 @@ def compact_index(
     }
 
 
+def rebuild_if_drifted(
+    spark: SparkSession,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    floor: float = 0.05,
+    n_files: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The closed maintenance loop the drift gate exists for: run
+    ``index_recall`` on the sampled query set; if recall has fallen
+    below ``floor`` (appends drifted from the build distribution — the
+    immutable-quantizer decay ``append_to_index`` documents), RETRAIN by
+    rebuilding the index over ``corpus`` (fresh quantizers, one atomic
+    versioned publish — readers mid-rebuild stay on the old consistent
+    pair). Returns ``{"recall_at_k", "floor", "rebuilt", ...}`` with the
+    rebuild metadata (and the post-rebuild recall) when it fired.
+
+    Scheduling shape: run after every N ingest epochs or on a cadence —
+    the measurement is one probe + one |queries| x corpus brute-force
+    pass (sampled queries keep it bounded), and the rebuild is the
+    ordinary build cost paid only when the gate trips.
+    """
+    before = index_recall(
+        spark, path, corpus, queries, k=k, n_probe=n_probe, floor=floor,
+        id_col=id_col, vec_col=vec_col,
+    ).first()
+    out = {
+        "recall_at_k": before["recall_at_k"],
+        "floor": floor,
+        "rebuilt": not before["floor_ok"],
+    }
+    if before["floor_ok"]:
+        return out
+    # retrain with the STORED quantizer shape (m/dsub/n_cents carry over;
+    # n_cells re-derives from the current corpus size via auto_cells)
+    _, _, p = load_index_state(spark, path)
+    meta = build_ivfpq_index(
+        corpus, path, m=p["m"], dsub=p["dsub"], n_cents=p["n_cents"],
+        n_files=n_files, id_col=id_col, vec_col=vec_col,
+    )
+    out.update(meta)
+    after = index_recall(
+        spark, path, corpus, queries, k=k, n_probe=n_probe, floor=floor,
+        id_col=id_col, vec_col=vec_col,
+    ).first()
+    out["recall_after_rebuild"] = after["recall_at_k"]
+    return out
+
+
 def index_audit(
     spark: SparkSession,
     path: str,

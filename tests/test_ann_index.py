@@ -418,6 +418,32 @@ def test_index_recall_gate(spark, index_path):
     assert r1.min_recall <= r1.recall_at_k
 
 
+def test_rebuild_if_drifted_policy(spark, tmp_path):
+    """The closed maintenance loop: a passing gate is a no-op; a tripped
+    gate (forced via floor=1.0 — measured recall is always < 1 for this
+    quantizer) rebuilds with the stored quantizer shape and reports the
+    post-rebuild recall; the rebuilt index keeps answering."""
+    emb = _emb(spark)
+    path = str(tmp_path / "index")
+    AIX.build_ivfpq_index(emb, path, n_files=4)
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    ok = AIX.rebuild_if_drifted(spark, path, emb, queries, floor=0.0)
+    assert ok["rebuilt"] is False and "codes_version" not in ok
+
+    v_before = AIX.load_index_state(spark, path)[2]["codes_version"]
+    tripped = AIX.rebuild_if_drifted(
+        spark, path, emb, queries, floor=1.0, n_files=4
+    )
+    assert tripped["rebuilt"] is True
+    assert tripped["codes_version"] > v_before
+    assert "recall_after_rebuild" in tripped
+    p = AIX.load_index_state(spark, path)[2]
+    assert p["codes_version"] == tripped["codes_version"]
+    assert p["n_vectors"] == emb.count()
+    assert AIX.ivfpq_probe(spark, path, queries, k=5).count() == 8 * 5
+
+
 def test_vacuum_after_compaction_keeps_default_reads(spark, tmp_path):
     """The storage-reclaim lifecycle: build -> append -> compact_index ->
     vacuum(retain 1). Default probes/audits pin the versions the LATEST
