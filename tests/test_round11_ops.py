@@ -529,6 +529,31 @@ def test_mmr_skips_near_duplicate_of_first_pick(spark):
     assert by_rank == {1: 1, 2: 3, 3: 2}, by_rank
 
 
+def test_mmr_round_layouts_are_answer_identical(spark):
+    """The adaptive per-query round layout (the default — rounds run one
+    task per core) and the forced serial ``round_partitions=1`` layout
+    return the SAME rows: partitioning never reorders the per-query
+    windows, which carry explicit tie-breaks (the BENCH_r13 mmr fix's
+    correctness pin)."""
+    from pyspark.sql import functions as F
+
+    from big_data_elt_pipeline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 6)
+    adaptive = S.mmr_rerank(emb, queries, k=5, n_cand=20).collect()
+    serial = S.mmr_rerank(
+        emb, queries, k=5, n_cand=20, round_partitions=1
+    ).collect()
+    wide = S.mmr_rerank(
+        emb, queries, k=5, n_cand=20, round_partitions=7
+    ).collect()
+    assert sorted(map(tuple, adaptive)) == sorted(map(tuple, serial))
+    assert sorted(map(tuple, adaptive)) == sorted(map(tuple, wide))
+
+
 # --------------------------------------------------------------------------
 # quality_survivors: quality-aware dedup keep policy (third-wave r11)
 # --------------------------------------------------------------------------
