@@ -3,26 +3,36 @@
 IVFPIN.json documents why this exists: the per-call ``ivfpq_topk``
 re-encodes the corpus inside every invocation, and encode dominates wall
 at every measured scale. A production vector store amortizes the build —
-FAISS writes an index file; here the index is two lakehouse tables
+FAISS writes an index file; here the index is three lakehouse tables
 (atomic versioned commits, so a reader can never observe a half-built
 index, and rebuilds are time-travelable):
 
 - ``{path}/state`` — ONE row: (n_vectors, n_cells, m, dsub, n_cents,
-  codes_version, cells array<struct<cell,cvec,cvn>>,
+  codes_version, tombstones_version, cells array<struct<cell,cvec,cvn>>,
   cents array<struct<cid,cvec>>). KB-sized at any corpus scale (it IS
-  the broadcast quantizer state). ``codes_version`` records the codes
-  commit this state row references, so a default (unpinned) reader
-  resolves a CONSISTENT (state, codes) pair — a rebuild that has
-  overwritten codes but not yet re-published state can never be
-  observed half-mixed (new codes against old centroids).
-- ``{path}/codes`` — (vec_id, cell, j, code): m rows per corpus vector
-  of a few-byte payload, range-clustered by ``cell`` so every data file
-  covers a tight cell range and the manifest min/max stats let a probe
-  skip whole files for the cells it does not touch (lakehouse data
-  skipping — partition-style pruning without a physical partition
-  column).
-- ``{path}/tombstones`` — (vec_id) logical deletes
-  (``delete_from_index``), broadcast-anti-joined at probe time and
+  the broadcast quantizer state). ``codes_version`` and
+  ``tombstones_version`` record the commits this state row references,
+  so a default (unpinned) reader resolves a CONSISTENT snapshot — a
+  mutation that has committed data but not yet re-published state can
+  never be observed half-mixed (new codes against old centroids, or a
+  delete counted but not applied). ``tombstones_version`` is -1 while
+  no unfolded delete exists — in particular a REBUILD publishes -1, so
+  tombstones from a previous index generation can never hide the new
+  corpus's vectors.
+- ``{path}/codes`` — (vec_id, cell, j, code, gen): m rows per corpus
+  vector of a few-byte payload, range-clustered by ``cell`` so every
+  data file covers a tight cell range and the manifest min/max stats
+  let a probe skip whole files for the cells it does not touch
+  (lakehouse data skipping — partition-style pruning without a physical
+  partition column). ``gen`` is the batch's write generation
+  (deterministic under the single-writer contract) — what makes
+  tombstones generation-scoped.
+- ``{path}/tombstones`` — (vec_id, upto_gen) logical deletes
+  (``delete_from_index``): a tombstone kills code rows of that vec_id
+  with ``gen <= upto_gen`` ONLY (Lucene's segment-scoped deletes), so
+  re-appending an updated vector coexists with its own tombstone — the
+  delete+append update shape (``update_index_vectors``) works WITHOUT
+  an intervening compaction. Broadcast-anti-joined at probe time and
   folded physically by ``compact_index`` (the Delta deletion-vector
   shape). Dimension-sized between compactions by documented contract.
 
@@ -38,7 +48,15 @@ Scale shape: build cost is the one-map-pass encode plus one clustered
 write (a single range shuffle of the few-byte code rows). Probe cost is
 |queries| x quantizer-state work (map-side against the broadcast state
 row) + the pruned code scan + one partial-aggregated decimal sum —
-the float corpus is never touched after build.
+the float corpus is never touched after build. Deletes and updates are
+delta-sized (one tombstone append + one state publish; updates add the
+delta encode).
+
+Single-writer contract: mutations run single-writer (the streaming
+``foreachBatch`` shape) — ``n_vectors`` is a state read-modify-write.
+After a crash, the writer replays the failed epoch before issuing new
+operations (ordinary at-least-once redelivery order): generation stamps
+derive from the state the crashed attempt saw.
 
 Reference parity: the reference (pandas/Prefect/Mongo retail ELT) has no
 ANN surface; this extends the beyond-reference LLM-data-pipeline layer
@@ -67,11 +85,12 @@ def _publish_state(
     path: str,
     n_vectors: int,
     codes_version: int,
+    tombstones_version: int = -1,
 ) -> int:
     """Overwrite the one-row state table from the (cells, books) quantizer
-    frames + params, recording the codes commit it references. The state
-    commit is the index's publish point — it is always written AFTER the
-    codes commit it names."""
+    frames + params, recording the codes and tombstone commits it
+    references. The state commit is the index's publish point — it is
+    always written AFTER the commits it names."""
     state = cells.crossJoin(books).select(
         F.lit(n_vectors).cast("long").alias("n_vectors"),
         F.lit(p["n_cells"]).cast("int").alias("n_cells"),
@@ -79,10 +98,54 @@ def _publish_state(
         F.lit(p["dsub"]).cast("int").alias("dsub"),
         F.lit(p["n_cents"]).cast("int").alias("n_cents"),
         F.lit(codes_version).cast("long").alias("codes_version"),
+        F.lit(tombstones_version).cast("long").alias("tombstones_version"),
         F.col("__cells").alias("cells"),
         F.col("__cents").alias("cents"),
     )
     return LH.write_table(state, f"{path}/state", mode="overwrite")
+
+
+def _stamp_gen(encoded: DataFrame, gen: int) -> DataFrame:
+    return encoded.withColumn("gen", F.lit(gen).cast("long"))
+
+
+def _live_tombstones(
+    spark: SparkSession, path: str, version: int | None
+) -> DataFrame | None:
+    """The (vec_id, upto_gen) tombstone relation at the state-recorded
+    version, or None when the state records -1 (no unfolded delete)."""
+    if version is None or version < 0:
+        return None
+    if not LH.table_versions(f"{path}/tombstones"):
+        return None
+    return LH.read_table(spark, f"{path}/tombstones", version)
+
+
+def _anti_tombstones(codes: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Generation-scoped tombstone fold: drop code rows whose vec_id is
+    tombstoned AT OR BELOW the row's generation — rows a later
+    append/update re-added survive (the Lucene segment-scoped delete
+    semantics)."""
+    if tomb is None:
+        return codes
+    t = F.broadcast(
+        tomb.select(
+            F.col("vec_id").alias("__t_vec"),
+            F.col("upto_gen").alias("__t_upto"),
+        )
+    )
+    return codes.join(
+        t,
+        (F.col("vec_id") == F.col("__t_vec"))
+        & (F.col("gen") <= F.col("__t_upto")),
+        "left_anti",
+    )
+
+
+def _truncate_tombstones(spark: SparkSession, path: str) -> None:
+    if LH.table_versions(f"{path}/tombstones"):
+        empty = LH.read_table(spark, f"{path}/tombstones").limit(0)
+        LH.write_table(empty, f"{path}/tombstones", mode="overwrite")
 
 
 def build_ivfpq_index(
@@ -98,12 +161,16 @@ def build_ivfpq_index(
 ) -> dict:
     """Materialize the IVF-PQ index for ``corpus`` under ``path``.
 
-    Writes ``codes`` first, then ``state`` — the one-row state commit is
-    the publish point: it records the ``codes_version`` it references,
-    and default (unpinned) readers resolve codes AT THAT VERSION, so a
-    crash (or a racing read) between the two writes observes the
-    previous consistent (state, codes) pair — never new codes against
-    old quantizers. Returns the commit metadata ``{"n_vectors",
+    Writes ``codes`` first, truncates any leftover tombstones from a
+    previous index generation (a rebuild starts clean — stale tombstones
+    must never hide the new corpus's vectors, the drift-rebuild
+    convergence bug a latest-read tombstone default would cause), then
+    ``state`` — the one-row state commit is the publish point: it
+    records the ``codes_version`` it references (and
+    ``tombstones_version = -1``), and default (unpinned) readers resolve
+    codes AT THAT VERSION, so a crash (or a racing read) between the
+    writes observes the previous consistent snapshot — never new codes
+    against old quantizers. Returns the commit metadata ``{"n_vectors",
     "n_cells", "codes_version", "state_version"}``.
 
     ``n_files`` bounds the clustered code file count (default: the
@@ -112,16 +179,23 @@ def build_ivfpq_index(
     so the per-cell file skipping is exercised rather than collapsing to
     one file).
     """
+    spark = corpus.sparkSession
     n = corpus.count()
     if n_cells is None:
         n_cells = SIM.auto_cells(n)
     encoded, cells, books = SIM.ivfpq_encode_relations(
         corpus, n_cells, m, dsub, n_cents, id_col, vec_col
     )
+    # rebuild rows must outrank every tombstone a previous generation
+    # could have pinned (the truncate below also clears them; the stamp
+    # keeps generation monotone even across the rebuild)
+    prior = LH.table_versions(f"{path}/codes")
+    gen = (prior[-1] + 1) if prior else 0
     codes_version = LH.write_table(
-        encoded, f"{path}/codes", mode="overwrite", cluster_by=["cell"],
-        n_files=n_files,
+        _stamp_gen(encoded, gen), f"{path}/codes", mode="overwrite",
+        cluster_by=["cell"], n_files=n_files,
     )
+    _truncate_tombstones(spark, path)
     p = {"n_cells": n_cells, "m": m, "dsub": dsub, "n_cents": n_cents}
     state_version = _publish_state(cells, books, p, path, n, codes_version)
     return {
@@ -146,18 +220,22 @@ def append_to_index(
     appended to ``codes`` as one clustered commit, and the state row is
     re-published with the updated vector count. Sampled quantizers are
     immutable by design, so every existing code stays valid; this is the
-    standard IVF ingest shape (FAISS ``add`` after ``train``).
+    standard IVF ingest shape (FAISS ``add`` after ``train``). Appended
+    vec_ids must be NEW vectors — re-encoding an existing id is
+    ``update_index_vectors``.
 
     ``txn=(app_id, epoch)`` makes the codes append idempotent (the
     lakehouse exactly-once protocol) — a streaming ingest can re-deliver
     an epoch after a crash without duplicating codes. A replayed call
     returns ``{"skipped": True}`` but still CONVERGES state: if the
     original attempt crashed after the codes append and before the
-    state re-publish, the replay recounts n_vectors from the codes
-    themselves and re-publishes the state row pointing at the latest
-    codes commit (the recount is a distinct-count over the few-byte
-    codes relation — paid only on the rare replay path, never on the
-    normal ingest path).
+    state re-publish, the replay recounts n_vectors from the LIVE codes
+    — the state-pinned tombstones anti-joined, generation-scoped, so a
+    replay arriving after a delete never re-counts tombstoned vectors —
+    and re-publishes the state row pointing at the latest codes commit
+    (the recount is a distinct-count over the few-byte codes relation —
+    paid only on the rare replay path, never on the normal ingest
+    path).
 
     Snapshot note: default (unpinned) readers resolve codes at the
     version the state row references, so the appended vectors become
@@ -174,26 +252,31 @@ def append_to_index(
     """
     spark = delta.sparkSession
     cells, books, p = load_index_state(spark, path)
+    gen = p["codes_version"] + 1  # deterministic under single-writer
     encoded = SIM.ivfpq_encode_with_state(
         delta, cells, books, p["m"], p["dsub"], id_col, vec_col
     )
     codes_version = LH.write_table(
-        encoded, f"{path}/codes", mode="append", cluster_by=["cell"],
-        n_files=n_files, txn=txn,
+        _stamp_gen(encoded, gen), f"{path}/codes", mode="append",
+        cluster_by=["cell"], n_files=n_files, txn=txn,
     )
     if codes_version == -1:
         # replayed txn: this epoch's codes are already committed, but the
         # original attempt may have crashed between the codes append and
-        # the state re-publish — converge state from a codes-side count
+        # the state re-publish — converge state from a LIVE codes count
         # instead of returning early with n_vectors permanently
         # understated (the crash+replay repair the txn protocol implies)
         latest = LH.table_versions(f"{path}/codes")[-1]
+        tomb = _live_tombstones(spark, path, p.get("tombstones_version", -1))
         true_n = (
-            LH.read_table(spark, f"{path}/codes")
+            _anti_tombstones(LH.read_table(spark, f"{path}/codes"), tomb)
             .select("vec_id").distinct().count()
         )
         if true_n != p["n_vectors"] or p["codes_version"] != latest:
-            state_version = _publish_state(cells, books, p, path, true_n, latest)
+            state_version = _publish_state(
+                cells, books, p, path, true_n, latest,
+                p.get("tombstones_version", -1),
+            )
             return {
                 "skipped": True, "repaired": True,
                 "n_vectors": true_n, "state_version": state_version,
@@ -201,7 +284,8 @@ def append_to_index(
         return {"skipped": True}
     n_delta = delta.count()
     state_version = _publish_state(
-        cells, books, p, path, p["n_vectors"] + n_delta, codes_version
+        cells, books, p, path, p["n_vectors"] + n_delta, codes_version,
+        p.get("tombstones_version", -1),
     )
     return {
         "n_vectors": p["n_vectors"] + n_delta,
@@ -220,7 +304,8 @@ def load_index_state(
     m/dsub size plan-build expressions, so they must be driver values)."""
     state = LH.read_table(spark, f"{path}/state", version)
     p = state.select(
-        "n_vectors", "n_cells", "m", "dsub", "n_cents", "codes_version"
+        "n_vectors", "n_cells", "m", "dsub", "n_cents", "codes_version",
+        "tombstones_version",
     ).first()
     cells = F.broadcast(state.select(F.col("cells").alias("__cells")))
     books = F.broadcast(state.select(F.col("cents").alias("__cents")))
@@ -244,8 +329,8 @@ def ivfpq_probe(
     bit for bit, as ``similarity.ivfpq_topk`` on the corpus the index
     was built from (both run ``ivfpq_adc_scan`` on the same relations),
     minus any tombstoned vectors (``delete_from_index`` — the broadcast
-    anti-join applies logical deletes until the next ``compact_index``
-    folds them physically).
+    generation-scoped anti-join applies logical deletes until the next
+    ``compact_index`` folds them physically).
 
     Read path: the query batch's probed cells are a bounded relation
     (|queries| x n_probe ints) computed map-side against the broadcast
@@ -257,17 +342,20 @@ def ivfpq_probe(
     files, the file-level analogue of the equi-join's row pruning. The
     row-level cell equi-join still applies inside kept files.
 
-    Snapshot consistency: ``codes_version`` defaults to the version the
-    resolved state row RECORDS (the pair the state publish named), so a
-    default read is crash-consistent across rebuilds by construction —
-    a probe racing (or following a crash) between a rebuild's codes
-    overwrite and its state overwrite scans the OLD codes against the
-    old quantizers, never mixed halves. Pass explicit versions to time
-    travel (e.g. the pair a ``build``/``append`` returned).
+    Snapshot consistency: ``codes_version`` AND ``tombstones_version``
+    default to the versions the resolved state row RECORDS (the snapshot
+    the state publish named), so a default read is crash-consistent
+    across rebuilds and mutations by construction — a probe racing (or
+    following a crash) between a mutation's data commits and its state
+    overwrite scans the OLD snapshot, never mixed halves, and a delete
+    becomes visible exactly at its state publish. Pass explicit versions
+    to time travel (e.g. the pair a ``build``/``append`` returned).
     """
     cells, books, p = load_index_state(spark, path, state_version)
     if codes_version is None:
         codes_version = p["codes_version"]
+    if tombstones_version is None:
+        tombstones_version = p.get("tombstones_version", -1)
 
     # probed-cell hull: same ranked-slice expression as the scan's probe
     # side, reduced to ONE row holding the distinct cell set
@@ -329,8 +417,7 @@ def ivfpq_probe(
         # outcome must not degenerate to a whole-table scan).
         codes = LH.read_table(spark, codes_path, codes_version).limit(0)
     tomb = _live_tombstones(spark, path, tombstones_version)
-    if tomb is not None:
-        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    codes = _anti_tombstones(codes, tomb)
     return SIM.ivfpq_adc_scan(
         codes, cells, books, queries, k, n_probe, p["m"], p["dsub"],
         id_col, vec_col, query_id_col,
@@ -418,59 +505,183 @@ def delete_from_index(
     id_col: str = "vec_id",
 ) -> dict:
     """Delete vectors from the index WITHOUT rewriting codes: append the
-    ids to ``{path}/tombstones`` as one atomic commit; ``ivfpq_probe``
-    anti-joins the tombstones after its pruned codes scan, and the next
-    ``compact_index`` folds them away physically (the Delta
-    deletion-vector shape: logical delete now, physical rewrite at
-    OPTIMIZE).
+    victims to ``{path}/tombstones`` as (vec_id, upto_gen) — pinned to
+    the current codes generation, so only rows committed AT OR BEFORE
+    the delete die and a later re-append of the same vec_id (an update)
+    survives — then re-publish the state row with the decremented
+    ``n_vectors`` and the tombstone version it accounts for.
+    ``ivfpq_probe`` anti-joins the state-pinned tombstones after its
+    pruned codes scan, and the next ``compact_index`` folds them away
+    physically (the Delta deletion-vector shape: logical delete now,
+    physical rewrite at OPTIMIZE).
+
+    Victims are validated against the LIVE codes: ids that were never
+    indexed, or are already deleted, are silently ignored (returned as
+    ``n_ignored``) — ``n_vectors`` decrements by membership EVIDENCE,
+    never by the request size. The state publish is the visibility
+    point (mirroring ``text_index.delete_from_text_index``): a reader
+    racing the delete resolves the old consistent snapshot until the
+    state overwrite lands.
 
     Scale bound: the tombstone relation is broadcast at probe time, so
     deletes accumulated BETWEEN compactions must stay dimension-sized
-    (the standard DV assumption) — compact when they grow. Deletes are
-    monotone and single-commit, so no state-pair problem arises; probes
-    read tombstones at latest by default (a delete is visible
-    immediately, the serving semantics a store wants) and can pin
-    ``tombstones_version`` for frozen replay. ``txn`` makes the commit
-    idempotent under the lakehouse exactly-once protocol.
+    (the standard DV assumption) — compact when they grow. ``txn`` makes
+    the tombstone commit idempotent under the lakehouse exactly-once
+    protocol; the victim set derives from the versions the PRE-delete
+    state row pins, so a crash+replay recomputes identical rows and
+    converges at the state re-publish.
     """
     spark = ids.sparkSession
-    tomb = ids.select(F.col(id_col).cast("long").alias("vec_id")).distinct()
-    v = LH.write_table(tomb, f"{path}/tombstones", mode="append", txn=txn)
-    if v == -1:
-        return {"skipped": True}
-    n = (
-        LH.read_table(spark, f"{path}/tombstones")
-        .select("vec_id").distinct().count()
+    cells, books, p = load_index_state(spark, path)
+    requested = ids.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct()
+    n_requested = requested.count()
+    tomb = _live_tombstones(spark, path, p.get("tombstones_version", -1))
+    live = _anti_tombstones(
+        LH.read_table(spark, f"{path}/codes", p["codes_version"]), tomb
     )
-    return {"tombstones_version": v, "n_tombstones": n}
+    victims = requested.join(live, "vec_id", "left_semi")
+    n_del = victims.count()
+    if n_del == 0:
+        return {"n_deleted": 0, "n_ignored": n_requested}
+    upto = p["codes_version"]  # >= every live row's generation
+    tomb_rows = victims.select(
+        "vec_id", F.lit(upto).cast("long").alias("upto_gen")
+    )
+    v = LH.write_table(tomb_rows, f"{path}/tombstones", mode="append", txn=txn)
+    if v == -1:
+        v = LH.table_versions(f"{path}/tombstones")[-1]
+    state_version = _publish_state(
+        cells, books, p, path, p["n_vectors"] - n_del, p["codes_version"], v
+    )
+    return {
+        "n_deleted": n_del,
+        "n_ignored": n_requested - n_del,
+        "n_vectors": p["n_vectors"] - n_del,
+        "tombstones_version": v,
+        "state_version": state_version,
+    }
 
 
-def _live_tombstones(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame | None:
-    """The tombstone relation, or None when no delete has ever landed."""
-    if not LH.table_versions(f"{path}/tombstones"):
-        return None
-    return LH.read_table(spark, f"{path}/tombstones", version)
+def update_index_vectors(
+    delta: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    n_files: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Re-encode vectors in place — the embedding-refresh shape — as ONE
+    atomic publish: tombstone each vec_id's current generation, append
+    the delta's codes at the next generation (encoded against the
+    immutable stored quantizers), and re-publish state once. A reader at
+    ANY instant resolves either the old encoding or the new one, never
+    neither and never both: both the codes and the tombstones are read
+    at the versions the state row records, so every intermediate commit
+    is invisible until the state overwrite.
+
+    Upsert semantics: ids absent from the live codes are INSERTED
+    (counted in ``n_inserted``); present ids are replaced
+    (``n_updated``). Both appends share the ``txn`` tag and replay
+    independently; a full replay converges through the same live-count
+    repair as ``append_to_index``.
+    """
+    spark = delta.sparkSession
+    cells, books, p = load_index_state(spark, path)
+    gen = p["codes_version"] + 1
+    upto = p["codes_version"]
+    tomb = _live_tombstones(spark, path, p.get("tombstones_version", -1))
+    live = _anti_tombstones(
+        LH.read_table(spark, f"{path}/codes", p["codes_version"]), tomb
+    )
+    batch_ids = delta.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).distinct().localCheckpoint(eager=True)
+    victims = batch_ids.join(live, "vec_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+    n_updated = victims.count()
+    n_inserted = batch_ids.count() - n_updated
+
+    encoded = SIM.ivfpq_encode_with_state(
+        delta, cells, books, p["m"], p["dsub"], id_col, vec_col
+    )
+    codes_version = LH.write_table(
+        _stamp_gen(encoded, gen), f"{path}/codes", mode="append",
+        cluster_by=["cell"], n_files=n_files, txn=txn,
+    )
+    tomb_version = p.get("tombstones_version", -1)
+    if n_updated > 0:
+        tomb_rows = victims.select(
+            "vec_id", F.lit(upto).cast("long").alias("upto_gen")
+        )
+        tomb_version = LH.write_table(
+            tomb_rows, f"{path}/tombstones", mode="append", txn=txn
+        )
+    replayed = codes_version == -1 and (n_updated == 0 or tomb_version == -1)
+    if replayed:
+        # full replay: converge state from the LIVE relations at latest
+        latest = LH.table_versions(f"{path}/codes")[-1]
+        tv = LH.table_versions(f"{path}/tombstones")
+        latest_tomb = tv[-1] if tv else -1
+        lt = _live_tombstones(spark, path, latest_tomb)
+        if lt is not None and lt.limit(1).count() == 0:
+            lt, latest_tomb = None, -1
+        true_n = (
+            _anti_tombstones(LH.read_table(spark, f"{path}/codes"), lt)
+            .select("vec_id").distinct().count()
+        )
+        if (
+            true_n != p["n_vectors"]
+            or p["codes_version"] != latest
+            or p.get("tombstones_version", -1) != latest_tomb
+        ):
+            sv = _publish_state(
+                cells, books, p, path, true_n, latest, latest_tomb
+            )
+            return {
+                "skipped": True, "repaired": True,
+                "n_vectors": true_n, "state_version": sv,
+            }
+        return {"skipped": True}
+    if codes_version == -1:
+        codes_version = LH.table_versions(f"{path}/codes")[-1]
+    if tomb_version == -1:
+        tomb_version = LH.table_versions(f"{path}/tombstones")[-1]
+    n_vectors = p["n_vectors"] + n_inserted
+    state_version = _publish_state(
+        cells, books, p, path, n_vectors, codes_version, tomb_version
+    )
+    return {
+        "n_updated": n_updated,
+        "n_inserted": n_inserted,
+        "n_vectors": n_vectors,
+        "codes_version": codes_version,
+        "tombstones_version": tomb_version,
+        "state_version": state_version,
+    }
 
 
 def compact_index(
     spark: SparkSession, path: str, n_files: int | None = None
 ) -> dict:
     """OPTIMIZE the index: rewrite the codes table (small-file
-    compaction, re-clustered by cell) with every tombstoned vector
-    FOLDED AWAY, re-publish the state row to reference the compacted
-    commit, then truncate the tombstones. Because default readers pin
-    codes to the version state names, a bare ``lakehouse.compact_table``
-    on the codes table alone would leave probes reading the
-    PRE-compaction files (correct but un-optimized, and vacuum-unsafe) —
-    index compaction must move the state pointer too.
+    compaction, re-clustered by cell) with every DEAD GENERATION folded
+    away (the generation-scoped anti-join — a tombstoned-then-updated
+    vector keeps exactly its newest codes), re-publish the state row to
+    reference the compacted commit (tombstones cleared), then truncate
+    the tombstones. Because default readers pin codes to the version
+    state names, a bare ``lakehouse.compact_table`` on the codes table
+    alone would leave probes reading the PRE-compaction files (correct
+    but un-optimized, and vacuum-unsafe) — index compaction must move
+    the state pointer too.
 
     Crash ordering: codes rewrite -> state publish -> tombstone
     truncate. A crash before the state publish leaves readers on the
-    old (codes, tombstones) pair — correct via the anti-join; a crash
-    after it leaves compacted codes with a stale tombstone relation
-    whose anti-join matches nothing — also correct. Truncating BEFORE
+    old (codes, tombstones) snapshot — correct via the anti-join; a
+    crash after it leaves compacted codes with the tombstones already
+    un-referenced (state records -1) — also correct. Truncating BEFORE
     the state publish would be the unsafe order (old codes with the
     deletes forgotten).
 
@@ -479,12 +690,12 @@ def compact_index(
     the deletion (hash over the surviving codes only)."""
     cells, books, p = load_index_state(spark, path)
     codes = LH.read_table(spark, f"{path}/codes", p["codes_version"])
-    tomb = _live_tombstones(spark, path)
+    tomb = _live_tombstones(spark, path, p.get("tombstones_version", -1))
     if tomb is not None:
-        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
-        # folding deletes changes the live count — recount exactly from
-        # the surviving codes (one agg over the already-materializing
-        # rewrite input)
+        codes = _anti_tombstones(codes, tomb)
+        # folding deletes changes the physical row set — recount exactly
+        # from the surviving codes (one agg over the already-materializing
+        # rewrite input; should equal the state count delete maintains)
         n_vectors = codes.select("vec_id").distinct().count()
     else:
         n_vectors = p["n_vectors"]
@@ -493,10 +704,10 @@ def compact_index(
         n_files=n_files,
     )
     state_version = _publish_state(
-        cells, books, p, path, n_vectors, codes_version
+        cells, books, p, path, n_vectors, codes_version, -1
     )
     if tomb is not None:
-        LH.write_table(tomb.limit(0), f"{path}/tombstones", mode="overwrite")
+        _truncate_tombstones(spark, path)
     return {
         "codes_version": codes_version,
         "state_version": state_version,
@@ -522,8 +733,10 @@ def rebuild_if_drifted(
     immutable-quantizer decay ``append_to_index`` documents), RETRAIN by
     rebuilding the index over ``corpus`` (fresh quantizers, one atomic
     versioned publish — readers mid-rebuild stay on the old consistent
-    pair). Returns ``{"recall_at_k", "floor", "rebuilt", ...}`` with the
-    rebuild metadata (and the post-rebuild recall) when it fired.
+    snapshot; the rebuild clears every tombstone, so previously-deleted
+    ids that exist in ``corpus`` are fully live again). Returns
+    ``{"recall_at_k", "floor", "rebuilt", ...}`` with the rebuild
+    metadata (and the post-rebuild recall) when it fired.
 
     Scheduling shape: run after every N ingest epochs or on a cadence —
     the measurement is one probe + one |queries| x corpus brute-force
@@ -571,6 +784,13 @@ def index_audit(
     sits on disk IS the deterministic encode (any corruption, partial
     build, or quantizer drift flips the hash).
 
+    The audit certifies the LIVE index (the ``text_index_audit``
+    contract): dead generations — tombstoned by ``delete_from_index`` /
+    ``update_index_vectors`` and not yet folded by ``compact_index`` —
+    are anti-joined away (generation-scoped) before every derivation,
+    so a post-delete audit matches an oracle computed over the live
+    corpus, and ``n_tombstones`` surfaces the pending physical fold.
+
     Hash shape at scale — a three-level fold whose largest collect_list
     is bounded by a CONSTANT, not by the cell population (which
     ``AUTO_CELLS_HI`` makes linear in n past ~8M vectors): code rows
@@ -580,20 +800,28 @@ def index_audit(
     chunk order, then one global md5 over the n_cells-row (cell, hash)
     relation in cell order. C is exact integer arithmetic from the
     state params, mirrored verbatim in the SQL oracle, so the fold
-    shape (and therefore the hash) is cross-engine identical.
+    shape (and therefore the hash) is cross-engine identical. The hash
+    covers (vec_id, j, code) — generation stamps are physical
+    bookkeeping, not content, so the hash is stable across compaction.
 
     Columns: (n_vectors, n_code_rows, n_cells_used, n_cells, m, dsub,
-    n_cents, codes_hash). ``state_version``/``codes_version`` audit a
-    pinned snapshot pair (time travel over the index history); defaults
-    resolve the latest state row and the codes version IT references
-    (the crash-consistent pair).
+    n_cents, n_tombstones, codes_hash). ``state_version``/
+    ``codes_version`` audit a pinned snapshot (time travel over the
+    index history); defaults resolve the latest state row and the
+    versions IT references (the crash-consistent snapshot).
     """
     _, _, p = load_index_state(spark, path, state_version)
     if codes_version is None:
         codes_version = p["codes_version"]
     denom = max(1, p["n_cells"] * chunk_target)
     n_chunks = max(1, (p["n_vectors"] + denom - 1) // denom)
-    codes = LH.read_table(spark, f"{path}/codes", codes_version)
+    tomb = _live_tombstones(spark, path, p.get("tombstones_version", -1))
+    n_tombstones = 0
+    if tomb is not None:
+        n_tombstones = tomb.select("vec_id").distinct().count()
+    codes = _anti_tombstones(
+        LH.read_table(spark, f"{path}/codes", codes_version), tomb
+    )
     row_fold = F.md5(
         F.concat_ws(
             ",",
@@ -657,5 +885,6 @@ def index_audit(
         F.lit(p["m"]).cast("int").alias("m"),
         F.lit(p["dsub"]).cast("int").alias("dsub"),
         F.lit(p["n_cents"]).cast("int").alias("n_cents"),
+        F.lit(n_tombstones).cast("long").alias("n_tombstones"),
         "codes_hash",
     )

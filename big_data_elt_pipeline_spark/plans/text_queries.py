@@ -1194,14 +1194,20 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disjoint query ids) shares the identical CTE body — the oracle for a
 # stored-index probe IS the from-scratch recomputation.
 def _ivfpq_sql(
-    q_pred: str, excl_pred: str | None = None, k: int = _PQ_K
+    q_pred: str,
+    excl_pred: str | None = None,
+    k: int = _PQ_K,
+    corpus_src: str = "embeddings",
 ) -> str:
     """``excl_pred`` (over ``co.vec_id``) drops candidates from the scored
     relation — the oracle twin of a tombstone anti-join: quantizers and
     codes still derive from the FULL corpus (deletes never retrain), only
     the candidate set shrinks (``ann_index.delete_from_index``). ``k``
     widens the ranked cut for candidate-depth consumers (the hybrid
-    fusion leg)."""
+    fusion leg). ``corpus_src`` swaps the ENCODED relation (assignments
+    + codes) while quantizer training stays on the raw ``embeddings`` —
+    the oracle twin of ``ann_index.update_index_vectors``, which
+    re-encodes against the immutable stored quantizers."""
     excl = f" AND NOT ({excl_pred})" if excl_pred else ""
     return f"""
 WITH cents AS (
@@ -1224,7 +1230,7 @@ assigned AS (
                    PARTITION BY e.vec_id
                    ORDER BY {_cos("e.embedding", "c.cvec")} DESC, c.cell ASC
                ) AS rn
-        FROM embeddings e CROSS JOIN cells c
+        FROM {corpus_src} e CROSS JOIN cells c
     ) WHERE rn = 1
 ),
 js AS (SELECT unnest(range(0, {_PQ_M})) AS j),
@@ -1234,7 +1240,7 @@ codes AS (
                row_number() OVER (PARTITION BY e.vec_id, js.j
                    ORDER BY {_pq_subdist_sql('e.embedding', 'c.cvec')} ASC,
                             c.cid ASC) AS rn
-        FROM embeddings e, js, cents c
+        FROM {corpus_src} e, js, cents c
     ) WHERE rn = 1
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE {q_pred}),
@@ -1461,6 +1467,7 @@ SELECT CAST(sum(n_vecs) AS BIGINT) AS n_vectors,
        CAST({_PQ_M} AS INTEGER) AS m,
        CAST({_PQ_DSUB} AS INTEGER) AS dsub,
        CAST({_PQ_CENTS} AS INTEGER) AS n_cents,
+       CAST(0 AS BIGINT) AS n_tombstones,
        md5(string_agg(CAST(cell AS VARCHAR) || ':' || h, ',' ORDER BY cell))
            AS codes_hash
 FROM cellhash
@@ -1643,6 +1650,71 @@ def q_ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AIX.index_recall(
         spark, idx, emb, queries, k=_PQ_K, n_probe=_IVF_PROBE, floor=0.05
     )
+
+
+# Document-update composition (r13 verdict #6): update_index_vectors =
+# delete + append under ONE state publish. The gate re-encodes a
+# deterministic slice of the corpus (vec_id % 5 == 0, elements mapped
+# x -> x*0.5 + 0.25 — exact in IEEE doubles on both engines) against the
+# IMMUTABLE stored quantizers, then probes the mutated index; the oracle
+# trains quantizers on the RAW corpus but encodes the UPDATED one — the
+# from-scratch twin of the stored re-encode. A stale generation leaking
+# through the tombstone scope (or a lost new generation) flips the hash.
+_UPD_CORPUS_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 != 0"
+    " UNION ALL"
+    " SELECT vec_id, list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * 0.5 + 0.25) AS embedding"
+    " FROM embeddings WHERE vec_id % 5 = 0)"
+)
+
+_ANN_INDEX_UPDATE_SQL = _ivfpq_sql(
+    "vec_id >= 8 AND vec_id < 16", corpus_src=_UPD_CORPUS_SQL
+)
+
+
+def _ann_index_upd_path(spark: SparkSession, sf_dir: str) -> str:
+    """A SEPARATE staged index with the deterministic update batch
+    applied once per (process, sf_dir) — mutating the shared
+    ``_ann_index_path`` index would corrupt the other gate queries."""
+    from big_data_elt_pipeline_spark.lakehouse import table_versions
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+
+    idx = f"{staging_dir('ann_index_upd', sf_dir)}/index"
+    if not table_versions(f"{idx}/tombstones"):
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        if not table_versions(f"{idx}/state"):
+            AIX.build_ivfpq_index(
+                emb, idx, m=_PQ_M, dsub=_PQ_DSUB, n_cents=_PQ_CENTS, n_files=8
+            )
+        upd = emb.filter(F.col("vec_id") % 5 == 0).select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(0.5) + F.lit(0.25)
+            ).alias("embedding"),
+        )
+        AIX.update_index_vectors(upd, idx, n_files=8)
+    return idx
+
+
+@register("ann_index_update", _ANN_INDEX_UPDATE_SQL)
+def q_ann_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k from a stored index AFTER ``update_index_vectors``: every
+    vec_id % 5 == 0 vector re-encoded in place (generation-scoped
+    tombstone + re-append under one atomic state publish), probed with a
+    disjoint query set. The oracle recomputes the encode of the UPDATED
+    corpus against quantizers trained on the raw corpus — exactly what
+    the stored index must now hold. Contract in
+    ``operators/ann_index.update_index_vectors``."""
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+
+    idx = _ann_index_upd_path(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return AIX.ivfpq_probe(spark, idx, queries, k=_PQ_K, n_probe=_IVF_PROBE)
 
 
 # Streaming ANN serving (r12 second wave): the retrieval loop the
@@ -2684,6 +2756,75 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _text_index_path(spark, sf_dir)
     queries = spark.createDataFrame(
         _BM25_PROBE_QUERIES, "query_id string, query_text string"
+    )
+    return TIX.bm25_index_probe(spark, idx, queries, k=10)
+
+
+# Document-update composition (r13 verdict #6): update_text_documents =
+# delete + append under ONE stats publish. The gate rewrites every
+# doc_id % 11 == 0 document (a deterministic prefix prepended), then
+# probes the mutated index; the oracle is the ad-hoc BM25 over the
+# updated corpus — every global stat (N, avgdl, each touched term's df)
+# and every posting generation must land exactly or the hash flips.
+_TIX_UPD_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 11 != 0"
+    " UNION ALL"
+    " SELECT doc_id, 'refreshed shuffle corpus ' || text AS text"
+    " FROM documents WHERE doc_id % 11 = 0) documents"
+)
+
+_BM25_INDEX_UPDATE_SQL = f"""
+WITH {_bm25_ctes('''q(query_id, query_text) AS (VALUES
+    ('u_join', 'shuffle join broadcast table'),
+    ('u_scan', 'parquet scan filter pushdown'),
+    ('u_window', 'window partition order row')
+)''', 10, docs_src=_TIX_UPD_DOCS_SQL)}
+SELECT query_id, rank, doc_id, score FROM lexr
+ORDER BY query_id, rank
+"""
+
+
+def _text_index_upd_path(spark: SparkSession, sf_dir: str) -> str:
+    """A SEPARATE staged text index with the deterministic update batch
+    applied once per (process, sf_dir)."""
+    from big_data_elt_pipeline_spark.lakehouse import table_versions
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+    from big_data_elt_pipeline_spark.streaming.incremental import staging_dir
+
+    idx = f"{staging_dir('text_index_upd', sf_dir)}/index"
+    if not table_versions(f"{idx}/tombstones"):
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        if not table_versions(f"{idx}/stats"):
+            TIX.build_text_index(docs, idx, n_files=8)
+        upd = docs.filter(F.col("doc_id") % 11 == 0).select(
+            "doc_id",
+            F.concat(F.lit("refreshed shuffle corpus "), F.col("text")).alias(
+                "text"
+            ),
+        )
+        TIX.update_text_documents(upd, idx, n_files=8)
+    return idx
+
+
+@register("bm25_index_update", _BM25_INDEX_UPDATE_SQL)
+def q_bm25_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 from a stored index AFTER ``update_text_documents``
+    (doc_id % 11 == 0 rewritten in place — generation-scoped tombstone +
+    re-append under one atomic stats publish): the probe must answer
+    EXACTLY as the ad-hoc BM25 over the updated corpus, which is what
+    the oracle computes. A stale generation leaking through the
+    tombstone scope, a lost revision, or any stats drift flips the
+    hash. Contract in ``operators/text_index.update_text_documents``."""
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+
+    idx = _text_index_upd_path(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [
+            ("u_join", "shuffle join broadcast table"),
+            ("u_scan", "parquet scan filter pushdown"),
+            ("u_window", "window partition order row"),
+        ],
+        "query_id string, query_text string",
     )
     return TIX.bm25_index_probe(spark, idx, queries, k=10)
 

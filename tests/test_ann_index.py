@@ -206,7 +206,10 @@ def test_replay_converges_state_after_crash(spark, tmp_path):
     # then "die" before the state overwrite (exactly append_to_index's
     # first write, nothing after)
     cells, books, p = AIX.load_index_state(spark, path)
-    encoded = SIM.ivfpq_encode_with_state(delta, cells, books, p["m"], p["dsub"])
+    encoded = AIX._stamp_gen(
+        SIM.ivfpq_encode_with_state(delta, cells, books, p["m"], p["dsub"]),
+        p["codes_version"] + 1,
+    )
     LH.write_table(
         encoded, f"{path}/codes", mode="append", cluster_by=["cell"],
         txn=("crashy", 7),
@@ -340,26 +343,33 @@ def test_delete_probe_and_compaction_fold(spark, tmp_path):
     }
     assert victims  # the delete must actually displace some results
 
-    res = AIX.delete_from_index(
-        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
-        path, txn=("d", 1),
-    )
-    assert res["n_tombstones"] > 0
+    del_ids = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    res = AIX.delete_from_index(del_ids, path, txn=("d", 1))
+    assert res["n_deleted"] == del_ids.count() and res["n_ignored"] == 0
+    assert res["n_vectors"] == emb.count() - del_ids.count()
     after = AIX.ivfpq_probe(spark, path, queries, k=5, n_probe=4)
     got = after.collect()
     assert all(r.vec_id % 7 != 0 for r in got)
     assert len(got) == 8 * 5  # ranks refill from surviving candidates
-    assert AIX.delete_from_index(
-        emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
-        path, txn=("d", 1),
-    ) == {"skipped": True}
+    # re-deleting: every id is already dead, so nothing decrements
+    assert AIX.delete_from_index(del_ids, path, txn=("d", 1)) == {
+        "n_deleted": 0, "n_ignored": del_ids.count()
+    }
 
     key = ["query_id", "vec_id", "adc_l2sq", "rank"]
     pre_compact = sorted(map(tuple, after.select(key).collect()))
-    n_live_before = AIX.index_audit(spark, path).first().n_vectors
+    # the audit certifies the LIVE index even before the physical fold:
+    # deleted vectors are already out of its counts and hash
+    live_audit = AIX.index_audit(spark, path).first()
+    assert live_audit.n_vectors == emb.count() - del_ids.count()
+    assert live_audit.n_tombstones == del_ids.count()
     meta = AIX.compact_index(spark, path, n_files=3)
-    assert meta["n_vectors"] < n_live_before
-    assert AIX.index_audit(spark, path).first().n_vectors == meta["n_vectors"]
+    assert meta["n_vectors"] == live_audit.n_vectors
+    folded_audit = AIX.index_audit(spark, path).first()
+    assert folded_audit.n_vectors == meta["n_vectors"]
+    assert folded_audit.n_tombstones == 0
+    # physical fold changes no live content: hash identical across it
+    assert folded_audit.codes_hash == live_audit.codes_hash
     assert (
         LH.read_table(spark, f"{path}/tombstones").count() == 0
     )  # folded away

@@ -113,7 +113,8 @@ def test_replay_converges_stats_after_crash(spark, tmp_path):
     delta = docs.filter(F.col("doc_id") > mid)
     path = str(tmp_path / "index")
     TIX.build_text_index(base, path, n_files=4)
-    post = TIX._postings(delta, "doc_id", "text")
+    p0 = TIX.load_text_index_stats(spark, path)
+    post = TIX._postings(delta, "doc_id", "text", p0["postings_version"] + 1)
     LH.write_table(
         post, f"{path}/postings", mode="append", cluster_by=["term"],
         txn=("crashy", 3),
@@ -122,6 +123,10 @@ def test_replay_converges_stats_after_crash(spark, tmp_path):
     LH.write_table(
         dfreq, f"{path}/df", mode="append", cluster_by=["term"],
         txn=("crashy", 3),
+    )
+    LH.write_table(
+        TIX._registry_rows(delta, "doc_id", p0["postings_version"] + 1),
+        f"{path}/docs", mode="append", txn=("crashy", 3),
     )
     assert TIX.load_text_index_stats(spark, path)["n_docs"] == base.count()
 
@@ -153,7 +158,8 @@ def test_partial_replay_commits_missing_table(spark, tmp_path):
     delta = docs.filter(F.col("doc_id") > mid)
     path = str(tmp_path / "index")
     TIX.build_text_index(base, path, n_files=4)
-    post = TIX._postings(delta, "doc_id", "text")
+    p0 = TIX.load_text_index_stats(spark, path)
+    post = TIX._postings(delta, "doc_id", "text", p0["postings_version"] + 1)
     LH.write_table(
         post, f"{path}/postings", mode="append", cluster_by=["term"],
         txn=("crashy", 9),
@@ -226,7 +232,9 @@ def test_delete_probe_equals_live_corpus_and_compaction_folds(spark, tmp_path):
     # replayed txn converges without double-decrement; re-deleting the
     # same ids without a txn is also a no-op (already tombstoned)
     TIX.delete_from_text_index(victims, path, txn=("d", 1))
-    assert TIX.delete_from_text_index(victims, path) == {"n_deleted": 0}
+    assert TIX.delete_from_text_index(victims, path) == {
+        "n_deleted": 0, "n_ignored": victims.count()
+    }
     assert _rows(TIX.bm25_index_probe(spark, path, q, k=10)) == got
     hash_before = TIX.text_index_audit(spark, path).first().postings_hash
 
@@ -255,13 +263,20 @@ def test_delete_publishes_atomically(spark, tmp_path):
     # simulate the crash: commit the decrements and the tombstones, then
     # "die" before the stats overwrite (exactly delete's first two writes)
     victims = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
-    post = TIX._postings(docs, "doc_id", "text")
+    p0 = TIX.load_text_index_stats(spark, path)
+    post = TIX._postings(docs, "doc_id", "text", 0)
     vic_post = post.join(F.broadcast(victims), "doc_id", "left_semi")
     dec = vic_post.groupBy("term").agg(
         (-F.count(F.lit(1))).cast("long").alias("df")
     )
     LH.write_table(dec, f"{path}/df", mode="append", cluster_by=["term"])
-    LH.write_table(victims.distinct(), f"{path}/tombstones", mode="append")
+    LH.write_table(
+        victims.distinct().select(
+            "doc_id",
+            F.lit(p0["postings_version"]).cast("long").alias("upto_gen"),
+        ),
+        f"{path}/tombstones", mode="append",
+    )
 
     racing = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
     assert racing == before  # pre-delete snapshot, not mixed halves
@@ -394,7 +409,8 @@ def test_default_probe_consistent_across_crashed_rebuild(spark, tmp_path):
     before = _rows(TIX.bm25_index_probe(spark, path, q, k=10))
     # half-rebuild: overwrite postings + df from the FULL corpus, then
     # "crash" before the stats overwrite
-    post = TIX._postings(docs, "doc_id", "text")
+    nxt = LH.table_versions(f"{path}/postings")[-1] + 1
+    post = TIX._postings(docs, "doc_id", "text", nxt)
     LH.write_table(post, f"{path}/postings", mode="overwrite", cluster_by=["term"])
     LH.write_table(
         post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
