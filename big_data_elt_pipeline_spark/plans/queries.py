@@ -1271,31 +1271,68 @@ ROWS_ONLY_ANNEX = frozenset()
 # first for r14.
 # 7 + 5 + 13 + 25 = 50: third consecutive all-oracle window.
 # --------------------------------------------------------------------------
+# Round-14 rotation (r13 verdict #2 executes the queued promise, #6 adds
+# the update debuts):
+# IN:
+#   - the 6 promised r9-stale leave-outs, FIRST as documented last round:
+#     client_features, top_clients, bpe_vocab,
+#     dedup_incremental_span_removal, tpch_q9, classifier_auc;
+#   - the 2 r14 debuts (same-round seating, no never-gated debt):
+#     ann_index_update / bm25_index_update — the delete+append document
+#     -update composites under ONE publish point, probed against
+#     oracles that recompute the UPDATED corpora from scratch;
+#   - the 11 contract- or code-changed queries owed fresh evidence: the
+#     generation-scoped-tombstone rework touches every stored-index
+#     read path (ann_index_audit gained the n_tombstones column — a NEW
+#     hash contract; ann_index_probe / ann_index_delete /
+#     ann_index_recall now resolve state-pinned tombstones;
+#     bm25_index_audit derives n_docs from the live registry;
+#     bm25_index_probe / bm25_index_delete ride the gen-scoped
+#     anti-join + registry validation), mmr_rerank (adaptive round
+#     layout replaced the serial coalesce(1) plan), and the composites
+#     that embed those paths (stream_retrieval_loop, stream_ann_probe,
+#     hybrid_index_topk);
+#   - 31 of the 40-member r10-stale cohort (the oldest tail after the
+#     r9 seats; GATE_HISTORY lists the cohort verbatim).
+# OUT: every r11/r12/r13-green member not named above (all hold fresh
+# rows; families keep local-sweep + pytest coverage), plus 9 r10
+# members whose families keep newer gated coverage: ca_product
+# (revenue family r12-green via ca_monthly/ca_country), serving_weekly
+# (serving family r11/r13 via serving_daily/serving_distribution),
+# tpch_q1_sql + tpch_q3 (TPC-H keeps 12 r12-green rows + q2/q20 r13 +
+# q9 seated this round), kmeans_centroids (ml family r12/r13 via
+# ml_kmeans_segments/logreg_quality_model), hybrid_rrf_topk (hybrid
+# family re-seats hybrid_index_topk this round), retrieval_eval
+# (retrieval family seats four bm25 index queries this round),
+# bpe_doc_tokens (BPE family seats bpe_vocab this round, bpe_merges
+# r13), unigram_segment (unigram family seats unigram_vocab this
+# round). All nine are queued first for r15.
+# 6 + 2 + 11 + 31 = 50: fourth consecutive all-oracle window; after it
+# no oracle-backed query's latest green row is older than r10.
+# --------------------------------------------------------------------------
 _GATE_ORDER = [
-    # r13 debuts (same-round seating)
-    "bm25_index_audit", "bm25_index_probe",
-    "ann_index_delete", "ann_index_recall", "stream_retrieval_loop",
-    "hybrid_index_topk", "bm25_index_delete",
-    # contract/code-changed this round
-    "ann_index_audit", "ann_index_probe", "stream_ann_probe",
-    "bm25_topk", "mmr_rerank",
-    # r8-stale cohort, complete
-    "amount_outliers", "dedup_blocks", "dedup_incremental_substrings",
-    "dedup_span_removal", "dedup_substrings", "dim_clients",
-    "events_props_variant", "fact_achats", "lakehouse_pruned_read",
-    "revenue_chain_recursive", "rolling_7day_revenue", "tpch_q2",
-    "tpch_q20",
-    # r9-stale cohort, 25 of the 31 oracle-backed (leave-outs above)
-    "ann_quantized_topk", "bloom_decontaminate",
-    "bpe_merges", "c4_quality_filter", "ccnet_perplexity_buckets",
-    "client_scores", "dedup_minhash_recall",
-    "doc_length_quantiles", "embedding_audit", "embedding_covariance",
-    "gopher_quality_filter", "lang_id_report",
-    "lm_perplexity_filter", "logreg_quality_model", "nb_lang_classifier",
-    "pagerank_centrality", "pca_top_component", "priority_sample",
-    "silver_achats", "source_mixture", "temperature_mixture",
-    "tokenizer_fertility",
-    "unimax_budget", "url_domain_filter", "vocab_coverage",
+    # the 6 promised r9-stale re-seats (r13 verdict #2, queued first)
+    "client_features", "top_clients", "bpe_vocab",
+    "dedup_incremental_span_removal", "tpch_q9", "classifier_auc",
+    # r14 debuts (same-round seating)
+    "ann_index_update", "bm25_index_update",
+    # contract/code-changed this round (gen-scoped tombstones + registry
+    # + adaptive mmr layout)
+    "ann_index_audit", "ann_index_probe", "ann_index_delete",
+    "ann_index_recall", "bm25_index_audit", "bm25_index_probe",
+    "bm25_index_delete", "mmr_rerank", "stream_retrieval_loop",
+    "stream_ann_probe", "hybrid_index_topk",
+    # r10-stale cohort, 31 of the 40 oracle-backed (leave-outs above)
+    "calendar_dense_monthly", "cms_heavy_hitters", "corpus_split",
+    "cube_sales", "curation_recipe", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_length_quantiles_by_lang", "dsir_select",
+    "events_daily_share", "events_props", "events_session_window",
+    "events_sliding", "grouping_sets_sales", "incremental_ca_monthly",
+    "kpis_extended", "mixture_sample", "multimodal_features", "pii_scrub",
+    "pivot_event_counts", "quality_counters_clients",
+    "salted_distinct_products", "set_ops_users", "shard_manifest",
+    "silver_dirty_achats", "silver_dirty_clients", "to_reactivate",
+    "top_opportunities", "unigram_vocab", "vocab_drift",
 ]
 
 
