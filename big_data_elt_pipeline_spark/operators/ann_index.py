@@ -611,15 +611,22 @@ def update_index_vectors(
         _stamp_gen(encoded, gen), f"{path}/codes", mode="append",
         cluster_by=["cell"], n_files=n_files, txn=txn,
     )
-    tomb_version = p.get("tombstones_version", -1)
-    if n_updated > 0:
+    # under a txn the tombstone commit is UNCONDITIONAL (empty victims
+    # frame for a pure-insert batch): the replay of a completed epoch —
+    # whose vec_ids are live by then — must txn-skip here, not commit a
+    # fresh tombstone batch that kills them. The state row still records
+    # the PRIOR tombstone version for a pure-insert batch (the empty
+    # commit exists only for the txn log).
+    wrote_tomb = n_updated > 0 or txn is not None
+    tomb_commit = None
+    if wrote_tomb:
         tomb_rows = victims.select(
             "vec_id", F.lit(upto).cast("long").alias("upto_gen")
         )
-        tomb_version = LH.write_table(
+        tomb_commit = LH.write_table(
             tomb_rows, f"{path}/tombstones", mode="append", txn=txn
         )
-    replayed = codes_version == -1 and (n_updated == 0 or tomb_version == -1)
+    replayed = codes_version == -1 and (not wrote_tomb or tomb_commit == -1)
     if replayed:
         # full replay: converge state from the LIVE relations at latest
         latest = LH.table_versions(f"{path}/codes")[-1]
@@ -647,8 +654,13 @@ def update_index_vectors(
         return {"skipped": True}
     if codes_version == -1:
         codes_version = LH.table_versions(f"{path}/codes")[-1]
-    if tomb_version == -1:
-        tomb_version = LH.table_versions(f"{path}/tombstones")[-1]
+    tomb_version = p.get("tombstones_version", -1)
+    if n_updated > 0:
+        tomb_version = (
+            tomb_commit
+            if tomb_commit is not None and tomb_commit != -1
+            else LH.table_versions(f"{path}/tombstones")[-1]
+        )
     n_vectors = p["n_vectors"] + n_inserted
     state_version = _publish_state(
         cells, books, p, path, n_vectors, codes_version, tomb_version

@@ -581,12 +581,20 @@ def update_text_documents(
         net_df, f"{path}/df", mode="append", cluster_by=["term"],
         n_files=n_files, txn=txn,
     )
-    tomb_version = p["tombstones_version"]
-    if n_updated > 0:
+    # under a txn the tombstone commit is UNCONDITIONAL (an empty victims
+    # frame when the batch is pure inserts): the txn log must hold an
+    # entry for this epoch on EVERY table the replay will re-attempt,
+    # otherwise a replay of a pure-insert epoch — whose doc_ids are live
+    # by then — would commit a fresh tombstone batch and kill them. The
+    # stats row still records the PRIOR tombstone version for a
+    # pure-insert batch (the empty commit exists only for the txn log).
+    wrote_tomb = n_updated > 0 or txn is not None
+    tomb_commit = None
+    if wrote_tomb:
         tomb_rows = victims.select(
             "doc_id", F.lit(upto).cast("long").alias("upto_gen")
         )
-        tomb_version = LH.write_table(
+        tomb_commit = LH.write_table(
             tomb_rows, f"{path}/tombstones", mode="append", txn=txn
         )
     docs_version = LH.write_table(
@@ -595,7 +603,7 @@ def update_text_documents(
     )
     replayed = (
         postings_version == -1 and df_version == -1 and docs_version == -1
-        and (n_updated == 0 or tomb_version == -1)
+        and (not wrote_tomb or tomb_commit == -1)
     )
     if replayed:
         return _recount_live_and_repair(spark, path, p)
@@ -605,8 +613,13 @@ def update_text_documents(
         df_version = LH.table_versions(f"{path}/df")[-1]
     if docs_version == -1:
         docs_version = LH.table_versions(f"{path}/docs")[-1]
-    if tomb_version == -1:
-        tomb_version = LH.table_versions(f"{path}/tombstones")[-1]
+    tomb_version = p["tombstones_version"]
+    if n_updated > 0:
+        tomb_version = (
+            tomb_commit
+            if tomb_commit is not None and tomb_commit != -1
+            else LH.table_versions(f"{path}/tombstones")[-1]
+        )
 
     new_counts = new_post.agg(
         F.count_distinct("doc_id").cast("long").alias("n"),

@@ -15,6 +15,10 @@ pins.
 
 Single-writer contract inherited from ``append_to_text_index`` — a
 micro-batch stream IS the single writer.
+
+``stream_text_updates`` is the mutation twin: a stream of document
+REVISIONS applied one ``update_text_documents`` epoch at a time — the
+RAG corpus-refresh loop as a stream, each epoch one atomic publish.
 """
 
 from __future__ import annotations
@@ -65,4 +69,44 @@ def stream_text_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+    return TIX.load_text_index_stats(spark, index_path)
+
+
+def stream_text_updates(
+    updates: DataFrame,
+    index_path: str,
+    n_files: int | None = None,
+    checkpoint_dir: str | None = None,
+    app_id: str | None = None,
+) -> dict:
+    """Apply a STREAM of document revisions to an existing text index —
+    the RAG corpus-refresh loop as a stream: each micro-batch is one
+    ``update_text_documents`` call (delete + append under ONE atomic
+    stats publish per epoch), txn-tagged so a crash re-delivery is
+    skipped or converged, never double-applied. A reader at any instant
+    resolves each document at exactly one revision — the epoch
+    boundaries ARE the visibility points.
+
+    ``updates`` is a STREAMING (doc_id, text) DataFrame (any source);
+    upsert semantics per batch (new doc_ids insert). Later revisions of
+    a doc_id must arrive in later epochs (within one micro-batch a
+    doc_id must be unique — the ``update_text_documents`` contract);
+    single-writer inherited. Returns the post-stream stats dict.
+    """
+    tag = app_id or f"stream_text_updates:{checkpoint_dir or index_path}"
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        TIX.update_text_documents(
+            batch, index_path, txn=(tag, int(epoch)), n_files=n_files
+        )
+
+    writer = updates.writeStream.outputMode("append").foreachBatch(_apply)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = updates.sparkSession
     return TIX.load_text_index_stats(spark, index_path)

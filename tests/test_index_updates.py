@@ -226,6 +226,54 @@ def test_update_text_documents_publishes_atomically(
     assert audit.n_df_mismatch == 0 and audit.stats_consistent is True
 
 
+def test_stream_text_updates_equals_batch_update(spark, tmp_path):
+    """The RAG refresh loop as a stream: streamed revisions leave the
+    index bit-identical to the batch composite applied to the same
+    batches (audit-hash equality) and to the ad-hoc BM25 over the
+    updated corpus; a full stream replay converges as no-ops."""
+    from big_data_elt_pipeline_spark.streaming.text_serving import (
+        stream_text_updates,
+    )
+
+    docs = _docs(spark)
+    s_path, b_path = str(tmp_path / "s"), str(tmp_path / "b")
+    TIX.build_text_index(docs, s_path, n_files=4)
+    TIX.build_text_index(docs, b_path, n_files=4)
+    batch, _ = _updated_docs(spark, docs)
+
+    src = str(tmp_path / "revisions")
+    batch.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    # NOTE maxFilesPerTrigger=1 splits the revision set across epochs —
+    # legal because each doc_id appears once in the whole set
+    p = stream_text_updates(stream, s_path, n_files=4)
+    TIX.update_text_documents(batch, b_path, n_files=4)
+
+    updated = docs.filter(F.col("doc_id") % 11 != 0).unionByName(batch)
+    assert p["n_docs"] == updated.count()
+    sa = TIX.text_index_audit(spark, s_path).first()
+    ba = TIX.text_index_audit(spark, b_path).first()
+    assert sa.postings_hash == ba.postings_hash
+    assert sa.n_docs == ba.n_docs and sa.total_dl == ba.total_dl
+    q = _q(spark)
+    got = _rows(TIX.bm25_index_probe(spark, s_path, q, k=10))
+    assert got == _rows(RETR.bm25_topk(updated, q, k=10))
+
+    # replayed stream: every epoch a converging no-op
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    stream_text_updates(stream2, s_path, n_files=4)
+    assert (
+        TIX.text_index_audit(spark, s_path).first().postings_hash
+        == sa.postings_hash
+    )
+    assert _rows(TIX.bm25_index_probe(spark, s_path, q, k=10)) == got
+
+
 # --------------------------------------------------------------------------
 # ANN index
 # --------------------------------------------------------------------------
