@@ -166,6 +166,10 @@ BENCH_QUERIES = [
     # stream_ann_probe (its query fn drives a full stream + ingest).
     "bm25_index_audit", "bm25_index_probe", "bm25_index_delete",
     "ann_index_delete", "ann_index_recall", "hybrid_index_topk",
+    # round 14: the in-place document/vector update composites (each
+    # stages its own mutated index once per process, like the delete
+    # pair; the probe-after-update is the measured serving path)
+    "ann_index_update", "bm25_index_update",
 ]
 
 
