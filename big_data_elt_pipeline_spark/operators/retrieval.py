@@ -144,6 +144,204 @@ def bm25_topk(
     return bm25_rank(tf, dfreq, corpus, queries, k=k, k1=k1, b=b, dl=dl)
 
 
+def bm25_rank_weighted(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    corpus: DataFrame,
+    qweights: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    dl: DataFrame | None = None,
+) -> DataFrame:
+    """``bm25_rank`` with per-(query, term) WEIGHTS — the expanded-query
+    kernel (RM3 / relevance models / any soft query rewrite). Inputs as
+    ``bm25_rank`` except the query side: ``qweights`` is (query_id,
+    term, qw) with ``qw`` already snapped to 6 dp. Each candidate term
+    contributes the EXACT decimal product ``qw x round(idf * tf_factor,
+    6)`` — DECIMAL(8,6) x DECIMAL(19,6), 12-dp, no rounding decision —
+    summed as decimal and cast to double once at the end. Rounding a
+    product of two 6-dp values at 6 dp would sit exactly on a half-way
+    case whenever the trailing digits multiply to ...5, and the engines
+    resolve double half-way cases differently (Spark rounds the binary
+    expansion HALF_UP, DuckDB rounds the scaled double) — the exact
+    product sidesteps the decision entirely, keeping scores bit-stable
+    under any partitioning AND across engines. ``qw`` uniform = the
+    unweighted kernel's ranking (scaled scores, identical order).
+
+    Scale shape identical to ``bm25_rank``: the weight relation is
+    |queries| x (query vocab + expansion budget) rows — broadcast — and
+    everything downstream of the posting equi-join is candidate-sized.
+    """
+    qvocab = qweights.select("term").distinct()
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tf_factor = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contribution = (
+        F.col("qw").cast("decimal(8,6)")
+        * F.round(F.col("idf") * tf_factor, 6).cast("decimal(19,6)")
+    )
+
+    idf_tbl = (
+        dfreq.join(F.broadcast(qvocab), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("term", idf.alias("idf"), "avgdl")
+    )
+    cand = (
+        tf.join(F.broadcast(qweights), "term")
+        .join(F.broadcast(idf_tbl), "term")
+    )
+    if dl is not None:
+        cand = cand.join(dl, "doc_id")
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(contribution).cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def rm3_weights(
+    base: DataFrame,
+    tf: DataFrame,
+    queries: DataFrame,
+    fb_k: int = 5,
+    fb_terms: int = 10,
+    lam: float = 0.5,
+    dl: DataFrame | None = None,
+) -> DataFrame:
+    """RM3 expanded-query weights from pseudo-relevance feedback (Lavrenko
+    & Croft relevance models; the Anserini/Indri default rewrite):
+    treat the top ``fb_k`` documents of a base ranking as relevant,
+    estimate the feedback term mass
+
+        m(t|R) = Σ_{d ∈ FB(q)} floor(score_d^µ * tf(t, d) / dl(d)),
+
+    in exact integer MICRO-UNITS (score_d^µ = the 6-dp base score times
+    10^6 — exact, the kernel emits 6-dp decimals; the per-posting floor
+    division is exact bigint arithmetic), keep the ``fb_terms``
+    strongest terms by (mass desc, term asc), and interpolate with the
+    uniform original-query model — ALSO in micro-units:
+
+        qw(t) = ( (1-λ)^µ div |Q|  +  (λ^µ * m(t)) div Σ_sel m ) / 10^6,
+
+    λ^µ = round(λ * 10^6) computed once driver-side. Returns (query_id,
+    term, qw) with qw an exact-micro-unit double (6 dp). The BM25-score
+    document prior rides inside the mass (scores weight each feedback
+    document; the per-query normalizer cancels in the ranking and in
+    the final normalization).
+
+    Determinism: the ENTIRE weight pipeline is integer-exact — every
+    division is a bigint floor, the single float op is the final
+    micro-to-double division of exact integers. No round() of a
+    computed double anywhere, hence no engine-dependent half-way cases
+    (the trap ``bm25_rank_weighted`` documents: e.g. ``round(0.5 * x,
+    6)`` of a 6-dp ``x`` sits exactly half-way whenever x's last digit
+    is odd). Bit-identical across engines and partitionings. A query
+    whose base ranking is empty keeps its original terms (the feedback
+    leg contributes nothing).
+
+    ``base``: (query_id, doc_id, score, rank) — a ``bm25_rank`` output;
+    ``tf``: (doc_id, term, tf[, dl]) postings (``dl`` joins separately
+    when not denormalized); ``queries``: (query_id, query_text).
+    """
+    fb = base.filter(F.col("rank") <= fb_k).select(
+        "query_id",
+        "doc_id",
+        (F.col("score").cast("decimal(25,6)") * F.lit(1_000_000))
+        .cast("long").alias("s_micro"),
+    )
+    fb_post = tf.join(
+        F.broadcast(fb), "doc_id"
+    )
+    if dl is not None:
+        fb_post = fb_post.join(dl, "doc_id")
+    fbw = fb_post.withColumn(
+        "add_micro", F.expr("(s_micro * tf) div dl")
+    ).groupBy("query_id", "term").agg(
+        F.sum("add_micro").cast("long").alias("m_fb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("m_fb"), F.asc("term"))
+    fbtop = fbw.withColumn("trank", F.row_number().over(w)).filter(
+        (F.col("trank") <= fb_terms) & (F.col("m_fb") > 0)
+    )
+    fbnorm = fbtop.groupBy("query_id").agg(
+        F.sum("m_fb").cast("long").alias("ms")
+    )
+    lam_u = int(round(lam * 1_000_000))
+    fbq = fbtop.join(F.broadcast(fbnorm), "query_id").select(
+        "query_id",
+        "term",
+        F.expr(f"(cast({lam_u} as bigint) * m_fb) div ms").alias("w_f_u"),
+    )
+    qt = tokenize(queries, "query_id", "query_text").distinct()
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    origq = qt.join(F.broadcast(nq), "query_id").select(
+        "query_id",
+        "term",
+        F.expr(f"cast({1_000_000 - lam_u} as bigint) div n_terms").alias(
+            "w_o_u"
+        ),
+    )
+    return (
+        origq.join(fbq, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id",
+            "term",
+            (
+                (
+                    F.coalesce(F.col("w_o_u"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("w_f_u"), F.lit(0).cast("long"))
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("qw"),
+        )
+    )
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    fb_k: int = 5,
+    fb_terms: int = 10,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ad-hoc RM3 retrieval: BM25 base ranking -> ``rm3_weights`` ->
+    ``bm25_rank_weighted`` re-probe, all from the raw corpus (two
+    ranking passes over the same in-plan term statistics). The serving
+    form over the persisted index is
+    ``text_index.bm25_index_rm3`` — bit-identical by the shared-kernel
+    construction. Returns (query_id, rank, doc_id, score).
+    """
+    tokens = tokenize(docs, "doc_id", "text")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    base = bm25_rank(tf, dfreq, corpus, queries, k=fb_k, k1=k1, b=b, dl=dl)
+    qw = rm3_weights(
+        base, tf, queries, fb_k=fb_k, fb_terms=fb_terms, lam=lam, dl=dl
+    )
+    return bm25_rank_weighted(tf, dfreq, corpus, qw, k=k, k1=k1, b=b, dl=dl)
+
+
 def rrf_fuse(
     lex: DataFrame,
     vec: DataFrame,

@@ -814,6 +814,85 @@ def bm25_index_probe(
     return RETR.bm25_rank(post, dfreq, corpus, queries, k=k, k1=k1, b=b)
 
 
+def bm25_index_rm3(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    fb_k: int = 5,
+    fb_terms: int = 10,
+    lam: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats_version: int | None = None,
+) -> DataFrame:
+    """RM3 query expansion served from the STORED index (the
+    pseudo-relevance-feedback rewrite every lexical serving stack grows
+    next): base ``bm25_index_probe`` at depth ``fb_k`` -> feedback term
+    model from the feedback documents' stored postings
+    (``retrieval.rm3_weights``) -> weighted re-probe
+    (``retrieval.bm25_rank_weighted``) over the expanded vocabulary.
+    Bit-identical to ``retrieval.bm25_rm3_topk`` on the corpus the index
+    holds — all three stages compose the same shared kernels.
+
+    Read path: the base probe and the re-probe are term-range-pruned
+    scans (query vocab, then query vocab + <= ``fb_terms`` expansion
+    terms per query — both bounded by the probe batch). The feedback
+    fetch is the one DOC-keyed read over the term-clustered postings —
+    a single postings scan per probe batch with a broadcast semi-join
+    (the segment-delete asymmetry, same as ``delete_from_text_index``;
+    its output is candidate-sized). A serving stack probing continuously
+    at 100 TB should batch queries per call — the scan amortizes over
+    the batch — or maintain a doc-clustered postings twin.
+
+    Consistency: every read resolves the SAME stats row (N, avgdl, df,
+    tombstones all version-pinned once at entry), so the expansion and
+    the re-probe see one snapshot even under concurrent updates. The
+    base ranking and the weight relation are |queries|-bounded and
+    checkpointed eagerly — the corpus-sized feedback subtree runs once,
+    not once per downstream reference.
+    """
+    p = load_text_index_stats(spark, path, stats_version)
+    postings_version = p["postings_version"]
+    df_version = p["df_version"]
+    tomb = _live_doc_tombstones(spark, path, p.get("tombstones_version", -1))
+
+    base = bm25_index_probe(
+        spark, path, queries, k=fb_k, k1=k1, b=b,
+        stats_version=stats_version,
+    ).localCheckpoint(eager=True)
+
+    post_full = _anti_tombstones(
+        LH.read_table(spark, f"{path}/postings", postings_version), tomb
+    )
+    qw = RETR.rm3_weights(
+        base, post_full, queries, fb_k=fb_k, fb_terms=fb_terms, lam=lam
+    ).localCheckpoint(eager=True)
+
+    # expanded vocabulary: original + feedback terms, bounded by the
+    # probe batch (|queries| x (|q| + fb_terms)) — the serving
+    # collect-the-vocab idiom bm25_index_probe documents
+    evocab = [r["term"] for r in qw.select("term").distinct().collect()]
+    post = _anti_tombstones(
+        _read_pruned_by_terms(
+            spark, f"{path}/postings", evocab, postings_version
+        ),
+        tomb,
+    )
+    dfreq = (
+        _read_pruned_by_terms(spark, f"{path}/df", evocab, df_version)
+        .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    )
+    corpus = spark.range(1).select(
+        F.lit(p["n_docs"]).cast("long").alias("n_docs"),
+        (
+            F.lit(p["total_dl"]).cast("double")
+            / F.lit(p["n_docs_tokenized"]).cast("double")
+        ).alias("avgdl"),
+    )
+    return RETR.bm25_rank_weighted(post, dfreq, corpus, qw, k=k, k1=k1, b=b)
+
+
 def text_index_audit(
     spark: SparkSession,
     path: str,

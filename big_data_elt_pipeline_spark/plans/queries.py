@@ -1277,10 +1277,14 @@ ROWS_ONLY_ANNEX = frozenset()
 #   - the 6 promised r9-stale leave-outs, FIRST as documented last round:
 #     client_features, top_clients, bpe_vocab,
 #     dedup_incremental_span_removal, tpch_q9, classifier_auc;
-#   - the 2 r14 debuts (same-round seating, no never-gated debt):
+#   - the 3 r14 debuts (same-round seating, no never-gated debt):
 #     ann_index_update / bm25_index_update — the delete+append document
 #     -update composites under ONE publish point, probed against
-#     oracles that recompute the UPDATED corpora from scratch;
+#     oracles that recompute the UPDATED corpora from scratch — and
+#     bm25_index_rm3, RM3 pseudo-relevance-feedback expansion served
+#     from the stored index (base probe -> feedback term model ->
+#     weighted re-probe, one pinned snapshot; the oracle replays all
+#     three stages from the raw corpus);
 #   - the 11 contract- or code-changed queries owed fresh evidence: the
 #     generation-scoped-tombstone rework touches every stored-index
 #     read path (ann_index_audit gained the n_tombstones column — a NEW
@@ -1292,7 +1296,7 @@ ROWS_ONLY_ANNEX = frozenset()
 #     layout replaced the serial coalesce(1) plan), and the composites
 #     that embed those paths (stream_retrieval_loop, stream_ann_probe,
 #     hybrid_index_topk);
-#   - 31 of the 40-member r10-stale cohort (the oldest tail after the
+#   - 30 of the 40-member r10-stale cohort (the oldest tail after the
 #     r9 seats; GATE_HISTORY lists the cohort verbatim).
 # OUT: every r11/r12/r13-green member not named above (all hold fresh
 # rows; families keep local-sweep + pytest coverage), plus 9 r10
@@ -1306,8 +1310,10 @@ ROWS_ONLY_ANNEX = frozenset()
 # (retrieval family seats four bm25 index queries this round),
 # bpe_doc_tokens (BPE family seats bpe_vocab this round, bpe_merges
 # r13), unigram_segment (unigram family seats unigram_vocab this
-# round). All nine are queued first for r15.
-# 6 + 2 + 11 + 31 = 50: fourth consecutive all-oracle window; after it
+# round), and events_sliding (events family keeps three seats this
+# round: events_daily_share/events_props/events_session_window; cedes
+# to the debut bm25_index_rm3). All ten are queued first for r15.
+# 6 + 3 + 11 + 30 = 50: fourth consecutive all-oracle window; after it
 # no oracle-backed query's latest green row is older than r10.
 # --------------------------------------------------------------------------
 _GATE_ORDER = [
@@ -1315,7 +1321,7 @@ _GATE_ORDER = [
     "client_features", "top_clients", "bpe_vocab",
     "dedup_incremental_span_removal", "tpch_q9", "classifier_auc",
     # r14 debuts (same-round seating)
-    "ann_index_update", "bm25_index_update",
+    "ann_index_update", "bm25_index_update", "bm25_index_rm3",
     # contract/code-changed this round (gen-scoped tombstones + registry
     # + adaptive mmr layout)
     "ann_index_audit", "ann_index_probe", "ann_index_delete",
@@ -1327,7 +1333,7 @@ _GATE_ORDER = [
     "cube_sales", "curation_recipe", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash", "doc_length_quantiles_by_lang", "dsir_select",
     "events_daily_share", "events_props", "events_session_window",
-    "events_sliding", "grouping_sets_sales", "incremental_ca_monthly",
+    "grouping_sets_sales", "incremental_ca_monthly",
     "kpis_extended", "mixture_sample", "multimodal_features", "pii_scrub",
     "pivot_event_counts", "quality_counters_clients",
     "salted_distinct_products", "set_ops_users", "shard_manifest",

@@ -674,6 +674,171 @@ def hybrid_scale_pin(
     return out
 
 
+def update_scale_pin(
+    spark: SparkSession,
+    sf_dir: str,
+    factors: tuple[int, ...] = (16, 64),
+    progress=None,
+) -> dict[str, float]:
+    """Scale pin for the r14 in-place update composites
+    (``text_index.update_text_documents`` /
+    ``ann_index.update_index_vectors``): both are delta-sized BY
+    CONSTRUCTION — tombstone the victims' current generation, tokenize /
+    encode only the revision batch, append, one stats/state publish —
+    so a FIXED 8-document (8-vector) revision must cost the same wall
+    at x16 and x64 while the only alternative without the composites, a
+    full index rebuild, tracks the corpus. Per factor the artifact
+    records four walls: the one-time builds (= the rebuild alternative,
+    corpus-tracking), the 8-id update of each index (must be FLAT), and
+    the probe-after-update of each index (must stay FLAT — the update
+    must not degrade the served plan; BM25PIN/IVFPIN pinned the same
+    probes pre-mutation).
+
+    Measurement follows the pin discipline: ``.repartition(32)``
+    staging, the session's first lakehouse build untimed, one untimed
+    update + probe warm-up at the first factor, min-of-2 on every timed
+    point. Each timed update re-replaces the SAME 8 ids (identical
+    delta; generations advance, dead rows accumulate delta-sized — the
+    steady-state serving shape between compactions).
+    """
+    import shutil
+    import tempfile
+
+    from big_data_elt_pipeline_spark.operators import ann_index as AIX
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+
+    out: dict[str, float] = {}
+    stage_root = tempfile.mkdtemp(prefix="update_scale_")
+    build_warmed = False
+    warmed = False
+    for factor in factors:
+        scaled_docs(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/docs_x{factor}")
+        docs = spark.read.parquet(f"{stage_root}/docs_x{factor}").select(
+            "doc_id", "text"
+        )
+        scaled_embeddings(spark, sf_dir, factor).repartition(32).write.mode(
+            "overwrite").parquet(f"{stage_root}/emb_x{factor}")
+        emb = spark.read.parquet(f"{stage_root}/emb_x{factor}")
+        out[f"updatepin_x{factor}_rows"] = float(docs.count())
+
+        tix_idx = f"{stage_root}/tix_x{factor}"
+        aix_idx = f"{stage_root}/aix_x{factor}"
+        if not build_warmed:
+            TIX.build_text_index(docs, f"{stage_root}/tix_warm")
+            shutil.rmtree(f"{stage_root}/tix_warm", ignore_errors=True)
+            AIX.build_ivfpq_index(emb, f"{stage_root}/aix_warm")
+            shutil.rmtree(f"{stage_root}/aix_warm", ignore_errors=True)
+            build_warmed = True
+        t0 = time.perf_counter()
+        TIX.build_text_index(docs, tix_idx)
+        out[f"updatepin_text_build_x{factor}"] = round(
+            time.perf_counter() - t0, 4
+        )
+        t0 = time.perf_counter()
+        AIX.build_ivfpq_index(emb, aix_idx)
+        out[f"updatepin_ann_build_x{factor}"] = round(
+            time.perf_counter() - t0, 4
+        )
+
+        # the FIXED revision batch: base-copy ids 8..16 rewritten /
+        # re-embedded — constant delta while the corpus scales
+        rev = docs.filter(
+            (F.col("doc_id") >= 8) & (F.col("doc_id") < 16)
+        ).select(
+            "doc_id",
+            F.concat(F.lit("revised pin edition "), F.col("text")).alias(
+                "text"
+            ),
+        ).localCheckpoint(eager=True)
+        vrev = emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        ).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (-x).cast("float")
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+
+        if not warmed:
+            TIX.update_text_documents(rev, tix_idx)
+            AIX.update_index_vectors(vrev, aix_idx)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = TIX.update_text_documents(rev, tix_idx)
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        out[f"updatepin_text_update_x{factor}"] = round(best, 4)
+        out[f"updatepin_x{factor}_text_n_updated"] = float(r["n_updated"])
+        if progress is not None:
+            progress(f"updatepin_text_update_x{factor}", best)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = AIX.update_index_vectors(vrev, aix_idx)
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        out[f"updatepin_ann_update_x{factor}"] = round(best, 4)
+        out[f"updatepin_x{factor}_ann_n_updated"] = float(r["n_updated"])
+        if progress is not None:
+            progress(f"updatepin_ann_update_x{factor}", best)
+
+        # probe-after-update: the served plans over the mutated indexes
+        queries = spark.createDataFrame(
+            [
+                ("u_join", "shuffle join broadcast table"),
+                ("u_scan", "parquet scan filter pushdown"),
+                ("u_window", "window partition order row"),
+            ],
+            "query_id string, query_text string",
+        )
+        vq = emb.filter(
+            (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+        ).localCheckpoint(eager=True)
+
+        def text_probe():
+            return TIX.bm25_index_probe(spark, tix_idx, queries, k=10)
+
+        def ann_probe():
+            return AIX.ivfpq_probe(spark, aix_idx, vq, k=10, n_probe=4)
+
+        if not warmed:
+            text_probe().count()
+            ann_probe().count()
+            warmed = True
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            nr = text_probe().count()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        out[f"updatepin_text_probe_x{factor}"] = round(best, 4)
+        out[f"updatepin_text_probe_x{factor}_out_rows"] = float(nr)
+        if progress is not None:
+            progress(f"updatepin_text_probe_x{factor}", best)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            nr = ann_probe().count()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        out[f"updatepin_ann_probe_x{factor}"] = round(best, 4)
+        out[f"updatepin_ann_probe_x{factor}_out_rows"] = float(nr)
+        if progress is not None:
+            progress(f"updatepin_ann_probe_x{factor}", best)
+
+        for d in (tix_idx, aix_idx, f"{stage_root}/docs_x{factor}",
+                  f"{stage_root}/emb_x{factor}"):
+            shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return out
+
+
 def loader_scale_pin(
     spark: SparkSession,
     sf_dir: str,

@@ -2482,7 +2482,8 @@ _BM25_QUERIES = [
 ]
 
 def _bm25_ctes(
-    q_cte: str, depth: int, out: str = "lexr", docs_src: str = "documents"
+    q_cte: str, depth: int, out: str = "lexr", docs_src: str = "documents",
+    materialize: tuple[str, ...] = (),
 ) -> str:
     """BM25 oracle as a reusable WITH-body fragment: ``q_cte`` supplies the
     (query_id, query_text) relation, ``out`` is the name of the final
@@ -2490,21 +2491,30 @@ def _bm25_ctes(
     swaps the corpus relation (e.g. the live corpus after a delete — the
     ``bm25_index_delete`` oracle). Numerics mirror
     ``operators/retrieval.bm25_topk`` exactly (round-6 quantized-decimal
-    determinism contract)."""
+    determinism contract).
+
+    ``materialize`` names CTEs of this fragment to emit ``AS
+    MATERIALIZED`` (value-identical; DuckDB re-evaluates a plain CTE
+    once PER REFERENCE, so a consumer whose added CTEs re-reference the
+    corpus-sized ``tokens``/``tf``/``dl`` several times — the RM3
+    oracle — pins them materialized; the single-reference consumers
+    keep the optimizer's default)."""
+    m = {name: " MATERIALIZED" if name in materialize else ""
+         for name in ("tokens", "tf", "dl", "dfreq")}
     return f"""{q_cte},
-tokens AS (
+tokens AS{m['tokens']} (
     SELECT doc_id, t.term
     FROM {docs_src},
          unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
     WHERE t.term <> ''
 ),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+tf AS{m['tf']} (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+dl AS{m['dl']} (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
 corpus AS (
     SELECT (SELECT count(*) FROM {docs_src}) AS n_docs,
            (SELECT avg(dl) FROM dl) AS avgdl
 ),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dfreq AS{m['dfreq']} (SELECT term, count(*) AS df FROM tf GROUP BY term),
 qterms AS (
     SELECT DISTINCT query_id, t.term
     FROM q, unnest(string_split_regex(lower(query_text), '[^a-z]+')) AS t(term)
@@ -2680,6 +2690,137 @@ def q_bm25_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.operators import text_index as TIX
 
     return TIX.text_index_audit(spark, _text_index_path(spark, sf_dir))
+
+
+# RM3 pseudo-relevance feedback served from the stored index (r14): the
+# base probe's top fb_k documents estimate a feedback term distribution
+# P(t|R) = sum_d p_d * tf/dl (p_d = BM25-score prior), the fb_terms
+# strongest terms interpolate with the uniform query model at lambda,
+# and the weighted kernel re-probes the expanded vocabulary. The oracle
+# replays all three stages from the raw corpus with the identical
+# 6-dp-snap/decimal-sum numerics — a drifted feedback weight, a lost
+# expansion term, or any snapshot inconsistency between the stages
+# flips the hash.
+_RM3_QUERIES = [
+    ("r_hash", "hash join vector"),
+    ("r_sort", "sort merge stream"),
+    ("r_scan", "scan filter push"),
+]
+_RM3_FB_K = 5
+_RM3_FB_TERMS = 10
+_RM3_K = 10
+
+_BM25_INDEX_RM3_SQL = f"""
+WITH {_bm25_ctes(
+    "q(query_id, query_text) AS (VALUES "
+    + ", ".join(f"('{qid}', '{qt}')" for qid, qt in _RM3_QUERIES) + ")",
+    _RM3_FB_K, "base", materialize=("tokens", "tf", "dl"))},
+fbm AS (
+    -- base scores are 6-dp decimals: times 10^6 they are EXACT bigints
+    -- (micro-units); the whole feedback pipeline below is integer
+    -- arithmetic — no engine-dependent double rounding anywhere
+    SELECT query_id, doc_id,
+           CAST(CAST(score AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS s_micro
+    FROM base
+),
+fbw AS (
+    SELECT fbm.query_id, tf.term,
+           CAST(sum((fbm.s_micro * tf.tf) // dl.dl) AS BIGINT) AS m_fb
+    FROM fbm
+    JOIN tf ON tf.doc_id = fbm.doc_id
+    JOIN dl ON dl.doc_id = fbm.doc_id
+    GROUP BY fbm.query_id, tf.term
+),
+fbtop AS (
+    SELECT query_id, term, m_fb FROM (
+        SELECT query_id, term, m_fb,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY m_fb DESC, term ASC
+               ) AS trank
+        FROM fbw
+    ) WHERE trank <= {_RM3_FB_TERMS} AND m_fb > 0
+),
+fbnorm AS (
+    SELECT query_id, CAST(sum(m_fb) AS BIGINT) AS ms
+    FROM fbtop GROUP BY query_id
+),
+fbq AS (
+    SELECT fbtop.query_id, fbtop.term,
+           (CAST(500000 AS BIGINT) * m_fb) // ms AS w_f_u
+    FROM fbtop JOIN fbnorm USING (query_id)
+),
+nq AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+    FROM qterms GROUP BY query_id
+),
+origq AS (
+    SELECT qterms.query_id, qterms.term,
+           CAST(500000 AS BIGINT) // nq.n_terms AS w_o_u
+    FROM qterms JOIN nq USING (query_id)
+),
+qw AS MATERIALIZED (
+    SELECT COALESCE(o.query_id, f.query_id) AS query_id,
+           COALESCE(o.term, f.term) AS term,
+           CAST(COALESCE(o.w_o_u, 0) + COALESCE(f.w_f_u, 0) AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS qw
+    FROM origq o
+    FULL OUTER JOIN fbq f ON o.query_id = f.query_id AND o.term = f.term
+),
+idf2 AS (
+    SELECT term,
+           round(ln(CAST(1.0 AS DOUBLE)
+                    + (n_docs - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE))), 6) AS idf,
+           avgdl
+    FROM dfreq, corpus
+    WHERE term IN (SELECT term FROM qw)
+),
+scored2 AS (
+    -- EXACT decimal product qw x contribution (12 dp, no rounding
+    -- decision — see bm25_rank_weighted's half-way-case note), decimal
+    -- sum, one double cast at the end
+    SELECT qw.query_id, tf.doc_id,
+           CAST(sum(CAST(qw.qw AS DECIMAL(8,6)) * CAST(round(
+               idf * (tf * CAST(2.2 AS DOUBLE))
+                   / (tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl.dl / avgdl)), 6)
+               AS DECIMAL(19,6))) AS DOUBLE) AS score
+    FROM tf
+    JOIN qw USING (term)
+    JOIN idf2 USING (term)
+    JOIN dl USING (doc_id)
+    GROUP BY qw.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored2
+) WHERE rank <= {_RM3_K}
+ORDER BY query_id, rank
+"""
+
+
+@register("bm25_index_rm3", _BM25_INDEX_RM3_SQL)
+def q_bm25_index_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 query expansion served from the stored text index: base probe
+    (depth fb_k=5) -> feedback term model from the stored postings ->
+    weighted re-probe of the expanded vocabulary, one pinned snapshot
+    end to end. Bit-identical to the ad-hoc ``retrieval.bm25_rm3_topk``
+    on the same corpus (shared kernels); contract and read-path costs in
+    ``operators/text_index.bm25_index_rm3``."""
+    from big_data_elt_pipeline_spark.operators import text_index as TIX
+
+    idx = _text_index_path(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _RM3_QUERIES, "query_id string, query_text string"
+    )
+    return TIX.bm25_index_rm3(
+        spark, idx, queries,
+        k=_RM3_K, fb_k=_RM3_FB_K, fb_terms=_RM3_FB_TERMS, lam=0.5,
+    )
 
 
 # Text-index deletion (r13, the ann_index_delete discipline applied to

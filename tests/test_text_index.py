@@ -189,6 +189,43 @@ def test_probe_prunes_files_and_handles_absent_terms(spark, index_path):
     assert TIX.bm25_index_probe(spark, path, q, k=10).count() == 0
 
 
+def test_index_rm3_matches_adhoc_form(spark, index_path):
+    """The stored-index RM3 probe must answer bit-identically to the
+    ad-hoc ``bm25_rm3_topk`` on the corpus the index holds — all three
+    stages (base probe, feedback model, weighted re-probe) compose the
+    same shared kernels."""
+    path, _ = index_path
+    q = _queries(spark)
+    stored = TIX.bm25_index_rm3(spark, path, q, k=10, fb_k=5, fb_terms=10)
+    adhoc = RETR.bm25_rm3_topk(_docs(spark), q, k=10, fb_k=5, fb_terms=10)
+    assert _rows(stored) == _rows(adhoc)
+    assert len(_rows(stored)) > 0
+
+
+def test_index_rm3_tracks_updates(spark, tmp_path):
+    """After ``update_text_documents`` the RM3 probe must equal the
+    ad-hoc form over the UPDATED corpus: the base ranking, the feedback
+    postings fetch, and the re-probe all resolve the post-update
+    snapshot (stale feedback from a replaced document would flip the
+    comparison)."""
+    docs = _docs(spark).filter(F.col("doc_id") < 400)
+    path = str(tmp_path / "index")
+    TIX.build_text_index(docs, path, n_files=4)
+    rev = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("revised shuffle join edition "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    TIX.update_text_documents(rev, path)
+    live = docs.filter(F.col("doc_id") % 5 != 0).unionByName(rev)
+    q = _queries(spark)
+    stored = TIX.bm25_index_rm3(spark, path, q, k=10, fb_k=3, fb_terms=6)
+    adhoc = RETR.bm25_rm3_topk(live, q, k=10, fb_k=3, fb_terms=6)
+    assert _rows(stored) == _rows(adhoc)
+    assert len(_rows(stored)) > 0
+
+
 def test_audit_chunked_fold_counts_stable(spark, index_path):
     """Tiny chunk_target forces C > 1: counts invariant, hash
     deterministic per chunk_target, fold shape actually changed."""
