@@ -168,10 +168,12 @@ BENCH_QUERIES = [
     "ann_index_delete", "ann_index_recall", "hybrid_index_topk",
     # round 14: the in-place document/vector update composites (each
     # stages its own mutated index once per process, like the delete
-    # pair; the probe-after-update is the measured serving path), and
-    # the RM3 expansion probe (stored-index serving: base probe ->
-    # feedback model -> weighted re-probe)
+    # pair; the probe-after-update is the measured serving path), the
+    # RM3 expansion probe (stored-index serving: base probe ->
+    # feedback model -> weighted re-probe), and the sketch-merge
+    # overlap triage
     "ann_index_update", "bm25_index_update", "bm25_index_rm3",
+    "sketch_overlap_triage",
 ]
 
 

@@ -2607,3 +2607,142 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/quality.char_entropy``."""
     docs = read_table(spark, sf_dir, "documents")
     return QL.char_entropy(docs)
+
+
+# --------------------------------------------------------------------------
+# sketch_overlap_triage: cross-shard overlap ESTIMATION from stored HLL
+# sketches (r14) — the decontamination-triage shape at 100 TB: keep one
+# kilobyte shingle sketch per shard/source, estimate |A ∩ B| for every
+# pair by inclusion-exclusion over LOSSLESS sketch merges (est_a + est_b
+# - est(merge(a,b)) — merge == sketch-of-union exactly, functions/
+# sketches.py), and spend the exact n-gram join (contamination_check)
+# only on pairs the estimate flags. Bounded-assertion oracle (the
+# kpis_approx discipline): the exact per-shard distincts, pairwise
+# unions and intersections are cross-engine hash-exact, and the boolean
+# asserts the estimate lands within 0.05 x the exact union (~5x the
+# worst error measured at both fixture SFs: 1.1%).
+# --------------------------------------------------------------------------
+
+_OVERLAP_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_TOK.format(c='text')} AS tok FROM documents
+),
+rel AS (
+    SELECT DISTINCT CAST(doc_id % 3 AS INT) AS shard, s
+    FROM (SELECT doc_id, unnest({_shingle_sql(3)}) AS s FROM base)
+),
+flags AS (
+    SELECT s,
+           max(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS p0,
+           max(CASE WHEN shard = 1 THEN 1 ELSE 0 END) AS p1,
+           max(CASE WHEN shard = 2 THEN 1 ELSE 0 END) AS p2
+    FROM rel GROUP BY s
+),
+agg AS (
+    SELECT CAST(sum(p0) AS BIGINT) AS n0,
+           CAST(sum(p1) AS BIGINT) AS n1,
+           CAST(sum(p2) AS BIGINT) AS n2,
+           CAST(sum(p0 * p1) AS BIGINT) AS i01,
+           CAST(sum(p0 * p2) AS BIGINT) AS i02,
+           CAST(sum(p1 * p2) AS BIGINT) AS i12,
+           CAST(sum(greatest(p0, p1)) AS BIGINT) AS u01,
+           CAST(sum(greatest(p0, p2)) AS BIGINT) AS u02,
+           CAST(sum(greatest(p1, p2)) AS BIGINT) AS u12
+    FROM flags
+)
+SELECT * FROM (
+    SELECT CAST(0 AS INT) AS shard_a, CAST(1 AS INT) AS shard_b,
+           n0 AS exact_a, n1 AS exact_b, u01 AS exact_union,
+           i01 AS exact_overlap, TRUE AS overlap_within_bound FROM agg
+    UNION ALL
+    SELECT CAST(0 AS INT), CAST(2 AS INT), n0, n2, u02, i02, TRUE FROM agg
+    UNION ALL
+    SELECT CAST(1 AS INT), CAST(2 AS INT), n1, n2, u12, i12, TRUE FROM agg
+)
+ORDER BY shard_a, shard_b
+"""
+
+
+@register("sketch_overlap_triage", _OVERLAP_SQL)
+def q_sketch_overlap_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shard-overlap triage from mergeable HLL sketches: shard
+    the corpus by ``doc_id % 3``, sketch each shard's distinct trigram
+    shingles once (1.6 kB at lg_k=12), and estimate every pairwise
+    intersection by inclusion-exclusion over the stored sketches — at
+    100 TB this replaces a |vocab|-scale shuffle per shard PAIR with a
+    kilobyte merge, reserving the exact shared-shingle join for flagged
+    pairs. Hash-exact columns: per-shard exact distincts, exact unions
+    and intersections, plus the boolean |est - exact| <= 0.05 * union
+    the oracle asserts TRUE (bound = ~5x the worst measured error at
+    both fixture SFs). Raw estimates stay pinned by
+    ``tests/test_sketches.py::test_overlap_estimate_contract``.
+
+    Plan: one corpus scan -> shingle explode -> (shard, shingle)
+    distinct; the sketch branch is map-side combinable into 3 rows, the
+    exact branch is one groupBy(shingle) presence-flag fold + a single
+    global aggregate unpivoted with ``stack`` — no self-join of the
+    shingle relation anywhere.
+    """
+    from big_data_elt_pipeline_spark.functions import sketches as SK
+
+    docs = read_table(spark, sf_dir, "documents")
+    rel = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("shard"),
+        F.explode(TX.word_shingles(F.col("text"), 3)).alias("s"),
+    ).distinct()
+
+    flags = rel.groupBy("s").agg(
+        *[
+            F.max((F.col("shard") == i).cast("int")).alias(f"p{i}")
+            for i in range(3)
+        ]
+    )
+    exact = flags.agg(
+        *[F.sum(f"p{i}").cast("long").alias(f"n{i}") for i in range(3)],
+        *[
+            F.sum(F.col(f"p{a}") * F.col(f"p{b}")).cast("long").alias(f"i{a}{b}")
+            for a, b in ((0, 1), (0, 2), (1, 2))
+        ],
+        *[
+            F.sum(F.greatest(f"p{a}", f"p{b}")).cast("long").alias(f"u{a}{b}")
+            for a, b in ((0, 1), (0, 2), (1, 2))
+        ],
+    )
+    pairs = exact.select(
+        F.expr(
+            "stack(3, "
+            "cast(0 as int), cast(1 as int), n0, n1, u01, i01, "
+            "cast(0 as int), cast(2 as int), n0, n2, u02, i02, "
+            "cast(1 as int), cast(2 as int), n1, n2, u12, i12) "
+            "as (shard_a, shard_b, exact_a, exact_b, exact_union, "
+            "exact_overlap)"
+        )
+    )
+
+    sk = SK.build_sketch_table(rel, ["shard"], "s")
+    a, b = sk.alias("a"), sk.alias("b")
+    est = a.join(b, F.col("a.shard") < F.col("b.shard")).select(
+        F.col("a.shard").cast("int").alias("shard_a"),
+        F.col("b.shard").cast("int").alias("shard_b"),
+        (
+            F.hll_sketch_estimate("a.sketch")
+            + F.hll_sketch_estimate("b.sketch")
+            - F.hll_sketch_estimate(F.hll_union("a.sketch", "b.sketch"))
+        ).alias("est_overlap"),
+    )
+    return (
+        pairs.join(F.broadcast(est), ["shard_a", "shard_b"])
+        .select(
+            "shard_a",
+            "shard_b",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_overlap",
+            (
+                F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+                <= 0.05 * F.col("exact_union")
+            ).alias("overlap_within_bound"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )

@@ -1277,14 +1277,17 @@ ROWS_ONLY_ANNEX = frozenset()
 #   - the 6 promised r9-stale leave-outs, FIRST as documented last round:
 #     client_features, top_clients, bpe_vocab,
 #     dedup_incremental_span_removal, tpch_q9, classifier_auc;
-#   - the 3 r14 debuts (same-round seating, no never-gated debt):
+#   - the 4 r14 debuts (same-round seating, no never-gated debt):
 #     ann_index_update / bm25_index_update — the delete+append document
 #     -update composites under ONE publish point, probed against
-#     oracles that recompute the UPDATED corpora from scratch — and
+#     oracles that recompute the UPDATED corpora from scratch —
 #     bm25_index_rm3, RM3 pseudo-relevance-feedback expansion served
 #     from the stored index (base probe -> feedback term model ->
 #     weighted re-probe, one pinned snapshot; the oracle replays all
-#     three stages from the raw corpus);
+#     three stages from the raw corpus) — and sketch_overlap_triage,
+#     pairwise shard-overlap estimation from merged HLL sketches under
+#     a bounded-assertion oracle (exact distincts/unions/intersections
+#     hash-exact, estimate within 0.05 x union asserted TRUE);
 #   - the 11 contract- or code-changed queries owed fresh evidence: the
 #     generation-scoped-tombstone rework touches every stored-index
 #     read path (ann_index_audit gained the n_tombstones column — a NEW
@@ -1296,7 +1299,7 @@ ROWS_ONLY_ANNEX = frozenset()
 #     layout replaced the serial coalesce(1) plan), and the composites
 #     that embed those paths (stream_retrieval_loop, stream_ann_probe,
 #     hybrid_index_topk);
-#   - 30 of the 40-member r10-stale cohort (the oldest tail after the
+#   - 29 of the 40-member r10-stale cohort (the oldest tail after the
 #     r9 seats; GATE_HISTORY lists the cohort verbatim).
 # OUT: every r11/r12/r13-green member not named above (all hold fresh
 # rows; families keep local-sweep + pytest coverage), plus 9 r10
@@ -1310,10 +1313,13 @@ ROWS_ONLY_ANNEX = frozenset()
 # (retrieval family seats four bm25 index queries this round),
 # bpe_doc_tokens (BPE family seats bpe_vocab this round, bpe_merges
 # r13), unigram_segment (unigram family seats unigram_vocab this
-# round), and events_sliding (events family keeps three seats this
+# round), events_sliding (events family keeps three seats this
 # round: events_daily_share/events_props/events_session_window; cedes
-# to the debut bm25_index_rm3). All ten are queued first for r15.
-# 6 + 3 + 11 + 30 = 50: fourth consecutive all-oracle window; after it
+# to the debut bm25_index_rm3), and cube_sales (grouping-analytics
+# family keeps grouping_sets_sales seated this round + rollup r11;
+# cedes to the debut sketch_overlap_triage). All eleven are queued
+# first for r15.
+# 6 + 4 + 11 + 29 = 50: fourth consecutive all-oracle window; after it
 # no oracle-backed query's latest green row is older than r10.
 # --------------------------------------------------------------------------
 _GATE_ORDER = [
@@ -1322,6 +1328,7 @@ _GATE_ORDER = [
     "dedup_incremental_span_removal", "tpch_q9", "classifier_auc",
     # r14 debuts (same-round seating)
     "ann_index_update", "bm25_index_update", "bm25_index_rm3",
+    "sketch_overlap_triage",
     # contract/code-changed this round (gen-scoped tombstones + registry
     # + adaptive mmr layout)
     "ann_index_audit", "ann_index_probe", "ann_index_delete",
@@ -1330,7 +1337,7 @@ _GATE_ORDER = [
     "stream_ann_probe", "hybrid_index_topk",
     # r10-stale cohort, 31 of the 40 oracle-backed (leave-outs above)
     "calendar_dense_monthly", "cms_heavy_hitters", "corpus_split",
-    "cube_sales", "curation_recipe", "dedup_exact", "dedup_ngram_jaccard",
+    "curation_recipe", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash", "doc_length_quantiles_by_lang", "dsir_select",
     "events_daily_share", "events_props", "events_session_window",
     "grouping_sets_sales", "incremental_ca_monthly",

@@ -74,3 +74,62 @@ def test_registered_query_shape(spark):
     # r11 bounded-assertion shape: exact distincts + in-bound booleans
     assert all(r.exact_clients > 0 for r in rows)
     assert all(r.hll_within_bound for r in rows)
+
+
+def test_overlap_estimate_contract(spark):
+    """sketch_overlap_triage's inclusion-exclusion estimate: pins the raw
+    per-pair estimates (deterministic — DataSketches register state is a
+    pure function of the input set) against the exact intersections
+    within the query's documented 0.05 x union bound, and pins the
+    merge identity the triage relies on: merge(sketch_a, sketch_b)
+    estimates what a direct sketch of the union estimates. (In SPARSE
+    mode the two are bit-identical — the module test pins that on the
+    fact table; at this cardinality the HLL is DENSE, where the union
+    gadget's register path may differ from the direct build by a
+    sub-percent reseating — so the dense-mode contract is a 2% band,
+    with the end-to-end error still governed by the 0.05-union bound
+    above.)"""
+    from big_data_elt_pipeline_spark.functions import text as TX
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rel = docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("shard"),
+        F.explode(TX.word_shingles(F.col("text"), 3)).alias("s"),
+    ).distinct()
+    sk = SK.build_sketch_table(rel, ["shard"], "s")
+    a, b = sk.alias("a"), sk.alias("b")
+    est = {
+        (r.sa, r.sb): (r.ea, r.eb, r.eu)
+        for r in a.join(b, F.col("a.shard") < F.col("b.shard")).select(
+            F.col("a.shard").alias("sa"), F.col("b.shard").alias("sb"),
+            F.hll_sketch_estimate("a.sketch").alias("ea"),
+            F.hll_sketch_estimate("b.sketch").alias("eb"),
+            F.hll_sketch_estimate(
+                F.hll_union("a.sketch", "b.sketch")
+            ).alias("eu"),
+        ).collect()
+    }
+    exact = {
+        (pa, pb): r
+        for pa, pb in ((0, 1), (0, 2), (1, 2))
+        for r in [
+            rel.filter(F.col("shard").isin(pa, pb))
+            .groupBy("s")
+            .agg(F.count_distinct("shard").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("u"),
+                F.sum((F.col("k") == 2).cast("long")).alias("i"),
+            )
+            .first()
+        ]
+    }
+    for pair, (ea, eb, eu) in est.items():
+        ex = exact[pair]
+        assert abs((ea + eb - eu) - ex.i) <= 0.05 * ex.u
+        # merged stored sketches == direct union sketch, bit-identical
+        direct = (
+            rel.filter(F.col("shard").isin(*pair))
+            .agg(SK.distinct_sketch("s").alias("sk"))
+            .select(F.hll_sketch_estimate("sk")).first()[0]
+        )
+        assert abs(eu - direct) <= 0.02 * direct
