@@ -80,13 +80,24 @@ def q_kpis_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.plans.queries import _fact
 
     fact = _fact(spark, sf_dir)
+    # r14 optimization (guide §2.3 "shuffle fewer bytes"): countDistinct
+    # mixed into the same agg forces Catalyst to regroup by id_client
+    # first, so EVERY group carries a full exact-percentile value map +
+    # HLL + GK object buffer through two exchanges (measured: the whole
+    # 8-9 s of this query; at production client counts the per-group
+    # percentile maps are the memory wall). Split the distinct count into
+    # its own aggregate: the sketch/percentile pass stays a plain 2-phase
+    # global agg with bounded partial state, the distinct pass is the
+    # standard dedupe-then-count shuffle, and the one-row results cross
+    # back — same values, same output schema.
     a = fact.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("id_client").alias("exact_clients"),
         F.approx_count_distinct("id_client").alias("hll"),
         F.percentile_approx("montant", 0.5, 10000).alias("gk"),
         F.expr("percentile(montant, 0.45)").alias("p45"),
         F.expr("percentile(montant, 0.55)").alias("p55"),
+    ).crossJoin(
+        F.broadcast(fact.agg(F.countDistinct("id_client").alias("exact_clients")))
     )
     return a.select(
         "n",
