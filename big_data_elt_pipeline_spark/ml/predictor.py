@@ -42,11 +42,19 @@ def labeled_features(fact: DataFrame, ref: dt.datetime, holdout_days: int = 90) 
     return feats.join(labels, "id_client", "left").na.fill({"label": 0.0})
 
 
-def fit_predict(labeled: DataFrame, seed: int = 42) -> tuple[DataFrame, float]:
+def fit_predict(
+    labeled: DataFrame, seed: int = 42, evaluate: bool = True
+) -> tuple[DataFrame, float]:
     """Scale → LogisticRegression; returns (per-client probabilities, AUC).
 
     AUC is computed on the training frame — this is a capability surface,
     not a leaderboard; a proper evaluation would hold out clients.
+
+    ``evaluate=False`` skips the BinaryClassificationEvaluator action and
+    returns ``nan`` for AUC (r14 optimization, guide §1.2 "don't compute
+    things you throw away"): the gate query discards this float — it
+    computes its own exact rank-sum AUC inside the returned plan — so the
+    evaluator's extra full pass over the scored frame was pure waste.
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
@@ -66,9 +74,12 @@ def fit_predict(labeled: DataFrame, seed: int = 42) -> tuple[DataFrame, float]:
     )
     model = pipeline.fit(cast)
     scored = model.transform(cast)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
-    ).evaluate(scored)
+    if evaluate:
+        auc = BinaryClassificationEvaluator(
+            labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+        ).evaluate(scored)
+    else:
+        auc = float("nan")
     out = scored.select(
         "id_client",
         F.col("label").cast("int").alias("label"),

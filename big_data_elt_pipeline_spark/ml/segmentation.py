@@ -26,6 +26,28 @@ from big_data_elt_pipeline_spark.operators.gold import days_between
 RFM_COLS = ["frequency", "monetary_total", "monetary_avg", "recency_days"]
 
 
+def compact_fit_input(df: DataFrame, rows_per_task: int = 65536) -> DataFrame:
+    """Right-size an (already materialized, dimension-sized) fit input's
+    partitioning for an iterative optimizer (r14 optimization, guide §2.2
+    "fewer, larger partitions").
+
+    pyspark.ml fitters launch one job per optimizer round (LBFGS step,
+    Lloyd iteration); on a 1-2k-row frame spread over
+    ``defaultParallelism`` partitions every such round pays a full
+    task fan-out for microseconds of per-task work — measured as the
+    dominant cost of both ml gate fits at bench scale. Scale-adaptive:
+    the target is ``ceil(n / rows_per_task)`` capped at the CURRENT
+    partition count, so a production-sized frame keeps its parallelism
+    and only the tiny-frame case coalesces (coalesce moves no data).
+    Call on a checkpointed frame — the row count here is one job over
+    cached blocks, not a lineage replay.
+    """
+    n = df.count()
+    cur = df.rdd.getNumPartitions()
+    target = max(1, min(cur, (n + rows_per_task - 1) // rows_per_task))
+    return df.coalesce(target) if target < cur else df
+
+
 def rfm_features(fact: DataFrame, ref: dt.datetime) -> DataFrame:
     """D4: per-client frequency / monetary total+avg / recency."""
     return fact.groupBy("id_client").agg(
@@ -37,11 +59,18 @@ def rfm_features(fact: DataFrame, ref: dt.datetime) -> DataFrame:
 
 
 def kmeans_segment(
-    features: DataFrame, k: int = 5, seed: int = 42
+    features: DataFrame, k: int = 5, seed: int = 42, evaluate: bool = True
 ) -> tuple[DataFrame, float]:
     """D3: Impute→StandardScaler→KMeans pipeline + silhouette.
 
     Returns (features ⊕ ``segment`` column, silhouette score).
+
+    ``evaluate=False`` skips the ClusteringEvaluator action and returns
+    ``nan`` (r14 optimization, guide §1.2 "don't compute things you throw
+    away"): the ARI gate query discards the silhouette — its agreement
+    bound is computed against the deterministic twin inside the returned
+    plan — so the evaluator's extra pass over the assigned frame was
+    pure waste there. The fitted model and assignments are unchanged.
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.clustering import KMeans
@@ -62,9 +91,12 @@ def kmeans_segment(
     )
     model = pipeline.fit(cast)
     assigned = model.transform(cast)
-    silhouette = ClusteringEvaluator(
-        featuresCol="rfm_scaled", predictionCol="segment", metricName="silhouette"
-    ).evaluate(assigned)
+    if evaluate:
+        silhouette = ClusteringEvaluator(
+            featuresCol="rfm_scaled", predictionCol="segment", metricName="silhouette"
+        ).evaluate(assigned)
+    else:
+        silhouette = float("nan")
     out = assigned.select("id_client", *RFM_COLS, F.col("segment").cast("int").alias("segment"))
     return out, float(silhouette)
 

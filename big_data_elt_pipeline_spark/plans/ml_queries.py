@@ -237,13 +237,27 @@ def q_ml_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare. Scored per-client output stays available via
     ``ml.predictor.fit_predict`` (pytest-pinned)."""
     from big_data_elt_pipeline_spark.ml.predictor import fit_predict, labeled_features
+    from big_data_elt_pipeline_spark.ml.segmentation import compact_fit_input
     from big_data_elt_pipeline_spark.operators import classify as CL
     from big_data_elt_pipeline_spark.operators.gold import reference_date
 
     fact = _fact(spark, sf_dir)
     ref = reference_date(fact)
-    labeled = labeled_features(fact, ref, holdout_days=90)
-    scored, _auc = fit_predict(labeled)
+    # eager checkpoint (r14 optimization, the rfm/q15 idiom): the labeled
+    # frame is dimension-sized, but its lineage is the full fact build —
+    # without the checkpoint the StandardScaler fit, the LR fit's instance
+    # derivation, the model transform and the exact-AUC kernel each replay
+    # the fact scan+joins. evaluate=False skips the discarded
+    # BinaryClassificationEvaluator pass (the exact kernel below is the
+    # one the query returns).
+    labeled = labeled_features(fact, ref, holdout_days=90).localCheckpoint(
+        eager=True
+    )
+    # compact_fit_input (guide §2.2): every LBFGS round is one Spark job
+    # over this dimension-sized frame — coalescing the checkpointed
+    # blocks turns ~32 near-empty tasks per round into the few the row
+    # count justifies, without touching production-scale inputs
+    scored, _auc = fit_predict(compact_fit_input(labeled), evaluate=False)
     return CL.roc_auc(scored, score_col="p_repurchase", label_col="label").select(
         (F.col("n_pos") + F.col("n_neg")).cast("bigint").alias("n_clients"),
         F.col("n_pos").cast("bigint").alias("n_pos"),
@@ -277,6 +291,7 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments stay available via ``ml.segmentation.kmeans_segment``
     (pytest-pinned)."""
     from big_data_elt_pipeline_spark.ml.segmentation import (
+        compact_fit_input,
         fixed_point_segments,
         kmeans_segment,
         rfm_features,
@@ -290,7 +305,13 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds BOTH the ml fit and the twin — without it the fact groupBy
     # re-runs in every consumer
     rfm = rfm_features(fact, ref).localCheckpoint(eager=True)
-    assigned, _silhouette = kmeans_segment(rfm, k=5, seed=42)
+    # evaluate=False: the silhouette float is discarded here — the ARI
+    # bound below is the query's quality evidence (guide §1.2).
+    # compact_fit_input (guide §2.2): each Lloyd round is one job over
+    # this dimension-sized frame — fewer, fuller tasks per round.
+    assigned, _silhouette = kmeans_segment(
+        compact_fit_input(rfm), k=5, seed=42, evaluate=False
+    )
     twin = fixed_point_segments(rfm, k=5)
     return segment_agreement(assigned, twin).select(
         F.col("n_clients").cast("bigint").alias("n_clients"),
