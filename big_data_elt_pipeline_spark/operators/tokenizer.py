@@ -76,7 +76,14 @@ def bpe_train_state(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # (word, freq, p, sym): p in [0, len]; p == len is the </w> marker
+    wv = Window.partitionBy("word").orderBy("p")
+    # (word, freq, p, sym, nx): p in [0, len]; p == len is the </w>
+    # marker. nx (the right neighbour) is computed ONCE per state and
+    # carried through the checkpoint (r14 optimization, guide §2.4): the
+    # pair census and the merge application both need it, and the window
+    # rides the groupBy(word)'s partitioning, so deriving it here costs
+    # no extra exchange while saving one whole-relation window shuffle
+    # per consumer per round.
     syms = words.select(
         "word",
         "freq",
@@ -89,14 +96,12 @@ def bpe_train_state(
                 F.array(F.lit(BPE_EOW)),
             )
         ).alias("p", "sym"),
-    ).localCheckpoint(eager=True)
+    ).withColumn("nx", F.lead("sym").over(wv)).localCheckpoint(eager=True)
 
-    wv = Window.partitionBy("word").orderBy("p")
     merge_rows = []
     for r in range(1, rounds + 1):
-        withnext = syms.withColumn("nx", F.lead("sym").over(wv))
         best = (
-            withnext.filter(F.col("nx").isNotNull())
+            syms.filter(F.col("nx").isNotNull())
             .groupBy(F.col("sym").alias("la"), F.col("nx").alias("rb"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "la", "rb")
@@ -119,49 +124,67 @@ def bpe_train_state(
                 F.col("cnt").cast("long").alias("pair_count"),
             )
         )
-        # greedy non-overlapping application via island parity
-        mt = (
-            withnext.crossJoin(F.broadcast(best))
-            .filter((F.col("sym") == F.col("la")) & (F.col("nx") == F.col("rb")))
-            .select("word", "p")
-        )
-        isl = mt.withColumn("grp", F.col("p") - F.row_number().over(wv))
-        ap = (
-            isl.withColumn(
-                "s0", F.min("p").over(Window.partitionBy("word", "grp"))
+        # greedy non-overlapping application via island parity, as ONE
+        # window chain over the full symbol relation (r14 optimization,
+        # guide §2.4): every window below shares partitionBy(word) /
+        # orderBy(p), so the whole application is a single exchange —
+        # the former form (matched-position row_number, a (word, grp)
+        # island-min window, two (word, p) equi-joins back) paid 4-5.
+        # Positions are renumbered dense after every merge: a consumed
+        # slot is "the next position", and a run means "consecutive
+        # matches" — both are position ARITHMETIC, so they are only
+        # correct when adjacency is p+1. (A sparse-position variant
+        # mis-groups overlap chains once a merged symbol sits next to a
+        # symbol two slots away — caught by the oracle, which learned an
+        # impossible (x</w>, </w>) cross-marker merge.)
+        # m: this position starts a matched pair (null-safe: the </w>
+        # row's nx is null and must count as a run BREAKER, not a match)
+        s = (
+            syms.crossJoin(F.broadcast(best.select("la", "rb")))
+            .withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("sym") == F.col("la")) & (F.col("nx") == F.col("rb")),
+                    F.lit(False),
+                ),
             )
-            .filter((F.col("p") - F.col("s0")) % 2 == 0)
-            .select("word", "p", F.lit(True).alias("m"))
+            # run start = 1 + the last non-matched position strictly
+            # before p (-1 -> 0 when the word starts mid-run); a matched
+            # position is APPLIED iff its offset inside the run is even —
+            # exactly the (p - min(p) over island) % 2 == 0 parity rule
+            .withColumn(
+                "rs",
+                F.max(F.when(~F.col("m"), F.col("p"))).over(
+                    wv.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            .withColumn(
+                "a",
+                F.col("m")
+                & ((F.col("p") - (F.coalesce(F.col("rs"), F.lit(-1)) + F.lit(1)))
+                   % 2 == 0),
+            )
+            # consumed: the right half of an applied pair is the NEXT row
+            .withColumn("cns", F.lag("a", 1, False).over(wv))
         )
-        consumed = ap.select("word", (F.col("p") + 1).alias("p"),
-                             F.lit(True).alias("c"))
-        # positions are renumbered dense after every merge: a consumed
-        # slot is "the next position", and island parity means
-        # "consecutive matches" — both are position ARITHMETIC, so they
-        # are only correct when adjacency is p+1. (A sparse-position
-        # variant mis-groups overlap chains once a merged symbol sits
-        # next to a symbol two slots away — caught by the oracle, which
-        # learned an impossible (x</w>, </w>) cross-marker merge.)
         syms = (
-            syms.join(ap, ["word", "p"], "left")
-            .join(consumed, ["word", "p"], "left")
-            .filter(F.col("c").isNull())
-            .crossJoin(F.broadcast(best.select("la", "rb")))
+            s.filter(~F.col("cns"))
             .select(
                 "word",
                 "freq",
                 "p",
-                F.when(F.col("m"), F.concat("la", "rb"))
+                F.when(F.col("a"), F.concat("la", "rb"))
                 .otherwise(F.col("sym"))
                 .alias("sym"),
             )
             .withColumn("p", F.row_number().over(wv) - F.lit(1))
+            .withColumn("nx", F.lead("sym").over(wv))
             .localCheckpoint(eager=True)
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
-    return out, syms
+    return out, syms.drop("nx")
 
 
 def bpe_segment(
@@ -183,6 +206,7 @@ def bpe_segment(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     vocab = words.select("word").distinct()
+    wv = Window.partitionBy("word").orderBy("p")
     syms = vocab.select(
         "word",
         F.posexplode(
@@ -194,35 +218,44 @@ def bpe_segment(
                 F.array(F.lit(BPE_EOW)),
             )
         ).alias("p", "sym"),
-    ).localCheckpoint(eager=True)
-    wv = Window.partitionBy("word").orderBy("p")
+    ).withColumn("nx", F.lead("sym").over(wv)).localCheckpoint(eager=True)
     for _, la, rb in ordered:
-        withnext = syms.withColumn("nx", F.lead("sym").over(wv))
-        mt = withnext.filter(
-            (F.col("sym") == F.lit(la)) & (F.col("nx") == F.lit(rb))
-        ).select("word", "p")
-        isl = mt.withColumn("grp", F.col("p") - F.row_number().over(wv))
-        ap = (
-            isl.withColumn(
-                "s0", F.min("p").over(Window.partitionBy("word", "grp"))
+        # island-parity application as one shared-partitioning window
+        # chain — the same r14 single-exchange form as bpe_train_state
+        # (see the commentary there); la/rb are merge-table literals here
+        s = (
+            syms.withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("sym") == F.lit(la)) & (F.col("nx") == F.lit(rb)),
+                    F.lit(False),
+                ),
             )
-            .filter((F.col("p") - F.col("s0")) % 2 == 0)
-            .select("word", "p", F.lit(True).alias("m"))
+            .withColumn(
+                "rs",
+                F.max(F.when(~F.col("m"), F.col("p"))).over(
+                    wv.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            .withColumn(
+                "a",
+                F.col("m")
+                & ((F.col("p") - (F.coalesce(F.col("rs"), F.lit(-1)) + F.lit(1)))
+                   % 2 == 0),
+            )
+            .withColumn("cns", F.lag("a", 1, False).over(wv))
         )
-        consumed = ap.select("word", (F.col("p") + 1).alias("p"),
-                             F.lit(True).alias("c"))
         syms = (
-            syms.join(ap, ["word", "p"], "left")
-            .join(consumed, ["word", "p"], "left")
-            .filter(F.col("c").isNull())
+            s.filter(~F.col("cns"))
             .select(
                 "word",
                 "p",
-                F.when(F.col("m"), F.lit(la + rb)).otherwise(F.col("sym")).alias(
+                F.when(F.col("a"), F.lit(la + rb)).otherwise(F.col("sym")).alias(
                     "sym"
                 ),
             )
             .withColumn("p", F.row_number().over(wv) - F.lit(1))
+            .withColumn("nx", F.lead("sym").over(wv))
             .localCheckpoint(eager=True)
         )
     pieces = syms.groupBy("word").agg(
