@@ -348,9 +348,26 @@ def logreg_train_fixed_point(
         F.col(id_col).alias("pid"), F.col(label_col).cast("int").alias("y")
     )
     n_row = F.broadcast(labels.agg(F.count(F.lit(1)).alias("n")))
-    wt = feats.select("b").distinct().select("b", F.lit(0.0).alias("w"))
-    bias = labels.groupBy().agg(F.lit(0.0).alias("bw"))
+    # COMBINED weight state (r14 optimization, guide §1.2/§2.4): the bias
+    # rides the weight table as bucket -1 (hashed buckets are pmod
+    # outputs, always >= 0), so each round publishes ONE eagerly
+    # checkpointed frame instead of two — the former separate bias
+    # checkpoint replayed the whole margin/err subplan a second time per
+    # round (its m-exchange now dedupes via ReusedExchange inside the
+    # single job). Arithmetic is unchanged: same snapped updates, same
+    # (weights..., bias) union order in the returned relation.
+    wtb = (
+        feats.select("b").distinct().select("b", F.lit(0.0).alias("w"))
+        .unionAll(
+            labeled.sparkSession.range(1).select(
+                F.lit(-1).cast("long").alias("b"), F.lit(0.0).alias("w")
+            )
+        )
+    )
+    zero_se = F.lit(0).cast("decimal(25,9)")
     for _ in range(iters):
+        wt = wtb.filter(F.col("b") >= 0)
+        bias = wtb.filter(F.col("b") == -1).select(F.col("w").alias("bw"))
         m = (
             feats.join(F.broadcast(wt), "b")
             .groupBy("pid")
@@ -376,8 +393,7 @@ def logreg_train_fixed_point(
             .groupBy("b")
             .agg(F.sum(F.col("e").cast("decimal(25,9)")).alias("se"))
         )
-        zero_se = F.lit(0).cast("decimal(25,9)")
-        wt = (
+        new_wt = (
             wt.join(gw, "b", "left")
             .crossJoin(n_row)
             .select(
@@ -389,29 +405,25 @@ def logreg_train_fixed_point(
                     lr_frac,
                 ).alias("w"),
             )
-            .localCheckpoint(eager=True)
         )
-        bias = (
+        new_bias = (
             err.agg(F.sum(F.col("e").cast("decimal(25,9)")).alias("se"))
             .crossJoin(n_row)
             .crossJoin(F.broadcast(bias))
             .select(
+                F.lit(-1).cast("long").alias("b"),
                 _nano_update(
                     F.col("bw"),
                     F.coalesce(F.col("se"), zero_se),
                     F.col("n"),
                     lr_frac,
-                ).alias("bw")
+                ).alias("w"),
             )
-            .localCheckpoint(eager=True)
         )
+        wtb = new_wt.unionAll(new_bias).localCheckpoint(eager=True)
     feats.unpersist()
-    return wt.select(
+    return wtb.select(
         F.col("b").cast("long").alias("feature"), F.col("w").alias("weight")
-    ).unionAll(
-        bias.select(
-            F.lit(-1).cast("long").alias("feature"), F.col("bw").alias("weight")
-        )
     )
 
 
