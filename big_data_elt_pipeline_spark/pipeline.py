@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime as dt
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,17 +133,38 @@ def gold_transform(
     }
     # one action per table: the write IS the job; counting again would
     # re-execute every unpersisted plan (the reference's 9-sink mistake)
-    counts = {}
-    for name, df in tables.items():
+    def _write(name: str) -> int | None:
         # fact is the only table that stays huge at scale: partition by year
         # so date-bounded reads prune whole directories (the engine-side
         # replacement for the reference's Mongo secondary indexes)
         part = ["annee"] if name == "fact_achats" else None
-        eio.write_parquet(df, f"{lake_dir}/gold/{name}", partition_by=part)
+        # job descriptions are thread-local, so concurrent sinks label
+        # their own jobs in the UI (guide §2.6)
+        spark.sparkContext.setJobDescription(f"gold sink: {name}")
+        eio.write_parquet(tables[name], f"{lake_dir}/gold/{name}", partition_by=part)
         if count_rows:
-            counts[name] = (
-                spark.read.parquet(f"{lake_dir}/gold/{name}").count()
-            )  # footer-stats count, no recompute
+            return spark.read.parquet(f"{lake_dir}/gold/{name}").count()
+        return None  # footer-stats count, no recompute
+
+    # fact/features back most downstream tables: their own sinks run FIRST
+    # and double as the materializing action for the persisted frames, so
+    # the overlapped sinks read the populated cache instead of racing to
+    # compute it. The remaining 11 sinks are independent jobs over cached
+    # or cheap inputs — submitting them from a small thread pool lets each
+    # job's task tail back-fill cores freed by its neighbours (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially). 3 in flight is enough to fill the tail without
+    # resource thrash; results keyed by name, so output is order-free.
+    ordered = list(tables)
+    first = [n for n in ("fact_achats", "client_features") if n in ordered]
+    rest = [n for n in ordered if n not in first]
+    results: dict[str, int | None] = {}
+    for name in first:
+        results[name] = _write(name)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for name, cnt in zip(rest, pool.map(_write, rest)):
+            results[name] = cnt
+    counts = {n: results[n] for n in ordered if results[n] is not None}
     fact.unpersist()
     features.unpersist()
     return counts
