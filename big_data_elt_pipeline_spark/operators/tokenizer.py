@@ -383,85 +383,83 @@ def _seed_from_words(words: DataFrame) -> DataFrame:
 
 def _uni_viterbi(words: DataFrame, vocab: DataFrame, max_word: int = UNI_MAX_WORD) -> DataFrame:
     """(word, freq, path, n_pieces): Viterbi-best segmentation of every
-    vocabulary word under ``vocab`` (piece, logp) — the forward DP
-    unrolled as UNI_MAX_WORD relational rounds over the end position.
+    vocabulary word under ``vocab`` (piece, logp) — the forward DP as ONE
+    map-side ``aggregate`` expression per word against the broadcast
+    (piece -> neg_logp) map (r14 optimization, guide §1.2/§2.4): the DP
+    is per-word with bounded state (<= UNI_MAX_WORD positions), so
+    nothing about it needs a shuffle — the former form unrolled it as
+    UNI_MAX_WORD checkpointed relational rounds (12 barrier jobs, ~3
+    exchanges each, per call) where this one is a single projection,
+    embarrassingly parallel at any corpus size.
 
-    Round j keeps, per word, the minimum (neg_score, path) struct over
-    the <= UNI_MAX_PIECE ways of reaching position j from an earlier
-    frontier — neg_score is a DECIMAL(25,6) sum of 6-dp logp literals
-    (associative, partitioning-independent) and the path string breaks
-    exact ties deterministically, so the survivor is a total-order argmin
-    in BOTH engines. Frontiers are vocabulary-sized; each round is
-    checkpointed eagerly like the BPE rounds (lineage would otherwise
-    deepen exponentially)."""
-    cand = _uni_candidates(words).join(
-        F.broadcast(vocab.select("piece", "logp")), "piece"
-    ).select(
-        "word",
-        "start",
-        "piece",
-        (F.lit(0).cast("decimal(25,6)") - F.round("logp", 6).cast("decimal(25,6)"))
-        .alias("w"),
-        (F.col("start") + F.length("piece")).alias("end"),
-    ).localCheckpoint(eager=True)
-    # frontier at e: best (neg_score, path) per word whose prefix of
-    # length e is segmented; e = 0 is the empty prefix. Each round is ONE
-    # join (the pooled last-UNI_MAX_PIECE frontiers against the
-    # candidates ending at j) + one min-struct survivor, not a join per
-    # reachable predecessor — frontiers carry their end position so the
-    # pool is a union, which Spark unions for free.
-    frontier = {
-        0: words.select(
-            "word",
-            F.lit(0).alias("e"),
-            F.lit(0).cast("decimal(25,6)").alias("ns"),
-            F.lit("").alias("path"),
-        ).localCheckpoint(eager=True)
-    }
-    for j in range(1, max_word + 1):
-        prevs = [
-            frontier[i] for i in range(max(0, j - UNI_MAX_PIECE), j) if i in frontier
-        ]
-        if not prevs:
-            continue
-        pool = prevs[0]
-        for p in prevs[1:]:
-            pool = pool.unionAll(p)
-        step = pool.join(
-            cand.filter(F.col("end") == j).withColumnRenamed("start", "e"),
-            ["word", "e"],
-        ).select(
-            "word",
-            (F.col("ns") + F.col("w")).cast("decimal(25,6)").alias("ns"),
-            F.when(F.col("path") == "", F.col("piece"))
-            .otherwise(F.concat("path", F.lit(UNI_SEP), "piece"))
-            .alias("path"),
+    Arithmetic is unchanged: position j keeps the minimum
+    (neg_score, path) struct over the <= UNI_MAX_PIECE ways of reaching
+    it — neg_score a DECIMAL(25,6) sum of 6-dp logp values (exact,
+    associative) and the path string breaking exact ties, so the
+    survivor is the same total-order argmin the round form produced
+    (``array_min`` skips the NULL candidates exactly as the join
+    dropped vocab-missing pieces). A word whose final position is
+    unreachable is dropped, as before. ``max_word`` stays in the
+    signature for callers that bound the words relation themselves."""
+    vmap = F.broadcast(
+        vocab.groupBy().agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "piece",
+                            (
+                                F.lit(0).cast("decimal(25,6)")
+                                - F.round("logp", 6).cast("decimal(25,6)")
+                            ).alias("w"),
+                        )
+                    )
+                )
+            ).alias("vm")
         )
-        best = (
-            step.groupBy("word")
-            .agg(F.min(F.struct("ns", "path")).alias("b"))
-            .select(
-                "word",
-                F.lit(j).alias("e"),
-                F.col("b.ns").alias("ns"),
-                F.col("b.path").alias("path"),
+    )
+    word = F.col("word")
+    zero = F.struct(
+        F.lit(0).cast("decimal(25,6)").alias("ns"), F.lit("").alias("path")
+    )
+
+    def _step(acc, j):
+        def _cand(k):
+            prev = F.element_at(acc, (j - k + F.lit(1)).cast("int"))
+            piece = word.substr(j - k + F.lit(1), k)
+            w = F.element_at(F.col("vm"), piece)
+            return F.when(
+                prev.isNotNull() & w.isNotNull(),
+                F.struct(
+                    (prev["ns"] + w).cast("decimal(25,6)").alias("ns"),
+                    F.when(prev["path"] == "", piece)
+                    .otherwise(F.concat(prev["path"], F.lit(UNI_SEP), piece))
+                    .alias("path"),
+                ),
             )
-            .localCheckpoint(eager=True)
+
+        best = F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.least(j, F.lit(UNI_MAX_PIECE))), _cand
+            )
         )
-        frontier[j] = best
-    done = None
-    for j in range(1, max_word + 1):
-        if j not in frontier:
-            continue
-        fin = frontier[j].join(
-            words.filter(F.length("word") == j), "word"
-        ).select("word", "freq", "path")
-        done = fin if done is None else done.unionAll(fin)
-    return done.select(
+        return F.concat(acc, F.array(best))
+
+    dp = words.crossJoin(vmap).select(
         "word",
         "freq",
-        "path",
-        F.size(F.split("path", UNI_SEP)).cast("long").alias("n_pieces"),
+        F.element_at(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("word")), F.array(zero), _step
+            ),
+            F.length("word") + F.lit(1),
+        ).alias("fin"),
+    )
+    return dp.filter(F.col("fin").isNotNull()).select(
+        "word",
+        "freq",
+        F.col("fin.path").alias("path"),
+        F.size(F.split("fin.path", UNI_SEP)).cast("long").alias("n_pieces"),
     )
 
 
