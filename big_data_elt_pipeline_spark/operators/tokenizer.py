@@ -11,32 +11,28 @@ set is never driver-side.
 
 The non-trivial part is the merge itself: BPE applies a chosen pair
 GREEDILY LEFT-TO-RIGHT WITHOUT OVERLAP within each word ("aaaa" under
-pair (a,a) becomes "aa aa", not three overlapping merges). That greedy
-scan looks inherently sequential, but it is exactly a gaps-and-islands
-problem: mark every position where (sym, next_sym) matches the pair;
-consecutive match positions form an island; within an island starting at
-s, the greedy scan applies the merge at s, s+2, s+4, ... — i.e. a match
-at position p is applied iff (p - island_start) is even. Islands are the
-standard (p - row_number) grouping, so one window + one parity filter
-reproduces the sequential semantics.
+pair (a,a) becomes "aa aa", not three overlapping merges). The greedy
+scan is per-word with bounded state, so it runs as a single fold
+expression over the word's symbol ARRAY (``_apply_merge``): the scan
+holds one symbol; held == left and next == right merge (and the merged
+symbol, held, can never re-match as the left side within the round —
+exactly the "right half is consumed" non-overlap rule).
 
 Scale shape: everything runs on the (word, freq) VOCABULARY relation, not
 the corpus — the corpus is touched once by the word-count aggregation
-(partial-aggregated groupBy, the classic wordcount). Per round: one
-bounded groupBy over the pair space, one LIMIT-1 top-row (deterministic
-(count desc, pair asc) total order), two vocabulary-partitioned windows
-(per-word partitions, bounded by word length — no hot keys), and a
-checkpointed symbol-relation refresh. Positions are renumbered DENSE
-(row_number() - 1) after every merge: the island-parity filter and the
-"consumed slot = p + 1" deletion are both position ARITHMETIC, so they
-are only correct when adjacency means p + 1 — a sparse-position variant
-mis-groups overlap chains once a merged symbol sits two slots from its
-neighbor (see the inline comment at the merge step).
+(partial-aggregated groupBy, the classic wordcount). The state is one
+row per word (word, freq, syms array). Per training round: one bounded
+groupBy over the pair space (adjacency read off the array for free — a
+zip of the array with its own tail), one LIMIT-1 top-row (deterministic
+(count desc, pair asc) total order), and a map-side fold + checkpointed
+state refresh — no window shuffles anywhere. Segmentation replays the
+whole merge table as one nested fold (merge table outer, per-merge scan
+inner) in a single projection per distinct word.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data_elt_pipeline_spark.functions.text import tokens
@@ -76,33 +72,32 @@ def bpe_train_state(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    wv = Window.partitionBy("word").orderBy("p")
-    # (word, freq, p, sym, nx): p in [0, len]; p == len is the </w>
-    # marker. nx (the right neighbour) is computed ONCE per state and
-    # carried through the checkpoint (r14 optimization, guide §2.4): the
-    # pair census and the merge application both need it, and the window
-    # rides the groupBy(word)'s partitioning, so deriving it here costs
-    # no extra exchange while saving one whole-relation window shuffle
-    # per consumer per round.
+    # ARRAY-FORM state (r14 optimization, guide §2.3/§2.4): the working
+    # relation is (word, freq, syms ARRAY) — one row per word instead of
+    # one per symbol. The pair census reads adjacency for free (zip of
+    # the array with its own tail: identical pairs to the former
+    # (sym, next_sym) rows), and the merge application is a map-side
+    # fold (``_apply_merge``), so each round is ONE exchange (the census
+    # groupBy) + a projection + the checkpoint — the exploded form paid
+    # two whole-relation window shuffles per round on ~7x the rows.
     syms = words.select(
-        "word",
-        "freq",
-        F.posexplode(
-            F.concat(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word")),
-                    lambda i: F.substr(F.col("word"), i, F.lit(1)),
-                ),
-                F.array(F.lit(BPE_EOW)),
-            )
-        ).alias("p", "sym"),
-    ).withColumn("nx", F.lead("sym").over(wv)).localCheckpoint(eager=True)
+        "word", "freq", _char_syms(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
 
     merge_rows = []
     for r in range(1, rounds + 1):
         best = (
-            syms.filter(F.col("nx").isNotNull())
-            .groupBy(F.col("sym").alias("la"), F.col("nx").alias("rb"))
+            syms.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("la"), b.alias("rb")),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.la").alias("la"), F.col("pr.rb").alias("rb"))
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "la", "rb")
             .limit(1)
@@ -124,67 +119,79 @@ def bpe_train_state(
                 F.col("cnt").cast("long").alias("pair_count"),
             )
         )
-        # greedy non-overlapping application via island parity, as ONE
-        # window chain over the full symbol relation (r14 optimization,
-        # guide §2.4): every window below shares partitionBy(word) /
-        # orderBy(p), so the whole application is a single exchange —
-        # the former form (matched-position row_number, a (word, grp)
-        # island-min window, two (word, p) equi-joins back) paid 4-5.
-        # Positions are renumbered dense after every merge: a consumed
-        # slot is "the next position", and a run means "consecutive
-        # matches" — both are position ARITHMETIC, so they are only
-        # correct when adjacency is p+1. (A sparse-position variant
-        # mis-groups overlap chains once a merged symbol sits next to a
-        # symbol two slots away — caught by the oracle, which learned an
-        # impossible (x</w>, </w>) cross-marker merge.)
-        # m: this position starts a matched pair (null-safe: the </w>
-        # row's nx is null and must count as a run BREAKER, not a match)
-        s = (
-            syms.crossJoin(F.broadcast(best.select("la", "rb")))
-            .withColumn(
-                "m",
-                F.coalesce(
-                    (F.col("sym") == F.col("la")) & (F.col("nx") == F.col("rb")),
-                    F.lit(False),
-                ),
-            )
-            # run start = 1 + the last non-matched position strictly
-            # before p (-1 -> 0 when the word starts mid-run); a matched
-            # position is APPLIED iff its offset inside the run is even —
-            # exactly the (p - min(p) over island) % 2 == 0 parity rule
-            .withColumn(
-                "rs",
-                F.max(F.when(~F.col("m"), F.col("p"))).over(
-                    wv.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-            )
-            .withColumn(
-                "a",
-                F.col("m")
-                & ((F.col("p") - (F.coalesce(F.col("rs"), F.lit(-1)) + F.lit(1)))
-                   % 2 == 0),
-            )
-            # consumed: the right half of an applied pair is the NEXT row
-            .withColumn("cns", F.lag("a", 1, False).over(wv))
-        )
         syms = (
-            s.filter(~F.col("cns"))
+            syms.crossJoin(F.broadcast(best.select("la", "rb")))
             .select(
                 "word",
                 "freq",
-                "p",
-                F.when(F.col("a"), F.concat("la", "rb"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+                _apply_merge(F.col("syms"), F.col("la"), F.col("rb")).alias(
+                    "syms"
+                ),
             )
-            .withColumn("p", F.row_number().over(wv) - F.lit(1))
-            .withColumn("nx", F.lead("sym").over(wv))
             .localCheckpoint(eager=True)
         )
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
-    return out, syms.drop("nx")
+    final = syms.select(
+        "word", "freq", F.posexplode("syms").alias("p", "sym")
+    )
+    return out, final
+
+
+def _char_syms(word):
+    """The initial symbol array of a word: its characters + ``</w>``."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(BPE_EOW)),
+    )
+
+
+def _apply_merge(arr, la, rb):
+    """Greedy non-overlapping left-to-right application of merge
+    (``la``, ``rb``) to a symbol array, as ONE fold expression.
+
+    The scan carries (out, lst): if the held symbol is ``la`` and the
+    next is ``rb`` they merge (the merged symbol is held — it can never
+    re-match as ``la`` because ``la || rb != la`` for non-empty ``rb``,
+    which is exactly the "right half is consumed" parity rule);
+    otherwise the held symbol is emitted. This reproduces the island-
+    parity semantics the former window chain computed (a run of k
+    consecutive matches merges at offsets 0, 2, 4, ... — here the merge
+    at offset 0 consumes offset 1's left symbol, making offset 1 a
+    non-match, and so on by induction). ``slice(arr, 1, 0)`` is the
+    correctly-typed empty array."""
+    init = F.struct(
+        F.slice(arr, 1, 0).alias("out"), F.lit(None).cast("string").alias("lst")
+    )
+
+    def _step(acc, s):
+        return F.when(
+            acc["lst"].isNotNull() & (acc["lst"] == la) & (s == rb),
+            F.struct(acc["out"].alias("out"), F.concat(la, rb).alias("lst")),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["lst"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["lst"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("lst"),
+            )
+        )
+
+    return F.aggregate(
+        arr,
+        init,
+        _step,
+        lambda acc: F.when(
+            acc["lst"].isNotNull(), F.concat(acc["out"], F.array(acc["lst"]))
+        ).otherwise(acc["out"]),
+    )
 
 
 def bpe_segment(
@@ -206,63 +213,27 @@ def bpe_segment(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     vocab = words.select("word").distinct()
-    wv = Window.partitionBy("word").orderBy("p")
-    syms = vocab.select(
-        "word",
-        F.posexplode(
-            F.concat(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word")),
-                    lambda i: F.substr(F.col("word"), i, F.lit(1)),
-                ),
-                F.array(F.lit(BPE_EOW)),
-            )
-        ).alias("p", "sym"),
-    ).withColumn("nx", F.lead("sym").over(wv)).localCheckpoint(eager=True)
-    for _, la, rb in ordered:
-        # island-parity application as one shared-partitioning window
-        # chain — the same r14 single-exchange form as bpe_train_state
-        # (see the commentary there); la/rb are merge-table literals here
-        s = (
-            syms.withColumn(
-                "m",
-                F.coalesce(
-                    (F.col("sym") == F.lit(la)) & (F.col("nx") == F.lit(rb)),
-                    F.lit(False),
-                ),
-            )
-            .withColumn(
-                "rs",
-                F.max(F.when(~F.col("m"), F.col("p"))).over(
-                    wv.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-            )
-            .withColumn(
-                "a",
-                F.col("m")
-                & ((F.col("p") - (F.coalesce(F.col("rs"), F.lit(-1)) + F.lit(1)))
-                   % 2 == 0),
-            )
-            .withColumn("cns", F.lag("a", 1, False).over(wv))
+    # the whole merge replay is ONE fold over the (literal) merge table
+    # with the per-merge greedy application as the inner fold — a single
+    # map-side projection per distinct word, no rounds, no checkpoints
+    # (r14 optimization; the former form paid one checkpointed window
+    # round PER MERGE). The lambda binds each merge's (la, rb) once, so
+    # the expression tree is constant-size in the merge count.
+    if ordered:
+        merges_arr = F.array(
+            *[
+                F.struct(F.lit(la).alias("la"), F.lit(rb).alias("rb"))
+                for _, la, rb in ordered
+            ]
         )
-        syms = (
-            s.filter(~F.col("cns"))
-            .select(
-                "word",
-                "p",
-                F.when(F.col("a"), F.lit(la + rb)).otherwise(F.col("sym")).alias(
-                    "sym"
-                ),
-            )
-            .withColumn("p", F.row_number().over(wv) - F.lit(1))
-            .withColumn("nx", F.lead("sym").over(wv))
-            .localCheckpoint(eager=True)
+        seg = F.aggregate(
+            merges_arr,
+            _char_syms(F.col("word")),
+            lambda acc, m: _apply_merge(acc, m["la"], m["rb"]),
         )
-    pieces = syms.groupBy("word").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("p", "sym"))), lambda s: s.sym
-        ).alias("pieces")
-    )
+    else:
+        seg = _char_syms(F.col("word"))
+    pieces = vocab.select("word", seg.alias("pieces"))
     return words.join(pieces, "word").select(id_col, "word", "pieces")
 
 
