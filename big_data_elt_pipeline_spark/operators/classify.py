@@ -328,102 +328,185 @@ def logreg_train_fixed_point(
     ~1e9-document corpora (the nano-unit gradient sum must stay < 2^53);
     beyond that, train on a stratified sample or shard the GD.
 
-    Scale shape: the feature relation is built once (map-only explode +
-    distinct) and persisted; each round is one broadcast join against the
-    <= ``buckets``-row weight table, one doc-keyed partial-aggregated
-    groupBy (the margin), one doc-keyed equi-join feeding a bucket-bounded
-    gradient groupBy (partial aggregation collapses hot buckets map-side),
-    and a k-row weight refresh (localCheckpoint'ed — the q15 idiom). The
-    corpus never concentrates on a key and the driver never sees data.
+    Scale shape (r15 rewrite, guide §1.2/§2.4 — the PCA broadcast-fold
+    treatment applied to GD): the corpus is collapsed ONCE into the
+    checkpointed (pid, y, bs) relation where ``bs`` is the doc's distinct
+    bucket array, built as a pure map expression (shingle -> hash -> pmod
+    -> array_distinct, no explode, no shuffle). The weight state is a
+    ONE-ROW frame carrying the full ``buckets``-slot weight array plus the
+    bias — bucket-bounded by contract, so broadcasting it is free at any
+    corpus size. Each round is then ONE job with ONE exchange: the margin
+    is a map-side decimal fold of the doc's bucket array against the
+    broadcast weight array (no doc-keyed join, no groupBy(pid)), the
+    gradient is explode(bs ++ [-1]) -> groupBy(bucket) whose map-side
+    partial aggregation ships <= buckets+1 rows, and the weight refresh is
+    one array ``transform`` over the state row (localCheckpoint'ed — the
+    q15 idiom). The former shape paid two doc-keyed shuffles plus a
+    broadcast build per round. Arithmetic is IDENTICAL: decimal(25,9)
+    sums are exact and order-free, so folding the margin instead of
+    groupBy-summing it yields the bit-same double, and ``_nano_update``
+    is unchanged. The corpus never concentrates on a key and the driver
+    never sees data.
     """
-    from big_data_elt_pipeline_spark.operators.sampling import _hashed_feats
+    sc = labeled.sparkSession.sparkContext
 
-    feats = (
-        _hashed_feats(labeled, id_col, text_col, 2, buckets)
-        .withColumnRenamed(id_col, "pid")
-        .distinct()
-        .persist()
-    )
-    labels = labeled.select(
-        F.col(id_col).alias("pid"), F.col(label_col).cast("int").alias("y")
-    )
-    n_row = F.broadcast(labels.agg(F.count(F.lit(1)).alias("n")))
-    # COMBINED weight state (r14 optimization, guide §1.2/§2.4): the bias
-    # rides the weight table as bucket -1 (hashed buckets are pmod
-    # outputs, always >= 0), so each round publishes ONE eagerly
-    # checkpointed frame instead of two — the former separate bias
-    # checkpoint replayed the whole margin/err subplan a second time per
-    # round (its m-exchange now dedupes via ReusedExchange inside the
-    # single job). Arithmetic is unchanged: same snapped updates, same
-    # (weights..., bias) union order in the returned relation.
-    wtb = (
-        feats.select("b").distinct().select("b", F.lit(0.0).alias("w"))
-        .unionAll(
-            labeled.sparkSession.range(1).select(
-                F.lit(-1).cast("long").alias("b"), F.lit(0.0).alias("w")
-            )
+    def _pinned_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _free(ids: set) -> None:
+        reg = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = reg.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    before = _pinned_ids()
+    # the doc's distinct bucket set as a PURE MAP expression (shingle ->
+    # hash -> pmod -> array_distinct, all inside one codegen stage): the
+    # former explode + groupBy(pid) + join shape shuffled every feature
+    # occurrence just to rebuild a per-doc set the row already determines
+    from big_data_elt_pipeline_spark.functions.text import hash60, word_shingles
+
+    # no array_sort: every consumer of ``bs`` is order-free (the margin
+    # fold is an exact decimal sum; the gradient explode feeds a groupBy)
+    bs_expr = F.array_distinct(
+        F.transform(
+            word_shingles(F.col(text_col), 2),
+            lambda s: F.pmod(hash60(s), F.lit(buckets)),
         )
     )
+    docfe = labeled.select(
+        F.col(id_col).alias("pid"),
+        F.col(label_col).cast("int").alias("y"),
+        bs_expr.alias("bs"),
+    ).localCheckpoint(eager=True)
+    # NOT compacted to fewer partitions: unlike the ml-fit frames, each
+    # row here carries a real per-row decimal fold (|bs| adds), so
+    # serializing the rounds onto one task was measured 3x SLOWER than the
+    # per-task overhead it saved (parts=1 round 5.1 s vs parts=32 1.5 s)
+    docfe_ids = _pinned_ids() - before
+
     zero_se = F.lit(0).cast("decimal(25,9)")
+    empty_bs = F.array().cast("array<bigint>")
+    # one-row state: (n, warr[buckets], bw, obs) — obs (the sorted observed
+    # bucket set) is captured from the first gradient's key set, which by
+    # construction is exactly the distinct buckets present in any doc
+    state = (
+        docfe.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.array_repeat(F.lit(0.0), buckets).alias("warr"),
+            F.lit(0.0).alias("bw"),
+            F.lit(None).cast("array<bigint>").alias("obs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state_ids = _pinned_ids() - before - docfe_ids
     for _ in range(iters):
-        wt = wtb.filter(F.col("b") >= 0)
-        bias = wtb.filter(F.col("b") == -1).select(F.col("w").alias("bw"))
-        m = (
-            feats.join(F.broadcast(wt), "b")
-            .groupBy("pid")
-            .agg(F.sum(F.col("w").cast("decimal(25,9)")).alias("sw"))
+        warr = F.col("warr")
+        sw = F.aggregate(
+            F.coalesce(F.col("bs"), empty_bs),
+            zero_se,
+            lambda acc, b: (
+                acc
+                + F.element_at(warr, (b + 1).cast("int")).cast("decimal(25,9)")
+            ).cast("decimal(25,9)"),
         )
-        err = (
-            labels.join(m, "pid", "left")
-            .crossJoin(F.broadcast(bias))
+        e = F.round(
+            _hard_sigmoid(sw.cast("double") + F.col("bw")) - F.col("y"), 9
+        )
+        grad = (
+            docfe.crossJoin(F.broadcast(state))
             .select(
-                "pid",
-                F.round(
-                    _hard_sigmoid(
-                        F.coalesce(F.col("sw").cast("double"), F.lit(0.0))
-                        + F.col("bw")
+                F.explode(
+                    F.concat(
+                        F.coalesce(F.col("bs"), empty_bs),
+                        F.array(F.lit(-1).cast("bigint")),
                     )
-                    - F.col("y"),
-                    9,
-                ).alias("e"),
+                ).alias("b"),
+                e.alias("e"),
             )
-        )
-        gw = (
-            feats.join(err, "pid")
             .groupBy("b")
             .agg(F.sum(F.col("e").cast("decimal(25,9)")).alias("se"))
         )
-        new_wt = (
-            wt.join(gw, "b", "left")
-            .crossJoin(n_row)
-            .select(
-                "b",
-                _nano_update(
-                    F.col("w"),
-                    F.coalesce(F.col("se"), zero_se),
-                    F.col("n"),
-                    lr_frac,
-                ).alias("w"),
+        gm = grad.agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "se"))).alias(
+                "semap"
             )
         )
-        new_bias = (
-            err.agg(F.sum(F.col("e").cast("decimal(25,9)")).alias("se"))
-            .crossJoin(n_row)
-            .crossJoin(F.broadcast(bias))
+        sem = F.col("semap")
+        new_state = (
+            gm.crossJoin(F.broadcast(state))
             .select(
-                F.lit(-1).cast("long").alias("b"),
+                "n",
+                F.transform(
+                    F.col("warr"),
+                    lambda w, i: _nano_update(
+                        w,
+                        F.coalesce(
+                            F.try_element_at(sem, i.cast("bigint")), zero_se
+                        ),
+                        F.col("n"),
+                        lr_frac,
+                    ),
+                ).alias("warr"),
                 _nano_update(
                     F.col("bw"),
-                    F.coalesce(F.col("se"), zero_se),
+                    F.coalesce(
+                        F.try_element_at(sem, F.lit(-1).cast("bigint")),
+                        zero_se,
+                    ),
                     F.col("n"),
                     lr_frac,
-                ).alias("w"),
+                ).alias("bw"),
+                F.coalesce(
+                    F.col("obs"),
+                    F.array_sort(
+                        F.filter(F.map_keys(sem), lambda k: k >= 0)
+                    ),
+                ).alias("obs"),
             )
+            .localCheckpoint(eager=True)
         )
-        wtb = new_wt.unionAll(new_bias).localCheckpoint(eager=True)
-    feats.unpersist()
-    return wtb.select(
-        F.col("b").cast("long").alias("feature"), F.col("w").alias("weight")
+        _free(state_ids)
+        state_ids = _pinned_ids() - before - docfe_ids
+        state = new_state
+    if iters == 0:
+        # degenerate guard: no gradient round ran, so derive the observed
+        # bucket set directly (all weights are still 0.0 — same relation
+        # the pre-rewrite form returned)
+        obs_row = (
+            docfe.select(F.explode(F.coalesce(F.col("bs"), empty_bs)).alias("b"))
+            .distinct()
+            .agg(F.array_sort(F.collect_list("b")).alias("obs_f"))
+        )
+        state = state.drop("obs").crossJoin(obs_row).withColumnRenamed(
+            "obs_f", "obs"
+        )
+    _free(docfe_ids)
+    return state.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("obs"),
+                    lambda b: F.struct(
+                        b.alias("feature"),
+                        F.element_at(F.col("warr"), (b + 1).cast("int")).alias(
+                            "weight"
+                        ),
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(-1).cast("bigint").alias("feature"),
+                        F.col("bw").alias("weight"),
+                    )
+                ),
+            )
+        ).alias("fw")
+    ).select(
+        F.col("fw.feature").cast("long").alias("feature"),
+        F.col("fw.weight").alias("weight"),
     )
 
 

@@ -262,9 +262,16 @@ def q_client_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
     ref = gold.reference_date(fact)
-    # no persist here: gate callables are one-shot; cached partitions that
-    # are never unpersisted accumulate across queries and cause GC stalls
-    features = gold.build_client_features(fact, clients, ref)
+    # eager checkpoint (r15, guide §5 / the rfm idiom): the features frame
+    # is DIMENSION-sized but its lineage is the full fact build, and it
+    # feeds TWO consumers — the thresholds collect inside score_clients
+    # and the returned scored plan. Without the checkpoint each consumer
+    # replays the fact scan+joins+groupBy. (The bench harness unpersists
+    # query-pinned blocks after each timing, so the checkpoint cannot
+    # accumulate across queries.)
+    features = gold.build_client_features(fact, clients, ref).localCheckpoint(
+        eager=True
+    )
     scored = gold.score_clients(features)
     return scored.select(
         "id_client", "prob_reachat_12m", "expected_value_12m", "value_at_risk_12m",
@@ -286,7 +293,11 @@ def q_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
     ref = gold.reference_date(fact)
-    features = gold.build_client_features(fact, clients, ref)
+    # same two-consumer shape as q_client_scores: checkpoint the
+    # dimension-sized features frame once (guide §5)
+    features = gold.build_client_features(fact, clients, ref).localCheckpoint(
+        eager=True
+    )
     return gold.summarize_segments(gold.score_clients(features))
 
 
