@@ -59,7 +59,8 @@ def rfm_features(fact: DataFrame, ref: dt.datetime) -> DataFrame:
 
 
 def kmeans_segment(
-    features: DataFrame, k: int = 5, seed: int = 42, evaluate: bool = True
+    features: DataFrame, k: int = 5, seed: int = 42, evaluate: bool = True,
+    impute: bool = True
 ) -> tuple[DataFrame, float]:
     """D3: Impute→StandardScaler→KMeans pipeline + silhouette.
 
@@ -71,6 +72,15 @@ def kmeans_segment(
     bound is computed against the deterministic twin inside the returned
     plan — so the evaluator's extra pass over the assigned frame was
     pure waste there. The fitted model and assignments are unchanged.
+
+    ``impute=False`` drops the Imputer stage (r15, same guide §1.2 rule):
+    its median fit costs an approxQuantile pass per column — measured as
+    HALF the whole pipeline fit — and on an input with no nulls the
+    transform is the identity, so every downstream stage sees
+    bit-identical vectors and the fitted model is unchanged. Callers may
+    set it only when the input provably cannot hold nulls (the gate
+    query's RFM aggregate output); the default keeps the reference's
+    full Impute→Scale→KMeans pipeline.
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.clustering import KMeans
@@ -78,14 +88,18 @@ def kmeans_segment(
     from pyspark.ml.feature import Imputer, StandardScaler, VectorAssembler
 
     imputed_cols = [f"{c}_imp" for c in RFM_COLS]
-    pipeline = Pipeline(
-        stages=[
+    vec_in = imputed_cols if impute else list(RFM_COLS)
+    stages = [
+        VectorAssembler(inputCols=vec_in, outputCol="rfm_vec"),
+        StandardScaler(inputCol="rfm_vec", outputCol="rfm_scaled", withMean=True, withStd=True),
+        KMeans(featuresCol="rfm_scaled", predictionCol="segment", k=k, seed=seed),
+    ]
+    if impute:
+        stages.insert(
+            0,
             Imputer(inputCols=RFM_COLS, outputCols=imputed_cols, strategy="median"),
-            VectorAssembler(inputCols=imputed_cols, outputCol="rfm_vec"),
-            StandardScaler(inputCol="rfm_vec", outputCol="rfm_scaled", withMean=True, withStd=True),
-            KMeans(featuresCol="rfm_scaled", predictionCol="segment", k=k, seed=seed),
-        ]
-    )
+        )
+    pipeline = Pipeline(stages=stages)
     cast = features.select(
         "id_client", *[F.col(c).cast("double").alias(c) for c in RFM_COLS]
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_elt_pipeline_spark.operators import multimodal as MM
-from big_data_elt_pipeline_spark.plans.queries import _D, _REF_SQL, _fact, register
+from big_data_elt_pipeline_spark.plans.queries import _D, _REF_SQL, _fact, _ref_date, register
 from big_data_elt_pipeline_spark.sources.tpch import read_table
 
 _MM_SQL = """
@@ -242,7 +242,7 @@ def q_ml_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.operators.gold import reference_date
 
     fact = _fact(spark, sf_dir)
-    ref = reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     # eager checkpoint (r14 optimization, the rfm/q15 idiom): the labeled
     # frame is dimension-sized, but its lineage is the full fact build —
     # without the checkpoint the StandardScaler fit, the LR fit's instance
@@ -300,7 +300,7 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.operators.gold import reference_date
 
     fact = _fact(spark, sf_dir)
-    ref = reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     # eager checkpoint: the per-client RFM relation (dimension-sized)
     # feeds BOTH the ml fit and the twin — without it the fact groupBy
     # re-runs in every consumer
@@ -309,8 +309,12 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound below is the query's quality evidence (guide §1.2).
     # compact_fit_input (guide §2.2): each Lloyd round is one job over
     # this dimension-sized frame — fewer, fuller tasks per round.
+    # impute=False: the RFM aggregate cannot produce nulls (counts and
+    # maxes over non-null fact rows), so the Imputer stage is the
+    # identity; its median fit alone cost half the pipeline fit (r15,
+    # guide §1.2). Assignments are bit-identical with or without it.
     assigned, _silhouette = kmeans_segment(
-        compact_fit_input(rfm), k=5, seed=42, evaluate=False
+        compact_fit_input(rfm), k=5, seed=42, evaluate=False, impute=False
     )
     twin = fixed_point_segments(rfm, k=5)
     return segment_agreement(assigned, twin).select(

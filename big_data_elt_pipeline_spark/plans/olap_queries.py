@@ -344,7 +344,8 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clients, _ = _silver_frames(spark, sf_dir)
     fact = _fact(spark, sf_dir)
-    ref = gold.reference_date(fact)
+    from big_data_elt_pipeline_spark.plans.queries import _ref_date
+    ref = _ref_date(spark, sf_dir)
     features = gold.build_client_features(fact, clients, ref)
     return gold.score_clients(features)
 

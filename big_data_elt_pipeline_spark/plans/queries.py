@@ -182,6 +182,18 @@ def _fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.build_fact(achats, clients)
 
 
+def _ref_date(spark: SparkSession, sf_dir: str):
+    """The reference date (max ``date_achat``) collected from UNSPREAD
+    scans (r15, guide §1.2): this action returns one scalar, so the
+    single-split input-spread repartitions that help wide downstream
+    plans only add exchanges (and their local sorts) here. Identical
+    value to ``gold.reference_date(_fact(...))`` by construction:
+    ``build_fact``'s LEFT client join preserves the achats rows
+    one-to-one, so the max over ``achats`` IS the max over ``fact``, and
+    partitioning never changes a max."""
+    return gold.reference_date(tpch.achats_df(spark, sf_dir, spread=False))
+
+
 # --------------------------------------------------------------------------
 # Reference-surface queries
 # --------------------------------------------------------------------------
@@ -243,7 +255,7 @@ FROM clients c LEFT JOIN agg ON c.id_client = agg.id_client
 def q_dim_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
-    ref = gold.reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     return gold.build_dim_clients(clients, fact, ref)
 
 
@@ -251,7 +263,7 @@ def q_dim_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_client_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
-    ref = gold.reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     return gold.build_client_features(fact, clients, ref)
 
 
@@ -261,7 +273,7 @@ def q_client_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_client_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
-    ref = gold.reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     # eager checkpoint (r15, guide §5 / the rfm idiom): the features frame
     # is DIMENSION-sized but its lineage is the full fact build, and it
     # feeds TWO consumers — the thresholds collect inside score_clients
@@ -292,7 +304,7 @@ FROM scores GROUP BY segment_label
 def q_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
-    ref = gold.reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     # same two-consumer shape as q_client_scores: checkpoint the
     # dimension-sized features frame once (guide §5)
     features = gold.build_client_features(fact, clients, ref).localCheckpoint(
@@ -405,7 +417,7 @@ def q_kpis_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``build_kpis``, previously pytest-only)."""
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
-    ref = gold.reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     features = gold.build_client_features(fact, clients, ref)
     return serving.build_kpis(fact, gold.score_clients(features))
 
@@ -428,7 +440,7 @@ LIMIT 20
 def q_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients, achats = _silver_frames(spark, sf_dir)
     fact = gold.build_fact(achats, clients)
-    ref = gold.reference_date(fact)
+    ref = _ref_date(spark, sf_dir)
     dim = gold.build_dim_clients(clients, fact, ref).select(
         "id_client", "nom", "pays", "total_orders", "total_spend"
     )
@@ -733,7 +745,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
 
     clients, achats = _silver_frames(spark, sf_dir)
-    ref = gold.reference_date(achats)
+    ref = _ref_date(spark, sf_dir)
     recent = achats.filter(F.col("date_achat") >= F.lit(ref - _dt.timedelta(days=90)))
     return clients.join(recent.select("id_client"), "id_client", "left_anti").select(
         "id_client", "nom", "pays"

@@ -88,16 +88,20 @@ def clients_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def achats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def achats_df(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """``achats`` from lineitem ⋈ orders ⋈ part.
 
     orders/part are joined on their keys; at scale the orders join is the
     big one (fact-to-fact) and shuffles on orderkey, while part is
     dimension-sized per SF and AQE will broadcast it.
+
+    ``spread=False`` skips the single-split input spread — for callers
+    that collect ONE scalar from this frame (the reference-date action)
+    the spread exchanges are pure overhead (guide §1.2).
     """
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    part = read_table(spark, sf_dir, "part")
+    lineitem = read_table(spark, sf_dir, "lineitem", spread=spread)
+    orders = read_table(spark, sf_dir, "orders", spread=spread)
+    part = read_table(spark, sf_dir, "part", spread=spread)
     # (l_orderkey, l_linenumber) is NOT unique in this generator; the md5-
     # derived 60-bit hash of the full natural key is, and is portable
     # (identical expression in the DuckDB oracle CTE below)
