@@ -38,13 +38,24 @@ SERVING_TABLES = ["daily", "weekly", "distribution", "monthly_growth"]
 
 
 def bronze_ingest(spark: SparkSession, source_dir: str, lake_dir: str) -> dict[str, int]:
-    """S2/S3: raw retention — CSV → parquet, no transformation."""
-    counts = {}
-    for name, schema in (("clients", CLIENTS_RAW), ("achats", ACHATS_RAW)):
+    """S2/S3: raw retention — CSV → parquet, no transformation.
+
+    The two tables are independent: their write+count pairs run as
+    overlapped jobs (guide §2.6). The count reads the parquet JUST
+    WRITTEN (footer row counts — no data scan) instead of re-parsing the
+    CSV a second time; the value is identical by construction.
+    """
+    def _ingest(item: tuple[str, object]) -> tuple[str, int]:
+        name, schema = item
+        spark.sparkContext.setJobDescription(f"bronze ingest: {name}")
         df = eio.read_csv(spark, f"{source_dir}/{name}.csv", schema)
         eio.write_parquet(df, f"{lake_dir}/bronze/{name}")
-        counts[name] = df.count()
-    return counts
+        return name, spark.read.parquet(f"{lake_dir}/bronze/{name}").count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return dict(
+            pool.map(_ingest, (("clients", CLIENTS_RAW), ("achats", ACHATS_RAW)))
+        )
 
 
 def silver_transform(
@@ -66,13 +77,18 @@ def silver_transform(
     achats_raw = eio.read_parquet(spark, f"{lake_dir}/bronze/achats")
 
     if max_date is None:
-        row = clients_raw.select(
-            F.max(F.try_to_timestamp(F.col("date_inscription")).try_cast("date"))
-        ).first()
-        a_row = achats_raw.select(
-            F.max(F.try_to_timestamp(F.col("date_achat")).try_cast("date"))
-        ).first()
-        c_max, a_max = row[0], a_row[0]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_c = pool.submit(
+                lambda: clients_raw.select(
+                    F.max(F.try_to_timestamp(F.col("date_inscription")).try_cast("date"))
+                ).first()
+            )
+            f_a = pool.submit(
+                lambda: achats_raw.select(
+                    F.max(F.try_to_timestamp(F.col("date_achat")).try_cast("date"))
+                ).first()
+            )
+            c_max, a_max = f_c.result()[0], f_a.result()[0]
         max_date = max(d for d in (c_max, a_max, dt.date(1970, 1, 1)) if d is not None)
         max_date = max_date + dt.timedelta(days=1)
 
@@ -81,13 +97,29 @@ def silver_transform(
         achats_raw, valid_clients=clients, min_date=min_date, max_date=max_date,
         max_amount=max_amount,
     )
-    eio.write_parquet(clients, f"{lake_dir}/silver/clients")
-    eio.write_parquet(achats, f"{lake_dir}/silver/achats")
 
-    return {
-        "clients": silver.quality_audit(clients_raw, kind="clients").first().asDict(),
-        "achats": silver.quality_audit(achats_raw, kind="achats").first().asDict(),
-    }
+    # four independent actions (two cleaned writes + two raw-table
+    # audits): overlapped jobs back-fill each other's task tails
+    # (guide §2.6). The achats clean REFERENCES the cleaned-clients
+    # frame, not its written output, so the two writes are independent.
+    def _act(item: tuple[str, object]):
+        kind, fn = item
+        spark.sparkContext.setJobDescription(f"silver: {kind}")
+        return fn()
+
+    jobs = [
+        ("write clients",
+         lambda: eio.write_parquet(clients, f"{lake_dir}/silver/clients")),
+        ("write achats",
+         lambda: eio.write_parquet(achats, f"{lake_dir}/silver/achats")),
+        ("audit clients",
+         lambda: silver.quality_audit(clients_raw, kind="clients").first().asDict()),
+        ("audit achats",
+         lambda: silver.quality_audit(achats_raw, kind="achats").first().asDict()),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        results = list(pool.map(_act, jobs))
+    return {"clients": results[2], "achats": results[3]}
 
 
 def gold_transform(
@@ -146,23 +178,19 @@ def gold_transform(
             return spark.read.parquet(f"{lake_dir}/gold/{name}").count()
         return None  # footer-stats count, no recompute
 
-    # fact/features back most downstream tables: their own sinks run FIRST
-    # and double as the materializing action for the persisted frames, so
-    # the overlapped sinks read the populated cache instead of racing to
-    # compute it. The remaining 11 sinks are independent jobs over cached
-    # or cheap inputs — submitting them from a small thread pool lets each
-    # job's task tail back-fill cores freed by its neighbours (guide §2.6:
-    # actions are only sequential because driver code calls them
-    # sequentially). 3 in flight is enough to fill the tail without
-    # resource thrash; results keyed by name, so output is order-free.
+    # ALL 13 sinks run overlapped (guide §2.6): both persisted frames are
+    # already materialized before any write — ``reference_date`` fills the
+    # fact cache and ``score_clients``'s thresholds collect fills the
+    # features cache at plan-build time above — so no sink can race a
+    # cache computation, and the former sequential fact/features-first
+    # ordering only serialized the two largest writes (r15; it predated
+    # the thresholds collect doubling as the materializing action). 3 in
+    # flight fills each job's task tail without resource thrash; results
+    # keyed by name, so output is order-free.
     ordered = list(tables)
-    first = [n for n in ("fact_achats", "client_features") if n in ordered]
-    rest = [n for n in ordered if n not in first]
     results: dict[str, int | None] = {}
-    for name in first:
-        results[name] = _write(name)
     with ThreadPoolExecutor(max_workers=3) as pool:
-        for name, cnt in zip(rest, pool.map(_write, rest)):
+        for name, cnt in zip(ordered, pool.map(_write, ordered)):
             results[name] = cnt
     counts = {n: results[n] for n in ordered if results[n] is not None}
     fact.unpersist()

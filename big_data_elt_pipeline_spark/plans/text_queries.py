@@ -979,7 +979,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     k = 5
-    ivf = SIM.ivf_topk(emb, queries, k=k, n_probe=4)
+    # the quantizer fit runs on the NATURAL (unspread) scan: the ml fit
+    # loop is one job per round, and the spread's repartition multiplied
+    # every round's task fan-out (r15, guide §2.2 — build was 6.2 s of
+    # which the fit dominated). The assignment/probe/score passes keep
+    # the spread corpus.
+    ivf = SIM.ivf_topk(
+        emb, queries, k=k, n_probe=4,
+        fit_corpus=read_table(spark, sf_dir, "embeddings", spread=False),
+    )
     bf = SIM.brute_force_topk(emb, queries, k=k)
     hits = ivf.select("query_id", "vec_id").join(
         F.broadcast(bf.select("query_id", "vec_id")), ["query_id", "vec_id"]
