@@ -248,6 +248,7 @@ def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.functions.core import money_sum
 
     ev = events_df(spark, sf_dir)
+    # deliberate spread exemption: broadcast-side dimension table
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return (
         EV.enrich_events(ev, customer)

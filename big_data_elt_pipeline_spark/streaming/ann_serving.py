@@ -168,6 +168,9 @@ def stream_index_probe_evidence(
         spark, sf_dir, index_path, out_path, lo, hi, k, n_probe
     )
     queries = (
+        # deliberate spread exemption: probe-sized slice (hi-lo query
+        # vectors survive the pushed filter) — a repartition would cost
+        # more than the single-task scan it replaces
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         .select("vec_id", "embedding")

@@ -251,6 +251,7 @@ def stream_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended row-by-row to the sink (no aggregate, no watermark — the
     join is stateless, so append mode needs neither)."""
     ev = _stream_events(spark, sf_dir)
+    # deliberate spread exemption: broadcast-side dimension table
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     enriched = enrich_events(ev, customer)
     name = "stream_enrich_sink"
@@ -541,6 +542,7 @@ def stream_enrich_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_elt_pipeline_spark.sources.tpch import events_df
 
     s = stream_enriched_events(spark, sf_dir)
+    # deliberate spread exemption: broadcast-side dimension table
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     twin = enrich_events(events_df(spark, sf_dir), customer)
     checks = twin.agg(

@@ -167,11 +167,14 @@ def stream_doc_scoring_evidence(
     ``_logreg_body`` rounds), rescoring every document relationally —
     so the driver hash certifies stream == batch == cross-engine model
     end to end."""
+    from big_data_elt_pipeline_spark.sources.tpch import read_table
     from big_data_elt_pipeline_spark.streaming.events import _evidence_relation
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    # read_table, not a bare read: the batch twin re-scores the WHOLE
+    # corpus with per-doc text features, exactly the map-heavy shape the
+    # single-split input spread exists for (r14 §2.5 fix; this was the
+    # one corpus-sized bypass the r14 audit flagged)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     mrow = model_map_row(model).localCheckpoint(eager=True)
     s = stream_scored_documents(spark, sf_dir, model, model_row=mrow)
     twin = score_documents(docs, mrow)
