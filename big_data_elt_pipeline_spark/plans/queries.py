@@ -1345,30 +1345,65 @@ ROWS_ONLY_ANNEX = frozenset()
 # 6 + 4 + 11 + 29 = 50: fourth consecutive all-oracle window; after it
 # no oracle-backed query's latest green row is older than r10.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Round-15 rotation (r14 verdict #1 executes the queued promises and
+# re-gates every r14-rewritten kernel; this optimization round's own
+# code-changed queries are all seated in the same window):
+# IN:
+#   - the 11 promised r14 leave-outs, FIRST as documented last round
+#     (the complete r10-stale cohort): bpe_doc_tokens, ca_product,
+#     cube_sales, events_sliding, hybrid_rrf_topk, kmeans_centroids,
+#     retrieval_eval, serving_weekly, tpch_q1_sql, tpch_q3,
+#     unigram_segment;
+#   - the 6 r14-rewritten kernels whose latest driver-green rows predate
+#     the rewrite (r14 verdict item 1; the other three named there —
+#     kmeans_centroids, unigram_segment, bpe_doc_tokens — are already in
+#     the cohort above): pca_top_component, logreg_quality_model,
+#     kpis_approx, bpe_merges, ml_kmeans_segments,
+#     ml_repurchase_predictor;
+#   - the 21 queries whose code changed in THIS round's optimizations
+#     and therefore owe fresh evidence: the logreg-trainer consumers
+#     (classifier_agreement, classifier_calibration, classifier_auc,
+#     stream_doc_scoring, curation_recipe), the map-side-sizes dedup
+#     family (dedup_minhash_recall, dedup_minhash, dedup_ngram_jaccard,
+#     dedup_clusters, dedup_keep_best), the _ref_date/checkpoint OLAP
+#     family (dim_clients, client_features, client_scores,
+#     segment_summary, anti_join_inactive, kpis_extended, top_clients,
+#     to_reactivate, top_opportunities), the quantizer-fit change
+#     (ann_ivf_topk), and the round-width-cap removal (mmr_rerank);
+#   - 12 of the 49-member r11-stale cohort, alphabetically (the oldest
+#     tail after the seats above).
+# OUT: every r12/r13/r14-green member not named above (all hold fresh
+# rows; families keep local-sweep + pytest coverage). The remaining 37
+# r11-stale members stay queued should a later round exist; after this
+# window no query's latest green row is older than r11, every r14
+# kernel rewrite and every r15 optimization holds a same-round driver
+# row.
+# 11 + 6 + 21 + 12 = 50: fifth consecutive all-oracle window.
+# --------------------------------------------------------------------------
 _GATE_ORDER = [
-    # the 6 promised r9-stale re-seats (r13 verdict #2, queued first)
-    "client_features", "top_clients", "bpe_vocab",
-    "dedup_incremental_span_removal", "tpch_q9", "classifier_auc",
-    # r14 debuts (same-round seating)
-    "ann_index_update", "bm25_index_update", "bm25_index_rm3",
-    "sketch_overlap_triage",
-    # contract/code-changed this round (gen-scoped tombstones + registry
-    # + adaptive mmr layout)
-    "ann_index_audit", "ann_index_probe", "ann_index_delete",
-    "ann_index_recall", "bm25_index_audit", "bm25_index_probe",
-    "bm25_index_delete", "mmr_rerank", "stream_retrieval_loop",
-    "stream_ann_probe", "hybrid_index_topk",
-    # r10-stale cohort, 31 of the 40 oracle-backed (leave-outs above)
-    "calendar_dense_monthly", "cms_heavy_hitters", "corpus_split",
-    "curation_recipe", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_simhash", "doc_length_quantiles_by_lang", "dsir_select",
-    "events_daily_share", "events_props", "events_session_window",
-    "grouping_sets_sales", "incremental_ca_monthly",
-    "kpis_extended", "mixture_sample", "multimodal_features", "pii_scrub",
-    "pivot_event_counts", "quality_counters_clients",
-    "salted_distinct_products", "set_ops_users", "shard_manifest",
-    "silver_dirty_achats", "silver_dirty_clients", "to_reactivate",
-    "top_opportunities", "unigram_vocab", "vocab_drift",
+    # the 11 promised r10-stale re-seats (r14 verdict, queued first)
+    "bpe_doc_tokens", "ca_product", "cube_sales", "events_sliding",
+    "hybrid_rrf_topk", "kmeans_centroids", "retrieval_eval",
+    "serving_weekly", "tpch_q1_sql", "tpch_q3", "unigram_segment",
+    # r14-rewritten kernels owed fresh rows (r14 verdict #1)
+    "pca_top_component", "logreg_quality_model", "kpis_approx",
+    "bpe_merges", "ml_kmeans_segments", "ml_repurchase_predictor",
+    # r15 code-changed (this round's optimizations)
+    "classifier_agreement", "classifier_calibration", "classifier_auc",
+    "stream_doc_scoring", "curation_recipe",
+    "dedup_minhash_recall", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_keep_best",
+    "dim_clients", "client_features", "client_scores", "segment_summary",
+    "anti_join_inactive", "kpis_extended", "top_clients",
+    "to_reactivate", "top_opportunities",
+    "ann_ivf_topk", "mmr_rerank",
+    # r11-stale cohort, first 12 alphabetically
+    "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk",
+    "asof_event_purchase", "attribution_join", "ca_country",
+    "cohort_first_purchase", "contamination_check",
+    "cumulative_monthly_revenue", "dedup_winnow", "doc_chunking",
+    "doc_entropy",
 ]
 
 
